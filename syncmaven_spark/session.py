@@ -1,0 +1,117 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local tests run on ``local[N]``; production is a multi-executor cluster. The
+settings below are the ones that matter at both scales: AQE for runtime
+re-planning (skew joins, partition coalescing), Arrow for the Pandas-UDF slow
+path, UTC session timezone for deterministic timestamp semantics against
+external oracles and golden files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "syncmaven_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS`` so that
+    the bench driver controls parallelism without code changes.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str):
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's parquet reader rejects nanosecond timestamps outright
+    (PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong`` they
+    arrive as raw int64 nanos. We detect nanos columns from the parquet footer
+    (cheap — metadata only) and cast them back to proper timestamps, keeping
+    column order. Micros truncation matches what any engine reading the same
+    file at micro precision (e.g. DuckDB) produces.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        import pyarrow.parquet as pq
+
+        footer = pq.read_schema(path)
+        nanos_cols = [f.name for f in footer if str(f.type).startswith("timestamp[ns")]
+    except Exception:
+        nanos_cols = []
+
+    if not nanos_cols:
+        return spark.read.parquet(path)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.select(
+        *[
+            F.timestamp_micros((F.col(c) / 1000).cast("long")).alias(c)
+            if c in nanos_cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
+    """Load the driver testdata parquet tables and register them as temp views.
+
+    Returns ``{name: DataFrame}``. Scans stay lazy — Catalyst prunes columns
+    and pushes filters into the parquet reader per consuming query.
+    """
+    tables = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_parquet(spark, path)
+        tables[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,173 @@
+"""Sink framework: provider/stream ABCs, batching, rate-limit retry.
+
+Reference machinery being mirrored:
+- stdProtocol lifecycle (describe / describe-streams / start-stream / row /
+  end-stream + stats): ``packages/node-cdk/src/std.ts:31-186``.
+- ``BatchingOutputStream`` buffering with default flush at 1000 rows:
+  ``packages/node-cdk/src/index.ts:85-129``.
+- ``RateLimitError`` with retry-after, engine-side sleep-and-retry loop:
+  ``packages/node-cdk/src/rate-limit.ts:1-20``, ``std.ts:147-167``.
+- stream stats ``{received, success, skipped, failed}``:
+  ``packages/protocol/src/index.ts:138-153``.
+- known/custom column split (``pick``/``omit`` on the declared row type):
+  ``packages/connectors/intercom/src/index.ts:217-221``.
+"""
+
+from __future__ import annotations
+
+import time
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from typing import Any
+
+DEFAULT_BATCH_SIZE = 1000  # node-cdk/src/index.ts:94
+MAX_RATE_LIMIT_RETRIES = 5
+
+
+class HaltError(RuntimeError):
+    """Fatal sink error — stop feeding rows (protocol 'halt' message,
+    sync.ts:372-399)."""
+
+
+class RateLimitError(RuntimeError):
+    """Destination asked us to back off (rate-limit.ts:1-20)."""
+
+    def __init__(self, message: str = "rate limited", retry_after_ms: int = 1000):
+        super().__init__(message)
+        self.retry_after_ms = retry_after_ms
+
+
+@dataclass
+class StreamStats:
+    """end-stream stats (protocol/src/index.ts:138-153)."""
+
+    received: int = 0
+    success: int = 0
+    skipped: int = 0
+    failed: int = 0
+    substreams: dict[str, int] = field(default_factory=dict)
+
+    def as_dict(self) -> dict[str, Any]:
+        d = {
+            "received": self.received,
+            "success": self.success,
+            "skipped": self.skipped,
+            "failed": self.failed,
+        }
+        if self.substreams:
+            d["substreams"] = dict(self.substreams)
+        return d
+
+
+@dataclass
+class StreamSpec:
+    """A named, schema'd sink endpoint (protocol/src/index.ts:77-98)."""
+
+    name: str
+    row_type: dict[str, Any]  # JSON Schema
+    supported_modes: tuple[str, ...] = ("upsert",)
+
+
+class OutputStream(ABC):
+    """One started stream: receives rows, returns stats on finish."""
+
+    def __init__(self) -> None:
+        self.stats = StreamStats()
+
+    @abstractmethod
+    def handle_row(self, row: dict[str, Any]) -> None: ...
+
+    def finish(self) -> StreamStats:
+        return self.stats
+
+
+class BatchingOutputStream(OutputStream):
+    """Buffer rows; flush every ``max_batch_size`` and on finish
+    (node-cdk/src/index.ts:85-129)."""
+
+    def __init__(self, max_batch_size: int = DEFAULT_BATCH_SIZE) -> None:
+        super().__init__()
+        self.max_batch_size = max_batch_size
+        self._buffer: list[dict[str, Any]] = []
+
+    def handle_row(self, row: dict[str, Any]) -> None:
+        self.stats.received += 1
+        self._buffer.append(row)
+        if len(self._buffer) >= self.max_batch_size:
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._buffer:
+            batch, self._buffer = self._buffer, []
+            self.process_batch(batch)
+
+    @abstractmethod
+    def process_batch(self, rows: list[dict[str, Any]]) -> None: ...
+
+    def finish(self) -> StreamStats:
+        self._flush()
+        return self.stats
+
+
+class DestinationProvider(ABC):
+    """A destination connector (describe / streams / start-stream)."""
+
+    name: str = "base"
+
+    @abstractmethod
+    def streams(self) -> list[StreamSpec]: ...
+
+    def describe(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "streams": [s.name for s in self.streams()],
+        }
+
+    def stream_spec(self, stream_name: str) -> StreamSpec:
+        for s in self.streams():
+            if s.name == stream_name:
+                return s
+        raise KeyError(f"{self.name} has no stream {stream_name!r}")
+
+    @abstractmethod
+    def create_output_stream(
+        self,
+        stream_name: str,
+        credentials: dict[str, Any],
+        sync_id: str,
+        store: Any,
+        full_refresh: bool = False,
+        restart: bool = False,
+        options: dict[str, Any] | None = None,
+    ) -> OutputStream:
+        """Open a stream. ``restart=True`` marks a checkpoint continuation
+        within the same run (reference stopStream/new-stream cycle,
+        sync.ts:472-488) — sinks must append / keep caches rather than
+        re-initialize."""
+
+
+def with_rate_limit_retry(fn, *args, max_retries: int = MAX_RATE_LIMIT_RETRIES, **kwargs):
+    """Engine-side sleep-and-retry loop honoring retry-after
+    (std.ts:147-167)."""
+    attempt = 0
+    while True:
+        try:
+            return fn(*args, **kwargs)
+        except RateLimitError as e:
+            attempt += 1
+            if attempt > max_retries:
+                raise HaltError(f"rate limit retries exhausted: {e}") from e
+            time.sleep(e.retry_after_ms / 1000.0)
+
+
+def split_known_columns(
+    row: dict[str, Any], declared: set[str]
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """pick/omit split of declared vs custom-attribute columns
+    (intercom/src/index.ts:217-221; hubspot custom-attribute path)."""
+    known = {k: v for k, v in row.items() if k in declared}
+    custom = {k: v for k, v in row.items() if k not in declared}
+    return known, custom
+
+
+ANY_OBJECT_SCHEMA: dict[str, Any] = {"type": "object", "additionalProperties": True}

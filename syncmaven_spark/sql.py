@@ -1,0 +1,167 @@
+"""Parameterized single-SELECT SQL models.
+
+Reference: ``packages/core/src/lib/sql.ts:13-85`` — parse the model query,
+reject multi-statement input and anything that isn't a SELECT, discover
+``:name`` named parameters (``@name`` on BigQuery), and compile by replacing
+each parameter with a typed literal (``packages/core/src/datasources/
+index.ts:40-67``: string→quoted, number→numeric, Date→CAST('ISO' AS
+<timestamp type>), null→NULL, else throw).
+
+Spark-first notes: Spark SQL (≥3.4) natively supports ``:name`` parameter
+markers via ``spark.sql(query, args=...)``; ``SqlQuery.compile`` additionally
+produces the fully-substituted SQL string so plans are reproducible,
+loggable, and byte-comparable in tests, exactly like the reference. Catalyst
+then performs all optimization — there is no engine-side AST rewriting beyond
+parameter substitution, mirroring the reference (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from typing import Any
+
+_PARAM_RE = re.compile(r"[:@]([A-Za-z_][A-Za-z0-9_]*)")
+
+
+class SqlError(ValueError):
+    """Model SQL failed validation (multi-statement / non-SELECT / bad param)."""
+
+
+def _mask_strings_and_comments(sql: str) -> str:
+    """Replace string literals, quoted identifiers, and comments with spaces
+    so lexical scans (parameter discovery, statement splitting) can't be
+    fooled by ``':notaparam'`` inside a literal. Preserves offsets."""
+    out = list(sql)
+    i, n = 0, len(sql)
+
+    def blank(lo: int, hi: int) -> None:
+        for j in range(lo, min(hi, n)):
+            if out[j] not in "\n":
+                out[j] = " "
+
+    while i < n:
+        ch = sql[i]
+        if ch == "-" and sql[i : i + 2] == "--":
+            end = sql.find("\n", i)
+            end = n if end == -1 else end
+            blank(i, end)
+            i = end
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            end = sql.find("*/", i + 2)
+            end = n if end == -1 else end + 2
+            blank(i, end)
+            i = end
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            j = i + 1
+            while j < n:
+                if sql[j] == quote:
+                    if sql[j : j + 2] == quote * 2:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
+                if sql[j] == "\\" and quote == "'":
+                    j += 2
+                    continue
+                j += 1
+            blank(i + 1, j)
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+class SqlQuery:
+    """A validated, parameterized single-SELECT model query.
+
+    ``dialect`` is informational (the reference parses postgres / bigquery /
+    snowflake grammars; we target Spark SQL). ``@name`` parameters are
+    accepted alongside ``:name`` for BigQuery-model compatibility.
+    """
+
+    def __init__(self, query: str, dialect: str = "spark") -> None:
+        self.query = query
+        self.dialect = dialect
+        self._masked = _mask_strings_and_comments(query)
+        self._validate()
+
+    def _validate(self) -> None:
+        statements = [s for s in self._masked.split(";") if s.strip()]
+        if len(statements) > 1:
+            raise SqlError(
+                f"query must contain exactly one statement, got {len(statements)}"
+            )
+        if not statements:
+            raise SqlError("query is empty")
+        first_word = statements[0].strip().split(None, 1)[0].upper()
+        if first_word not in ("SELECT", "WITH"):
+            raise SqlError(f"only SELECT queries are allowed, got {first_word}")
+
+    def named_parameters(self) -> list[str]:
+        """Distinct parameter names in first-appearance order.
+
+        Reference: ``sql.ts:44-50`` (AST walk collecting param nodes); here a
+        lexical scan over the literal/comment-masked text. ``::`` type casts
+        are not parameters.
+        """
+        seen: list[str] = []
+        for m in _PARAM_RE.finditer(self._masked):
+            start = m.start()
+            if self._masked[start] == ":" and (
+                (start > 0 and self._masked[start - 1] == ":")
+                or self._masked[m.end() : m.end() + 1] == ":"
+            ):
+                continue  # postgres '::type' cast, not a parameter
+            if m.group(1) not in seen:
+                seen.append(m.group(1))
+        return seen
+
+    def compile(self, params: dict[str, Any] | None = None) -> str:
+        """Substitute typed literals for every named parameter.
+
+        Unknown parameters raise; parameters present in the query but missing
+        from ``params`` compile to NULL (the reference passes ``cursor: null``
+        explicitly on first run — ``sync.ts:490-492``).
+        """
+        params = dict(params or {})
+        names = self.named_parameters()
+        for extra in set(params) - set(names):
+            raise SqlError(f"parameter {extra!r} is not referenced by the query")
+
+        out: list[str] = []
+        last = 0
+        for m in _PARAM_RE.finditer(self._masked):
+            start = m.start()
+            if self._masked[start] == ":" and (
+                (start > 0 and self._masked[start - 1] == ":")
+                or self._masked[m.end() : m.end() + 1] == ":"
+            ):
+                continue
+            out.append(self.query[last : start])
+            out.append(encode_literal(params.get(m.group(1))))
+            last = m.end()
+        out.append(self.query[last:])
+        return "".join(out)
+
+
+def encode_literal(val: Any) -> str:
+    """Typed SQL literal encoding (``datasources/index.ts:40-67``).
+
+    Timestamps use ``CAST('<ISO>' AS TIMESTAMP)`` — the Spark-dialect
+    equivalent of the reference's per-dialect ``CAST(... AS TIMESTAMP WITH
+    TIME ZONE)``.
+    """
+    if val is None:
+        return "NULL"
+    if isinstance(val, bool):
+        return "TRUE" if val else "FALSE"
+    if isinstance(val, (int, float)):
+        return repr(val)
+    if isinstance(val, (_dt.datetime, _dt.date)):
+        if isinstance(val, _dt.datetime) and val.tzinfo is not None:
+            val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return f"CAST('{val.isoformat(sep=' ') if isinstance(val, _dt.datetime) else val.isoformat()}' AS TIMESTAMP)"
+    if isinstance(val, str):
+        return "'" + val.replace("'", "''") + "'"
+    raise SqlError(f"cannot encode literal of type {type(val).__name__}")

@@ -1,0 +1,191 @@
+"""Persistent key-value state store.
+
+Reference: ``packages/protocol/src/index.ts:11-29`` (interface) and
+``packages/core/src/lib/store.ts`` (SQLite/Postgres impls). Keys are tuples of
+string segments joined with ``::`` (segments must not contain ``::``), values
+arbitrary JSON. Eight operations: get / set / del / list(prefix) /
+stream(prefix) / stream_batch(prefix, max_batch_size) / delete_by_prefix /
+size. Prefix scan matches ``key = prefix OR key LIKE 'prefix::%'`` ordered by
+key ascending (store.ts:205-216).
+
+This is driver-side metadata (cursors, sink ID maps, synced-row caches), not
+big data — a SQLite file mirrors the reference's default store exactly
+(store.ts:131-234, default location ``<project>/.state`` per sync.ts:278).
+The in-memory variant mirrors ``packages/node-cdk/src/inmem-store.ts``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import threading
+from abc import ABC, abstractmethod
+from collections.abc import Iterator
+from typing import Any
+
+KeyLike = str | list[str] | tuple[str, ...]
+
+SEPARATOR = "::"
+
+
+def stringify_key(key: KeyLike) -> str:
+    """Join key segments with ``::``; reject segments containing ``::``
+    (store.ts:6-13)."""
+    if isinstance(key, str):
+        key = (key,)
+    parts = list(key)
+    if not parts:
+        raise ValueError("key must have at least one segment")
+    for seg in parts:
+        if SEPARATOR in seg:
+            raise ValueError(f"key segment {seg!r} must not contain '{SEPARATOR}'")
+    return SEPARATOR.join(parts)
+
+
+class StateStore(ABC):
+    """The reference's 8-operation KV store interface."""
+
+    @abstractmethod
+    def get(self, key: KeyLike) -> Any | None: ...
+
+    @abstractmethod
+    def set(self, key: KeyLike, value: Any) -> None: ...
+
+    @abstractmethod
+    def delete(self, key: KeyLike) -> None: ...
+
+    @abstractmethod
+    def stream(self, prefix: KeyLike) -> Iterator[tuple[str, Any]]:
+        """Yield ``(key, value)`` pairs under ``prefix`` in ascending key order."""
+
+    def list(self, prefix: KeyLike) -> list[tuple[str, Any]]:
+        return list(self.stream(prefix))
+
+    def stream_batch(
+        self, prefix: KeyLike, max_batch_size: int = 1000
+    ) -> Iterator[list[tuple[str, Any]]]:
+        batch: list[tuple[str, Any]] = []
+        for item in self.stream(prefix):
+            batch.append(item)
+            if len(batch) >= max_batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+    @abstractmethod
+    def delete_by_prefix(self, prefix: KeyLike) -> None: ...
+
+    @abstractmethod
+    def size(self) -> int: ...
+
+    def close(self) -> None:  # pragma: no cover - trivial default
+        pass
+
+
+class InMemoryStore(StateStore):
+    """Dict-backed store for tests (``packages/node-cdk/src/inmem-store.ts``)."""
+
+    def __init__(self) -> None:
+        self._data: dict[str, Any] = {}
+
+    def get(self, key: KeyLike) -> Any | None:
+        return self._data.get(stringify_key(key))
+
+    def set(self, key: KeyLike, value: Any) -> None:
+        self._data[stringify_key(key)] = value
+
+    def delete(self, key: KeyLike) -> None:
+        self._data.pop(stringify_key(key), None)
+
+    def stream(self, prefix: KeyLike) -> Iterator[tuple[str, Any]]:
+        p = stringify_key(prefix)
+        for k in sorted(self._data):
+            if k == p or k.startswith(p + SEPARATOR):
+                yield k, self._data[k]
+
+    def delete_by_prefix(self, prefix: KeyLike) -> None:
+        p = stringify_key(prefix)
+        for k in [k for k in self._data if k == p or k.startswith(p + SEPARATOR)]:
+            del self._data[k]
+
+    def size(self) -> int:
+        return len(self._data)
+
+
+class SqliteStore(StateStore):
+    """SQLite store: table ``store(key TEXT PRIMARY KEY, value TEXT)``
+    (store.ts:140-145), values JSON-encoded."""
+
+    def __init__(self, path: str) -> None:
+        directory = os.path.dirname(os.path.abspath(path))
+        os.makedirs(directory, exist_ok=True)
+        self._lock = threading.Lock()
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn.execute(
+            "CREATE TABLE IF NOT EXISTS store (key TEXT PRIMARY KEY, value TEXT)"
+        )
+        self._conn.commit()
+
+    def get(self, key: KeyLike) -> Any | None:
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT value FROM store WHERE key = ?", (stringify_key(key),)
+            ).fetchone()
+        return json.loads(row[0]) if row else None
+
+    def set(self, key: KeyLike, value: Any) -> None:
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO store (key, value) VALUES (?, ?) "
+                "ON CONFLICT(key) DO UPDATE SET value = excluded.value",
+                (stringify_key(key), json.dumps(value)),
+            )
+            self._conn.commit()
+
+    def delete(self, key: KeyLike) -> None:
+        with self._lock:
+            self._conn.execute("DELETE FROM store WHERE key = ?", (stringify_key(key),))
+            self._conn.commit()
+
+    def stream(self, prefix: KeyLike) -> Iterator[tuple[str, Any]]:
+        p = stringify_key(prefix)
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT key, value FROM store WHERE key = ? OR key LIKE ? "
+                "ORDER BY key ASC",
+                (p, p + SEPARATOR + "%"),
+            ).fetchall()
+        for k, v in rows:
+            yield k, json.loads(v)
+
+    def delete_by_prefix(self, prefix: KeyLike) -> None:
+        p = stringify_key(prefix)
+        with self._lock:
+            self._conn.execute(
+                "DELETE FROM store WHERE key = ? OR key LIKE ?",
+                (p, p + SEPARATOR + "%"),
+            )
+            self._conn.commit()
+
+    def size(self) -> int:
+        with self._lock:
+            return self._conn.execute("SELECT count(*) FROM store").fetchone()[0]
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+def create_store(url_or_path: str | None) -> StateStore:
+    """Store selection mirroring ``sync.ts:112-124``: ``memory://`` → in-memory,
+    anything else → SQLite file in that directory (default ``.state``)."""
+    if not url_or_path or url_or_path == "memory://":
+        return InMemoryStore()
+    if url_or_path.startswith("postgres://"):
+        raise NotImplementedError(
+            "PostgresStore requires a JDBC-side client; use sqlite or memory://"
+        )
+    if os.path.isdir(url_or_path) or not os.path.splitext(url_or_path)[1]:
+        return SqliteStore(os.path.join(url_or_path, "store.sqlite"))
+    return SqliteStore(url_or_path)

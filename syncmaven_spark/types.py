@@ -1,0 +1,152 @@
+"""Type system: reference 5-type generic column model ↔ Spark types,
+JSON-Schema → StructType conversion, and ISO-8601-millis JSON encoding.
+
+Reference semantics being preserved (citations into /root/reference):
+- The generic column model is exactly five types — integer / string /
+  boolean / date / float — and unknown native types degrade to string
+  (packages/core/src/datasources/types.ts:1-8, pg.ts:52-61).
+- Dates serialize as ISO-8601 with *millisecond* precision and a ``Z``
+  suffix on the sink boundary (packages/core/src/commands/sync.ts:328-332,
+  __tests__/test-data/postgres/expected_part1_date_cursor.ndjson).
+- Sink row schemas arrive as JSON Schema with ``additionalProperties: true``
+  (packages/node-cdk/src/std.ts:90-99, packages/core/src/lib/uniparser.ts:40-81).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+from typing import Any
+
+from pyspark.sql import types as T
+
+# --- generic 5-type model -------------------------------------------------
+
+GENERIC_TYPES = ("integer", "string", "boolean", "date", "float")
+
+_GENERIC_TO_SPARK: dict[str, T.DataType] = {
+    "integer": T.LongType(),
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+    "date": T.TimestampType(),
+    "float": T.DoubleType(),
+}
+
+
+def generic_to_spark(generic: str) -> T.DataType:
+    """Map a generic column type to its Spark type.
+
+    Unknown types degrade to string, mirroring the reference's fallback rule
+    (pg.ts:52-61: "everything else → string").
+    """
+    return _GENERIC_TO_SPARK.get(generic, T.StringType())
+
+
+def spark_to_generic(dt: T.DataType) -> str:
+    """Map a Spark type to the reference's 5-type generic model."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "date"
+    return "string"
+
+
+# --- JSON Schema → StructType --------------------------------------------
+
+_JSON_TYPE_TO_SPARK: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "integer": T.LongType(),
+    "number": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def _json_schema_field_type(prop: dict[str, Any]) -> T.DataType:
+    """Best-effort Spark type for one JSON-Schema property.
+
+    Union types (``["string","integer"]``, Zod ``z.union``) and untyped
+    properties degrade to string — the widest type under the reference's
+    model, where every sink ultimately JSON-serializes values anyway.
+    """
+    jtype = prop.get("type")
+    if isinstance(jtype, list):
+        non_null = [t for t in jtype if t != "null"]
+        if len(non_null) == 1:
+            jtype = non_null[0]
+        else:
+            return T.StringType()
+    if jtype == "array":
+        item = prop.get("items") or {}
+        return T.ArrayType(_json_schema_field_type(item if isinstance(item, dict) else {}))
+    if jtype == "object":
+        return json_schema_to_struct(prop)
+    if jtype == "string" and prop.get("format") in ("date", "date-time"):
+        return T.TimestampType()
+    return _JSON_TYPE_TO_SPARK.get(jtype, T.StringType())
+
+
+def json_schema_to_struct(schema: dict[str, Any]) -> T.StructType:
+    """Convert a destination-declared JSON Schema into a Spark StructType.
+
+    Required fields become non-nullable StructFields; everything else is
+    nullable. ``additionalProperties`` passthrough (the reference's
+    ``.catchall(z.any())`` custom-attribute path) is *not* representable in a
+    static struct — the engine keeps full-width DataFrames and sinks split
+    known/custom columns instead (see sinks.base.split_known_columns).
+    """
+    required = set(schema.get("required") or [])
+    fields = [
+        T.StructField(name, _json_schema_field_type(prop or {}), name not in required)
+        for name, prop in (schema.get("properties") or {}).items()
+    ]
+    return T.StructType(fields)
+
+
+# --- ISO-8601 millis serialization ---------------------------------------
+
+ISO_MILLIS_SPARK_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def iso_millis(value: _dt.datetime | _dt.date) -> str:
+    """Serialize a timestamp the way the reference's JS ``Date.toISOString``
+    does: millisecond precision, ``Z`` suffix (sync.ts:328-332)."""
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return value.strftime("%Y-%m-%dT%H:%M:%S.") + f"{value.microsecond // 1000:03d}Z"
+    return value.strftime("%Y-%m-%dT00:00:00.000Z")
+
+
+class RowJSONEncoder(json.JSONEncoder):
+    """JSON encoder matching the reference's NDJSON sink output: dates as
+    ISO-millis-Z strings, NaN/Inf as null (JSON.stringify semantics)."""
+
+    def default(self, o: Any) -> Any:
+        if isinstance(o, (_dt.datetime, _dt.date)):
+            return iso_millis(o)
+        if isinstance(o, bytes):
+            return o.decode("utf-8", errors="replace")
+        return super().default(o)
+
+    def iterencode(self, o: Any, _one_shot: bool = False):
+        return super().iterencode(_sanitize_floats(o), _one_shot)
+
+
+def _sanitize_floats(o: Any) -> Any:
+    if isinstance(o, float) and (math.isnan(o) or math.isinf(o)):
+        return None
+    if isinstance(o, dict):
+        return {k: _sanitize_floats(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_sanitize_floats(v) for v in o]
+    return o
+
+
+def row_to_json(row: dict[str, Any]) -> str:
+    """One NDJSON line for one row, key order preserved (JS object order)."""
+    return json.dumps(row, cls=RowJSONEncoder, ensure_ascii=False, separators=(",", ":"))

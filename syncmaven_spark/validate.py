@@ -1,0 +1,146 @@
+"""Per-row schema validation + error-rate threshold.
+
+Reference:
+- ``packages/core/src/lib/uniparser.ts:40-81`` — the destination's declared
+  row schema (JSON Schema, ``additionalProperties: true``) is compiled once
+  and applied per row after a date→ISO stringify/parse roundtrip; invalid
+  rows are skipped with a warning (sync.ts:556-564).
+- ``packages/core/src/lib/error-threshold.ts:11-31`` — the sync aborts once
+  ``errors/total >= 0.2`` **and** ``total >= 100``.
+
+Spark-first: validation is expressed as a vectorized stage producing a
+boolean ``_valid`` column (Arrow-batched pandas iterator over JSON-encoded
+rows), so the valid/invalid split is two Catalyst filters and the counts come
+from the same pass. The driver-side ``RowValidator`` is used by parity-mode
+sinks and unit tests.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import jsonschema
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from syncmaven_spark.types import RowJSONEncoder
+
+DEFAULT_MAX_ERROR_RATIO = 0.2
+DEFAULT_MIN_TOTAL = 100
+
+
+class ErrorThresholdExceeded(RuntimeError):
+    pass
+
+
+class ErrorThreshold:
+    """Abort bookkeeping (error-threshold.ts:11-31)."""
+
+    def __init__(
+        self,
+        max_ratio: float = DEFAULT_MAX_ERROR_RATIO,
+        min_total: int = DEFAULT_MIN_TOTAL,
+    ) -> None:
+        self.max_ratio = max_ratio
+        self.min_total = min_total
+        self.errors = 0
+        self.total = 0
+
+    def success(self, n: int = 1) -> None:
+        self.total += n
+
+    def fail(self, n: int = 1) -> None:
+        self.errors += n
+        self.total += n
+
+    @property
+    def exceeded(self) -> bool:
+        return (
+            self.total >= self.min_total
+            and self.errors / self.total >= self.max_ratio
+        )
+
+    def check(self) -> None:
+        if self.exceeded:
+            raise ErrorThresholdExceeded(
+                f"error rate {self.errors}/{self.total} exceeds "
+                f"{self.max_ratio:.0%} after {self.min_total}+ rows"
+            )
+
+
+class RowValidator:
+    """Compiled JSON-Schema validator with the reference's row semantics:
+    ``additionalProperties`` always allowed, dates validated in their
+    ISO-string form (uniparser.ts:51-54)."""
+
+    def __init__(self, json_schema: dict[str, Any] | None) -> None:
+        self.schema = dict(json_schema or {"type": "object"})
+        # Reference forces additionalProperties: true (uniparser.ts:51) so
+        # undeclared columns pass through as custom attributes.
+        if self.schema.get("type") == "object":
+            self.schema.setdefault("additionalProperties", True)
+        cls = jsonschema.validators.validator_for(self.schema)
+        cls.check_schema(self.schema)
+        self._validator = cls(self.schema, format_checker=None)
+
+    def is_valid(self, row: dict[str, Any]) -> bool:
+        # Date → ISO stringify-parse roundtrip (uniparser.ts:54): validate the
+        # JSON image of the row, not the in-memory objects.
+        image = json.loads(json.dumps(row, cls=RowJSONEncoder))
+        return self._validator.is_valid(image)
+
+    def errors_for(self, row: dict[str, Any]) -> list[str]:
+        image = json.loads(json.dumps(row, cls=RowJSONEncoder))
+        return [e.message for e in self._validator.iter_errors(image)]
+
+
+def with_validation_column(
+    df: DataFrame, json_schema: dict[str, Any] | None, col_name: str = "_valid"
+) -> DataFrame:
+    """Append a boolean validity column, vectorized.
+
+    The row is JSON-encoded JVM-side (``to_json`` — codegen'd, ISO timestamp
+    formatting included) and validated in an Arrow-batched pandas UDF, so the
+    Python boundary carries one string column instead of N typed columns.
+    """
+    if json_schema is None:
+        return df.withColumn(col_name, F.lit(True))
+
+    schema_json = json.dumps(json_schema)
+
+    @F.pandas_udf(T.BooleanType())
+    def _validate(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        validator = RowValidator(json.loads(schema_json))
+        for series in batch_iter:
+            yield pd.Series(
+                [validator._validator.is_valid(json.loads(s)) if s else False for s in series]
+            )
+
+    row_json = F.to_json(
+        F.struct(*[F.col(c) for c in df.columns]),
+        {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "ignoreNullFields": "false"},
+    )
+    return df.withColumn(col_name, _validate(row_json))
+
+
+def split_valid_invalid(
+    df: DataFrame, json_schema: dict[str, Any] | None
+) -> tuple[DataFrame, DataFrame]:
+    """Valid/invalid DataFrame split (sync.ts:523,556-564 as a set operation)."""
+    tagged = with_validation_column(df, json_schema)
+    valid = tagged.filter(F.col("_valid")).drop("_valid")
+    invalid = tagged.filter(~F.col("_valid")).drop("_valid")
+    return valid, invalid
+
+
+def struct_validity_predicate(required: list[str]) -> Column:
+    """Cheap JVM-only predicate for the common case: required columns present
+    (non-null). Used when the declared schema has no constraints beyond
+    required fields — keeps validation inside whole-stage codegen."""
+    pred = F.lit(True)
+    for name in required:
+        pred = pred & F.col(name).isNotNull()
+    return pred

@@ -1,0 +1,95 @@
+"""SqlQuery parity tests (reference: packages/core/__tests__/lib/sql.test.ts)."""
+
+import datetime as dt
+
+import pytest
+
+from syncmaven_spark.sql import SqlError, SqlQuery, encode_literal
+
+
+def test_named_parameters_discovered():
+    q = SqlQuery("select * from t where :cursor is null or id >= :cursor order by id")
+    assert q.named_parameters() == ["cursor"]
+
+
+def test_bigquery_at_params():
+    q = SqlQuery("select * from t where @cursor is null or id >= @cursor")
+    assert q.named_parameters() == ["cursor"]
+
+
+def test_params_inside_strings_ignored():
+    q = SqlQuery("select ':fake' as a, x from t where id >= :real -- :comment")
+    assert q.named_parameters() == ["real"]
+
+
+def test_pg_cast_not_a_param():
+    q = SqlQuery("select id::text from t where ts >= :cursor")
+    assert q.named_parameters() == ["cursor"]
+
+
+def test_multi_statement_rejected():
+    with pytest.raises(SqlError):
+        SqlQuery("select 1; select 2")
+
+
+def test_semicolon_in_string_ok():
+    SqlQuery("select ';' as x from t;")  # trailing semicolon, one statement
+
+
+def test_non_select_rejected():
+    with pytest.raises(SqlError):
+        SqlQuery("delete from t")
+    with pytest.raises(SqlError):
+        SqlQuery("insert into t values (1)")
+
+
+def test_with_cte_allowed():
+    SqlQuery("with c as (select 1 as x) select * from c")
+
+
+def test_compile_null_cursor():
+    q = SqlQuery("select * from t where :cursor is null or id >= :cursor")
+    assert q.compile({"cursor": None}) == "select * from t where NULL is null or id >= NULL"
+
+
+def test_compile_int_and_string():
+    q = SqlQuery("select * from t where id >= :cursor and name = :name")
+    out = q.compile({"cursor": 5, "name": "o'brien"})
+    assert out == "select * from t where id >= 5 and name = 'o''brien'"
+
+
+def test_compile_timestamp_cast():
+    q = SqlQuery("select * from t where ts >= :cursor")
+    ts = dt.datetime(2024, 5, 15, 13, 39, 5, 172000)
+    assert q.compile({"cursor": ts}) == (
+        "select * from t where ts >= CAST('2024-05-15 13:39:05.172000' AS TIMESTAMP)"
+    )
+
+
+def test_unknown_param_rejected():
+    q = SqlQuery("select * from t")
+    with pytest.raises(SqlError):
+        q.compile({"cursor": 1})
+
+
+def test_missing_param_compiles_to_null():
+    q = SqlQuery("select * from t where :cursor is null")
+    assert q.compile({}) == "select * from t where NULL is null"
+
+
+def test_encode_literal_types():
+    assert encode_literal(None) == "NULL"
+    assert encode_literal(True) == "TRUE"
+    assert encode_literal(3) == "3"
+    assert encode_literal(3.5) == "3.5"
+    assert encode_literal("x") == "'x'"
+    with pytest.raises(SqlError):
+        encode_literal(object())
+
+
+def test_compile_runs_on_spark(spark):
+    q = SqlQuery(
+        "select * from range(10) where :cursor is null or id >= :cursor order by id"
+    )
+    assert spark.sql(q.compile({"cursor": 7})).count() == 3
+    assert spark.sql(q.compile({"cursor": None})).count() == 10
