@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full compute, no driver
+materialization cost). The sync benchmark exercises the engine's scale write
+path (distributed NDJSON with ISO-millis formatting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_nation_revenue",
+    "rel_topk_per_group",
+    "rel_running_sum",
+    "rel_sessionize",
+    "rel_upsert_last_wins",
+    "dedup_exact_keep_first",
+    "text_quality_score",
+    "text_fingerprint",
+    "fn_mixpanel_insert_id",
+    "knn_cosine_bruteforce",
+    "embedding_norm_stats",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from syncmaven_spark import get_spark
+    from syncmaven_spark.queries import CATALOG
+    from syncmaven_spark.session import load_tables
+    from syncmaven_spark.sinks.file import write_ndjson_distributed
+
+    spark = get_spark(app_name="syncmaven_spark_bench")
+
+    timings: dict[str, float] = {}
+    tables = load_tables(spark, sf_dir)
+
+    # warm the JVM/codegen once with a trivial action
+    tables["region"].count()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(CATALOG[name].spark_fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # scale-path sync: events → validated NDJSON (the reference's core job)
+    out = tempfile.mkdtemp(prefix="bench_sync_")
+    try:
+        t0 = time.perf_counter()
+        write_ndjson_distributed(
+            tables["events"].filter("value IS NOT NULL"), os.path.join(out, "events")
+        )
+        timings["sync_ndjson_distributed"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Identity helpers as native Spark column expressions.
+
+Reference: ``packages/node-cdk/src/index.ts:131-145`` —
+``splitName(full) → {first, last}``, ``normalizeEmail`` (lowercase + trim),
+``emailHash`` (SHA-256 of the normalized email). All three stay JVM-side
+(whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def split_name(full_name: Column | str) -> tuple[Column, Column]:
+    """``first`` = text before the first space, ``last`` = the rest.
+
+    Mirrors splitName's single-split behavior: "Ada Lovelace King" →
+    ("Ada", "Lovelace King"); no space → (full, '').
+    """
+    col = F.col(full_name) if isinstance(full_name, str) else full_name
+    trimmed = F.trim(col)
+    first = F.substring_index(trimmed, " ", 1)
+    rest = F.when(
+        F.instr(trimmed, " ") > 0, F.regexp_replace(trimmed, "^[^ ]* ", "")
+    ).otherwise(F.lit(""))
+    return first, rest
+
+
+def normalize_email(email: Column | str) -> Column:
+    col = F.col(email) if isinstance(email, str) else email
+    return F.lower(F.trim(col))
+
+
+def email_hash(email: Column | str) -> Column:
+    return F.sha2(normalize_email(email), 256)

@@ -1,0 +1,835 @@
+"""Query catalog: the judge-facing operator inventory (SURVEY §2) as
+(Spark DataFrame builder, DuckDB oracle SQL) pairs.
+
+Each entry is one operator/semantic from the reference re-expressed
+Spark-first, plus the LLM-data-pipeline extensions. The driver runs the Spark
+side and the oracle SQL side-by-side at sf=0.01 and hash-compares values, so:
+
+- every computed column is aliased IDENTICALLY on both sides,
+- float aggregates are rounded (both sides) to absorb summation-order ulps,
+- top-k orderings carry deterministic tie-breaks.
+
+Conventions: ``spark_fn(spark, sf_dir) -> DataFrame``; tables are registered
+as temp views by ``load_tables`` so both the DataFrame API and ``spark.sql``
+can be used — each query uses whichever is the clearer Spark idiom.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from syncmaven_spark.functions.identity import email_hash, normalize_email, split_name
+from syncmaven_spark.session import load_tables
+from syncmaven_spark.sql import SqlQuery
+from syncmaven_spark.types import ISO_MILLIS_SPARK_FMT
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        CATALOG[name] = QueryDef(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# =========================================================================
+# A. Engine-owned sync/query semantics (SURVEY §2A/2B)
+# =========================================================================
+
+_CURSOR_MODEL = (
+    "select event_id, ts, user_id, event_type, value from events "
+    "where :cursor is null or event_id >= :cursor"
+)
+
+
+@q(
+    "sync_cursor_filter_int",
+    "SELECT event_id, ts, user_id, event_type, value FROM events "
+    "WHERE 500 IS NOT NULL AND event_id >= 500",
+    doc="B2 incremental cursor predicate, int cursor, inclusive >= "
+    "(sync.ts:455-468). Compiled through SqlQuery parameter substitution.",
+    tags=("cursor", "filter"),
+)
+def sync_cursor_filter_int(spark, sf_dir):
+    _t(spark, sf_dir)
+    return spark.sql(SqlQuery(_CURSOR_MODEL).compile({"cursor": 500}))
+
+
+@q(
+    "sync_cursor_full_scan",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+    doc="B2/B4: null cursor (first run / full refresh) → full scan.",
+    tags=("cursor", "scan"),
+)
+def sync_cursor_full_scan(spark, sf_dir):
+    _t(spark, sf_dir)
+    return spark.sql(SqlQuery(_CURSOR_MODEL).compile({"cursor": None}))
+
+
+@q(
+    "sync_cursor_filter_date",
+    "SELECT event_id, ts, event_type FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'",
+    doc="B2 + A4: date cursor encoded as CAST('ISO' AS TIMESTAMP) literal.",
+    tags=("cursor", "filter", "timestamp"),
+)
+def sync_cursor_filter_date(spark, sf_dir):
+    import datetime as dt
+
+    _t(spark, sf_dir)
+    compiled = SqlQuery(
+        "select event_id, ts, event_type from events where ts >= :cursor"
+    ).compile({"cursor": dt.datetime(2024, 1, 15)})
+    return spark.sql(compiled)
+
+
+@q(
+    "sync_cursor_max",
+    "SELECT max(event_id) AS last_cursor, count(*) AS n_rows FROM events",
+    doc="B3: running max(cursor) as an aggregate — Spark needs no ordered "
+    "scan for the value itself (sync.ts:535-537).",
+    tags=("cursor", "agg"),
+)
+def sync_cursor_max(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["events"].agg(
+        F.max("event_id").alias("last_cursor"), F.count("*").alias("n_rows")
+    )
+
+
+@q(
+    "sync_preview_topk",
+    "SELECT * FROM events ORDER BY event_id ASC LIMIT 10",
+    doc="A9 preview: first 10 rows by key (preview.ts:9-48, maxRows=10).",
+    tags=("limit",),
+)
+def sync_preview_topk(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["events"].orderBy("event_id").limit(10)
+
+
+@q(
+    "sync_validation_split_counts",
+    "SELECT count(*) AS total, "
+    "sum(CASE WHEN value IS NOT NULL AND props IS NOT NULL THEN 1 ELSE 0 END) AS valid, "
+    "sum(CASE WHEN value IS NULL OR props IS NULL THEN 1 ELSE 0 END) AS invalid "
+    "FROM events",
+    doc="B5/B6: valid/invalid split under required-field constraints, as one "
+    "aggregating pass (error-threshold inputs).",
+    tags=("validate",),
+)
+def sync_validation_split_counts(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    ok = F.col("value").isNotNull() & F.col("props").isNotNull()
+    return t["events"].agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("valid"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("invalid"),
+    )
+
+
+@q(
+    "sync_lookback_window",
+    "SELECT CAST(ts AS DATE) AS d, count(*) AS n, round(sum(value), 2) AS total_value "
+    "FROM events, (SELECT max(CAST(ts AS DATE)) AS max_d FROM events) m "
+    "WHERE CAST(ts AS DATE) >= m.max_d - INTERVAL 2 DAY "
+    "GROUP BY d",
+    doc="C14 mixpanel lookback-window filter (main.go:167-181): only rows "
+    "within N days of the newest data, per-date batches.",
+    tags=("cursor", "window-filter"),
+)
+def sync_lookback_window(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    ev = t["events"].withColumn("d", F.col("ts").cast("date"))
+    max_d = ev.agg(F.max("d").alias("max_d"))
+    return (
+        ev.crossJoin(F.broadcast(max_d))
+        .filter(F.col("d") >= F.date_sub(F.col("max_d"), 2))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# =========================================================================
+# B. Engine-owned scalar functions (C4 identity, C14 mixpanel, §1.2 dates)
+# =========================================================================
+
+
+@q(
+    "fn_identity_email",
+    "SELECT c_custkey, "
+    "string_split(replace(c_name, '#', ' '), ' ')[1] AS first_name, "
+    "string_split(replace(c_name, '#', ' '), ' ')[2] AS last_name, "
+    "lower(trim(replace(c_name, '#', '.') || '@Example.COM  ')) AS email_norm, "
+    "sha256(lower(trim(replace(c_name, '#', '.') || '@Example.COM  '))) AS email_sha "
+    "FROM customer",
+    doc="C4 identity helpers: splitName / normalizeEmail / emailHash "
+    "(node-cdk/src/index.ts:131-145) as codegen'd column expressions.",
+    tags=("functions", "identity"),
+)
+def fn_identity_email(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    full = F.replace(F.col("c_name"), F.lit("#"), F.lit(" "))
+    first, last = split_name(full)
+    raw_email = F.concat(
+        F.replace(F.col("c_name"), F.lit("#"), F.lit(".")), F.lit("@Example.COM  ")
+    )
+    return t["customer"].select(
+        "c_custkey",
+        first.alias("first_name"),
+        last.alias("last_name"),
+        normalize_email(raw_email).alias("email_norm"),
+        email_hash(raw_email).alias("email_sha"),
+    )
+
+
+@q(
+    "fn_mixpanel_insert_id",
+    "SELECT event_id, "
+    "upper(substr(event_type, 1, 1)) || '-' || strftime(ts, '%Y-%m-%d') || '-' || "
+    "substr(md5(event_type || '-' || strftime(ts, '%Y-%m-%d') || '-' || "
+    "CAST(user_id AS VARCHAR)), 1, 23) AS insert_id "
+    "FROM events",
+    doc="C14 deterministic $insert_id: SOURCE-date-md5(...)[:23] for "
+    "idempotent re-import (mixpanel/types.go:73-95).",
+    tags=("functions", "hash", "idempotency"),
+)
+def fn_mixpanel_insert_id(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    date_s = F.date_format("ts", "yyyy-MM-dd")
+    return t["events"].select(
+        "event_id",
+        F.concat_ws(
+            "-",
+            F.upper(F.substring("event_type", 1, 1)),
+            date_s,
+            F.substring(
+                F.md5(F.concat_ws("-", F.col("event_type"), date_s, F.col("user_id"))),
+                1,
+                23,
+            ),
+        ).alias("insert_id"),
+    )
+
+
+@q(
+    "fn_iso_millis_format",
+    "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_iso FROM events",
+    doc="§1.2 sink-boundary date serialization: ISO-8601 millis + Z "
+    "(sync.ts:328-332; golden files).",
+    tags=("functions", "timestamp"),
+)
+def fn_iso_millis_format(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["events"].select(
+        "event_id", F.date_format("ts", ISO_MILLIS_SPARK_FMT).alias("ts_iso")
+    )
+
+
+@q(
+    "fn_epoch_seconds",
+    "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM events",
+    doc="C9 intercom epoch-seconds date conversion "
+    "(intercom/src/index.ts:226-227).",
+    tags=("functions", "timestamp"),
+)
+def fn_epoch_seconds(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["events"].select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+
+
+@q(
+    "fn_json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k "
+    "FROM events",
+    doc="§2D json functions: JSON row payload field extraction "
+    "(to_json/from_json everywhere in the protocol).",
+    tags=("functions", "json"),
+)
+def fn_json_extract(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["events"].select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("prop_k")
+    )
+
+
+@q(
+    "fn_field_renames",
+    'SELECT event_type AS "$ad_platform", round(sum(value), 2) AS "$ad_cost", '
+    'count(*) AS "$ad_clicks" FROM events GROUP BY event_type',
+    doc="C14 mixpanel field-rename map (types.go:40-46): "
+    "source→$ad_platform, cost→$ad_cost, clicks→$ad_clicks.",
+    tags=("functions", "rename"),
+)
+def fn_field_renames(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.col("event_type").alias("$ad_platform"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("$ad_cost"),
+            F.count("*").alias("$ad_clicks"),
+        )
+    )
+
+
+# =========================================================================
+# C. Relational surface (delegated-to-warehouse in the reference; native
+#    Catalyst here — SURVEY §2D checklist lines)
+# =========================================================================
+
+
+@q(
+    "rel_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+    "round(avg(l_quantity), 4) AS avg_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 4) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+    doc="TPC-H Q1-shaped pricing summary: multi-agg groupBy with map-side "
+    "partial aggregation; the flagship scan→agg pattern.",
+    tags=("agg", "groupby"),
+)
+def rel_pricing_summary(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "rel_shipping_priority",
+    "SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    doc="TPC-H Q3-shaped: 3-way join + agg + deterministic top-k. Customer "
+    "side broadcast (small dim).",
+    tags=("join", "agg", "topk"),
+)
+def rel_shipping_priority(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "rel_nation_revenue",
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "count(DISTINCT o_orderkey) AS n_orders "
+    "FROM region JOIN nation ON n_regionkey = r_regionkey "
+    "JOIN customer ON c_nationkey = n_nationkey "
+    "JOIN orders ON o_custkey = c_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE r_name IN ('ASIA', 'EUROPE') "
+    "GROUP BY n_name",
+    doc="TPC-H Q5-shaped star join: snowflake dims broadcast, fact shuffled "
+    "once on the join key chain.",
+    tags=("join", "agg", "star"),
+)
+def rel_nation_revenue(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    dims = (
+        t["region"]
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "rel_segment_stats",
+    "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total, "
+    "round(avg(o_totalprice), 4) AS avg_price "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment",
+    doc="Broadcast dim join + agg (the C8/C9 state-map lookup pattern as a "
+    "broadcast join, SURVEY §2D joins line).",
+    tags=("join", "agg", "broadcast"),
+)
+def rel_segment_stats(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@q(
+    "rel_topk_per_group",
+    "SELECT * FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3",
+    doc="Top-K per group via window row_number (SURVEY §2D window line).",
+    tags=("window", "topk"),
+)
+def rel_topk_per_group(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "rel_running_sum",
+    "SELECT event_id, user_id, "
+    "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value "
+    "FROM events",
+    doc="Running aggregate window — per-entity ordered accumulation.",
+    tags=("window",),
+)
+def rel_running_sum(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+@q(
+    "rel_set_ops",
+    "SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 45 "
+    "EXCEPT SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F' "
+    "INTERSECT SELECT o_orderkey AS okey FROM orders",
+    doc="Set ops (§2D): EXCEPT/INTERSECT distinct — orders with a high-"
+    "quantity line that are not in final status.",
+    tags=("setop",),
+)
+def rel_set_ops(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    hi_qty = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("okey"))
+    )
+    final = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("okey"))
+    )
+    all_orders = t["orders"].select(F.col("o_orderkey").alias("okey"))
+    # EXCEPT and INTERSECT are distinct set semantics (subtract/intersect),
+    # left-associative — NOT bag semantics (exceptAll).
+    return hi_qty.subtract(final).intersect(all_orders)
+
+
+@q(
+    "rel_rollup",
+    "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total "
+    "FROM events GROUP BY ROLLUP(event_type)",
+    doc="Rollup/grouping sets (absent in reference, free in Spark — §2D).",
+    tags=("agg", "rollup"),
+)
+def rel_rollup(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["events"].rollup("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@q(
+    "rel_sort_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    doc="Global top-k: Spark TakeOrderedAndProject, no full sort.",
+    tags=("sort", "limit"),
+)
+def rel_sort_limit(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "rel_semi_join",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)",
+    doc="Left-semi join (EXISTS) — §2D joins line.",
+    tags=("join", "semi"),
+)
+def rel_semi_join(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "rel_anti_join",
+    "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    doc="Left-anti join (NOT EXISTS) — the C10/C11 audience-clear diff "
+    "pattern (previous-rows minus current-rows) at engine level.",
+    tags=("join", "anti"),
+)
+def rel_anti_join(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    )
+
+
+@q(
+    "rel_upsert_last_wins",
+    "SELECT user_id, event_id AS latest_event, value AS latest_value FROM ("
+    "SELECT user_id, event_id, value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events WHERE event_type = 'purchase') WHERE rn = 1",
+    doc="C8/C9 upsert-by-external-id semantics as a batch dedup: last write "
+    "wins per key.",
+    tags=("window", "dedup", "upsert"),
+)
+def rel_upsert_last_wins(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+@q(
+    "rel_sessionize",
+    "WITH gaps AS (SELECT user_id, event_id, ts, "
+    "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+    "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "THEN 1 ELSE 0 END AS new_session FROM events) "
+    "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, "
+    "count(*) AS n_events FROM gaps GROUP BY user_id",
+    doc="Sessionization (30-min gap) via lag + cumulative flag — the batch "
+    "equivalent of streaming session windows (§2D streaming line).",
+    tags=("window", "session", "streaming-analog"),
+)
+def rel_sessionize(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        t["events"]
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# =========================================================================
+# D. LLM-data-pipeline operators (north-star extensions)
+# =========================================================================
+
+
+@q(
+    "dedup_exact_stats",
+    "SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs, "
+    "count(*) - count(DISTINCT md5(text)) AS exact_dups FROM documents",
+    doc="Exact dedup accounting: hash-groupBy over document text.",
+    tags=("dedup",),
+)
+def dedup_exact_stats(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["documents"].agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct(F.md5("text")).alias("distinct_docs"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("exact_dups"),
+    )
+
+
+@q(
+    "dedup_exact_keep_first",
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
+    "count(*) AS n_copies FROM documents GROUP BY md5(text)",
+    doc="Exact dedup, keep-lowest-id survivor per content hash — the "
+    "canonical keep-one policy (shuffle on hash, map-side combine).",
+    tags=("dedup", "groupby"),
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@q(
+    "text_token_count",
+    "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+    "n_chars FROM documents",
+    doc="Token counting (whitespace tokenizer) — JVM-side regex split, no "
+    "Python in the hot path.",
+    tags=("text",),
+)
+def text_token_count(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@q(
+    "text_quality_score",
+    "SELECT doc_id, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+    "round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+    "len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len, "
+    "round(least(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 100.0), 4) "
+    "AS length_score FROM documents",
+    doc="Quality scoring: word stats + saturating length score (the "
+    "Gopher-rules shape) as pure column math.",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return t["documents"].select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / n_words,
+            4,
+        ).alias("avg_word_len"),
+        F.round(F.least(F.lit(1.0), n_words / F.lit(100.0)), 4).alias("length_score"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) "
+    "AS fingerprint FROM documents",
+    doc="Document fingerprint over normalized text (lowercase, strip "
+    "non-alnum) — near-dup pre-key.",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@q(
+    "knn_cosine_bruteforce",
+    "SELECT q_id, n_id, cos_sim FROM ("
+    "  SELECT q.vec_id AS q_id, e.vec_id AS n_id, "
+    "  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "        CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim, "
+    "  row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "          CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rn "
+    "  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id "
+    "  WHERE q.vec_id < 8) "
+    "WHERE rn <= 5",
+    doc="Brute-force cosine top-k ANN baseline: broadcast query set × "
+    "embedding corpus, JVM-side dot product via zip_with/aggregate.",
+    tags=("similarity", "knn"),
+)
+def knn_cosine_bruteforce(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    with_norm = emb.withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    queries = with_norm.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = (
+        with_norm.alias("e")
+        .join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(
+                dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("norm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", "cos_sim")
+    )
+
+
+@q(
+    "embedding_norm_stats",
+    "SELECT label, count(*) AS n, "
+    "round(avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 4) "
+    "AS avg_norm FROM embeddings GROUP BY label",
+    doc="Vector-column aggregate: per-label L2-norm stats, array math "
+    "JVM-side via aggregate/transform.",
+    tags=("similarity", "agg"),
+)
+def embedding_norm_stats(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        t["embeddings"]
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.sqrt(sq_sum)), 4).alias("avg_norm"),
+        )
+    )
+
+
+@q(
+    "lang_stopword_scores",
+    "SELECT doc_id, lang, "
+    "CAST((length(' ' || lower(text) || ' ') - "
+    "length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS BIGINT) AS en_hits, "
+    "CAST((length(' ' || lower(text) || ' ') - "
+    "length(replace(' ' || lower(text) || ' ', ' der ', ''))) / 5 AS BIGINT) AS de_hits "
+    "FROM documents",
+    doc="n-gram language-ID heuristic building block: stopword hit counts "
+    "via length-delta (no UDF).",
+    tags=("text", "langid"),
+)
+def lang_stopword_scores(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def hits(word: str):
+        token = f" {word} "
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+            / len(token)
+        ).cast("long")
+
+    return t["documents"].select(
+        "doc_id", "lang", hits("the").alias("en_hits"), hits("der").alias("de_hits")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.spark_fn for name, qd in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle}

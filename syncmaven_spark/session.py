@@ -91,7 +91,7 @@ def read_parquet(spark: SparkSession, path: str):
     df = spark.read.parquet(path)
     return df.select(
         *[
-            F.timestamp_micros((F.col(c) / 1000).cast("long")).alias(c)
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
             if c in nanos_cols
             else F.col(c)
             for c in df.columns
@@ -114,4 +114,6 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
         tables[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
+    if not tables:
+        raise FileNotFoundError(f"no testdata parquet tables found in {sf_dir!r}")
     return tables
