@@ -45,7 +45,6 @@ from syncmaven_spark.sinks.base import (
     HaltError,
     OutputStream,
     StreamStats,
-    with_rate_limit_retry,
 )
 from syncmaven_spark.sql import SqlError, SqlQuery
 from syncmaven_spark.state import StateStore
@@ -203,7 +202,10 @@ def run_sync(
                 if out is None:
                     out = open_stream()  # lazy start (sync.ts:507-521)
                 try:
-                    with_rate_limit_retry(out.handle_row, r)
+                    # Rate-limit retries happen inside the sink's API layer
+                    # (see sinks.base); a HaltError here means retries are
+                    # exhausted or the sink hit a fatal condition.
+                    out.handle_row(r)
                 except HaltError as e:
                     log.error("sink halted sync %s: %s", sync.id, e)
                     halted = True

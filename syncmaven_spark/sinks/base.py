@@ -97,9 +97,16 @@ class BatchingOutputStream(OutputStream):
             self._flush()
 
     def _flush(self) -> None:
-        if self._buffer:
-            batch, self._buffer = self._buffer, []
-            self.process_batch(batch)
+        if not self._buffer:
+            return
+        batch, self._buffer = self._buffer, []
+        try:
+            # Rate-limit retry lives at the flush (API-call) layer: retrying
+            # handle_row would re-append the row and drop the popped batch.
+            with_rate_limit_retry(self.process_batch, batch)
+        except Exception:
+            self.stats.failed += len(batch)
+            raise
 
     @abstractmethod
     def process_batch(self, rows: list[dict[str, Any]]) -> None: ...

@@ -1,0 +1,183 @@
+"""Google Sheets destination.
+
+Reference: ``packages/connectors/google-sheets/src/`` —
+- buffers **all** rows, writes once on finish (google-sheets.ts:50-52 —
+  documented whole-result-in-RAM bound; this sink is for small syncs),
+- ``to_table``: pivot row objects into a 2-D array with ragged-schema union
+  (columns appear in first-seen order, missing cells filled with the empty
+  value) and per-column type inference — string/number/boolean/date, ``?``
+  suffix when the column has empties, mixed types → untyped
+  (google-sheets.ts:39-91),
+- dates are written as ``YYYY-MM-DD HH:mm:ss`` (google-sheets.ts:93-96),
+- the target sheet is cleared, then header + rows written
+  (google-sheets.ts:110-154).
+
+The Sheets API client is injectable (``credentials["_client"]`` with a
+``write_table(spreadsheet_id, sheet_name, header, rows)`` method); the
+googleapis client library is not bundled, so the default transport raises
+with instructions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Any, Protocol
+
+from syncmaven_spark.sinks import register
+from syncmaven_spark.sinks.base import (
+    ANY_OBJECT_SCHEMA,
+    DestinationProvider,
+    OutputStream,
+    StreamSpec,
+)
+
+
+@dataclass
+class Table:
+    header_names: list[str]
+    column_types: list[str | None]
+    data: list[list[Any]]
+
+
+def to_table(rows_objects: list[dict[str, Any]], empty_val: Any = None) -> Table:
+    """Ragged-row schema union + column typing (google-sheets.ts:39-91)."""
+    header_index: dict[str, int] = {}
+    header_names: list[str] = []
+    rows: list[list[Any]] = []
+    for i, row in enumerate(rows_objects):
+        if not isinstance(row, dict):
+            raise TypeError(f"Rows must be objects (row #{i})")
+        row_array = [empty_val] * len(header_names)
+        for key, val in row.items():
+            if not _is_allowed(val, empty_val):
+                raise ValueError(
+                    f"Invalid value in row #{i}: {type(val).__name__} - {val!r}"
+                )
+            idx = header_index.get(key)
+            if idx is None:
+                header_names.append(key)
+                idx = header_index[key] = len(header_names) - 1
+                row_array.append(empty_val)
+                for r in rows:
+                    r.append(empty_val)
+            row_array[idx] = val
+        rows.append(row_array)
+
+    column_types: list[str | None] = []
+    for i in range(len(header_names)):
+        values = [r[i] for r in rows]
+        has_empty = any(v == empty_val or v is None for v in values)
+        ctype = None
+        if all(isinstance(v, str) or v == empty_val or v is None for v in values):
+            ctype = "string"
+        elif all(
+            (isinstance(v, (int, float)) and not isinstance(v, bool))
+            or v == empty_val
+            or v is None
+            for v in values
+        ):
+            ctype = "number"
+        elif all(isinstance(v, bool) or v == empty_val or v is None for v in values):
+            ctype = "boolean"
+        elif all(
+            isinstance(v, (_dt.datetime, _dt.date)) or v == empty_val or v is None
+            for v in values
+        ):
+            ctype = "date"
+        if ctype and has_empty:
+            ctype += "?"
+        column_types.append(ctype)
+    return Table(header_names, column_types, rows)
+
+
+def _is_allowed(val: Any, empty_val: Any) -> bool:
+    return (
+        val is None
+        or val == empty_val
+        or isinstance(val, (str, int, float, bool, _dt.datetime, _dt.date))
+    )
+
+
+def format_date_for_sheets(value: _dt.datetime | _dt.date) -> str:
+    """``YYYY-MM-DD HH:mm:ss`` (google-sheets.ts:93-96)."""
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return value.strftime("%Y-%m-%d %H:%M:%S")
+    return value.strftime("%Y-%m-%d 00:00:00")
+
+
+class SheetsClient(Protocol):
+    def write_table(
+        self,
+        spreadsheet_id: str,
+        sheet_name: str,
+        header: list[str],
+        rows: list[list[Any]],
+    ) -> None:
+        """Clear the sheet, then write header + rows."""
+
+
+class GoogleSheetsStream(OutputStream):
+    def __init__(
+        self, client: SheetsClient, spreadsheet_id: str, sheet_name: str
+    ) -> None:
+        super().__init__()
+        self.client = client
+        self.spreadsheet_id = spreadsheet_id
+        self.sheet_name = sheet_name
+        self._rows: list[dict[str, Any]] = []
+
+    def handle_row(self, row: dict[str, Any]) -> None:
+        self.stats.received += 1
+        self._rows.append(row)
+
+    def finish(self):
+        table = to_table(self._rows)
+        data = [
+            [
+                format_date_for_sheets(v)
+                if isinstance(v, (_dt.datetime, _dt.date))
+                else ("" if v is None else v)
+                for v in row
+            ]
+            for row in table.data
+        ]
+        self.client.write_table(
+            self.spreadsheet_id, self.sheet_name, table.header_names, data
+        )
+        self.stats.success += len(data)
+        return self.stats
+
+
+@register("google-sheets")
+class GoogleSheetsDestination(DestinationProvider):
+    name = "google-sheets"
+
+    def streams(self) -> list[StreamSpec]:
+        return [StreamSpec(name="sheet", row_type=ANY_OBJECT_SCHEMA)]
+
+    def create_output_stream(
+        self,
+        stream_name: str,
+        credentials: dict[str, Any],
+        sync_id: str,
+        store: Any,
+        full_refresh: bool = False,
+        restart: bool = False,
+        options: dict[str, Any] | None = None,
+    ) -> OutputStream:
+        self.stream_spec(stream_name)
+        client = credentials.get("_client")
+        if client is None:
+            raise NotImplementedError(
+                "google-sheets live API requires the googleapis client which is "
+                "not bundled; inject credentials['_client'] implementing "
+                "write_table(spreadsheet_id, sheet_name, header, rows)"
+            )
+        return GoogleSheetsStream(
+            client,
+            credentials["spreadsheetId"],
+            (options or {}).get("sheetName", "Sheet1"),
+        )

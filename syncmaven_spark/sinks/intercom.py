@@ -1,0 +1,267 @@
+"""Intercom destination: contacts + companies upsert with conflict recovery.
+
+Reference: ``packages/connectors/intercom/src/index.ts`` —
+- same ID-map upsert pattern as HubSpot (index.ts:140-204),
+- create hitting a conflict error recovers the existing ID from the error
+  message (``... contact matching those details already exists with id=X``),
+  un-archiving first when the match says "An archived" (index.ts:18,170-187,
+  206-213),
+- update hitting 404 falls back to create (index.ts:198-203),
+- ``signed_up_at`` / ``last_seen_at`` / ``remote_created_at`` convert to
+  epoch seconds (index.ts:226-227, 355),
+- HTTP 429 surfaces as RateLimitError (index.ts:326-333),
+- custom fields ride under ``custom_attributes`` (index.ts:228-230).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from typing import Any, Protocol
+
+from syncmaven_spark.sinks import register
+from syncmaven_spark.sinks.base import (
+    DestinationProvider,
+    OutputStream,
+    RateLimitError,
+    StreamSpec,
+    with_rate_limit_retry,
+)
+
+ALREADY_EXISTS_RE = re.compile(
+    r"(An archived)?.*contact matching those details already exists with id=(\w+)"
+)
+
+CONTACT_ROW_TYPE = {
+    "type": "object",
+    "properties": {
+        "external_id": {"type": ["string", "integer"]},
+        "email": {"type": "string"},
+        "name": {"type": ["string", "null"]},
+        "signed_up_at": {},
+        "last_seen_at": {},
+        "company_ids": {},
+    },
+    "required": ["external_id", "email"],
+    "additionalProperties": True,
+}
+
+COMPANY_ROW_TYPE = {
+    "type": "object",
+    "properties": {
+        "company_id": {"type": ["string", "integer"]},
+        "name": {"type": "string"},
+        "plan": {"type": ["string", "null"]},
+        "size": {"type": ["number", "null"]},
+        "remote_created_at": {},
+    },
+    "required": ["company_id", "name"],
+    "additionalProperties": True,
+}
+
+
+class IntercomApiError(Exception):
+    def __init__(self, status: int, errors: list[dict] | None = None, message: str = ""):
+        super().__init__(message or f"intercom API error {status}")
+        self.status = status
+        self.errors = errors or []
+
+
+class IntercomClient(Protocol):
+    def post(self, path: str, body: dict) -> dict: ...
+
+    def put(self, path: str, body: dict) -> dict: ...
+
+
+class RestIntercomClient:
+    BASE = "https://api.intercom.io"
+
+    def __init__(self, access_token: str) -> None:
+        import requests
+
+        self._s = requests.Session()
+        self._s.headers.update(
+            {"Authorization": f"Bearer {access_token}", "Accept": "application/json"}
+        )
+
+    def _req(self, method: str, path: str, body: dict) -> dict:
+        resp = self._s.request(method, self.BASE + path, json=body, timeout=30)
+        if resp.status_code == 429:
+            raise RateLimitError(
+                "Rate limit exceeded",
+                retry_after_ms=int(resp.headers.get("Retry-After", "1")) * 1000,
+            )
+        if resp.status_code >= 400:
+            try:
+                errors = resp.json().get("errors", [])
+            except Exception:
+                errors = []
+            raise IntercomApiError(resp.status_code, errors, resp.text[:500])
+        return resp.json()
+
+    def post(self, path: str, body: dict) -> dict:
+        return self._req("POST", path, body)
+
+    def put(self, path: str, body: dict) -> dict:
+        return self._req("PUT", path, body)
+
+
+def to_epoch_seconds(value: Any) -> int | None:
+    """Coercible-date → epoch seconds (index.ts:226-227)."""
+    if value is None:
+        return None
+    if isinstance(value, (int, float)):
+        return int(value)
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=_dt.timezone.utc)
+        return int(value.timestamp())
+    if isinstance(value, _dt.date):
+        return int(
+            _dt.datetime(value.year, value.month, value.day, tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+    if isinstance(value, str):
+        return int(_dt.datetime.fromisoformat(value.replace("Z", "+00:00")).timestamp())
+    raise ValueError(f"cannot convert {value!r} to epoch seconds")
+
+
+class _IdMap:
+    def __init__(self, store: Any, sync_id: str, map_name: str) -> None:
+        self._store = store
+        self._prefix = [f"syncId={sync_id}", map_name]
+        self._cache: dict[str, str] = {
+            key.split("::")[-1]: value for key, value in store.list(self._prefix)
+        }
+
+    def get(self, external_id: str) -> str | None:
+        return self._cache.get(external_id)
+
+    def set(self, external_id: str, dest_id: str) -> None:
+        if self._cache.get(external_id) != dest_id:
+            self._cache[external_id] = dest_id
+            self._store.set([*self._prefix, external_id], dest_id)
+
+
+class IntercomContactsStream(OutputStream):
+    DECLARED = {"external_id", "email", "name", "company_ids", "signed_up_at", "last_seen_at"}
+
+    def __init__(self, client: IntercomClient, store: Any, sync_id: str) -> None:
+        super().__init__()
+        self.client = client
+        self.contacts_map = _IdMap(store, sync_id, "contactsMap")
+        self.companies_map = _IdMap(store, sync_id, "companiesMap")
+
+    def _add(self, contact: dict) -> str:
+        try:
+            res = self.client.post("/contacts", contact)
+        except IntercomApiError as e:
+            for err in e.errors:
+                if err.get("code") == "conflict":
+                    match = ALREADY_EXISTS_RE.search(err.get("message", ""))
+                    if match:
+                        if match.group(1):
+                            self.client.post(
+                                f"/contacts/{match.group(2)}/unarchive", {}
+                            )
+                        return self._update(match.group(2), contact)
+            raise
+        intercom_id = str(res["id"])
+        self.contacts_map.set(contact["external_id"], intercom_id)
+        return intercom_id
+
+    def _update(self, intercom_id: str, contact: dict) -> str:
+        try:
+            self.client.put(f"/contacts/{intercom_id}", contact)
+        except IntercomApiError as e:
+            if e.status == 404:
+                return self._add(contact)
+            raise
+        self.contacts_map.set(contact["external_id"], intercom_id)
+        return intercom_id
+
+    def handle_row(self, row: dict[str, Any]) -> None:
+        self.stats.received += 1
+        row = {k: v for k, v in row.items() if v is not None}
+        custom = {k: v for k, v in row.items() if k not in self.DECLARED}
+        contact = {
+            "external_id": str(row["external_id"]),
+            "email": row["email"],
+            **({"name": row["name"]} if row.get("name") else {}),
+            **(
+                {"signed_up_at": to_epoch_seconds(row["signed_up_at"])}
+                if row.get("signed_up_at") is not None
+                else {}
+            ),
+            **(
+                {"last_seen_at": to_epoch_seconds(row["last_seen_at"])}
+                if row.get("last_seen_at") is not None
+                else {}
+            ),
+            **({"custom_attributes": custom} if custom else {}),
+        }
+        intercom_id = self.contacts_map.get(contact["external_id"])
+        if intercom_id:
+            with_rate_limit_retry(self._update, intercom_id, contact)
+        else:
+            with_rate_limit_retry(self._add, contact)
+        self.stats.success += 1
+
+
+class IntercomCompaniesStream(OutputStream):
+    DECLARED = {"company_id", "name", "plan", "size", "remote_created_at"}
+
+    def __init__(self, client: IntercomClient, store: Any, sync_id: str) -> None:
+        super().__init__()
+        self.client = client
+        self.companies_map = _IdMap(store, sync_id, "companiesMap")
+
+    def handle_row(self, row: dict[str, Any]) -> None:
+        self.stats.received += 1
+        row = {k: v for k, v in row.items() if v is not None}
+        custom = {k: v for k, v in row.items() if k not in self.DECLARED}
+        company = {
+            "company_id": str(row["company_id"]),
+            "name": row["name"],
+            **({"plan": row["plan"]} if row.get("plan") else {}),
+            **({"size": row["size"]} if row.get("size") is not None else {}),
+            **(
+                {"remote_created_at": to_epoch_seconds(row["remote_created_at"])}
+                if row.get("remote_created_at") is not None
+                else {}
+            ),
+            **({"custom_attributes": custom} if custom else {}),
+        }
+        # Intercom company POST is itself an upsert by company_id.
+        res = with_rate_limit_retry(self.client.post, "/companies", company)
+        self.companies_map.set(company["company_id"], str(res["id"]))
+        self.stats.success += 1
+
+
+@register("intercom")
+class IntercomDestination(DestinationProvider):
+    name = "intercom"
+
+    def streams(self) -> list[StreamSpec]:
+        return [
+            StreamSpec(name="contacts", row_type=CONTACT_ROW_TYPE),
+            StreamSpec(name="companies", row_type=COMPANY_ROW_TYPE),
+        ]
+
+    def create_output_stream(
+        self,
+        stream_name: str,
+        credentials: dict[str, Any],
+        sync_id: str,
+        store: Any,
+        full_refresh: bool = False,
+        restart: bool = False,
+        options: dict[str, Any] | None = None,
+    ) -> OutputStream:
+        self.stream_spec(stream_name)
+        client = credentials.get("_client") or RestIntercomClient(
+            credentials["accessToken"]
+        )
+        if stream_name == "contacts":
+            return IntercomContactsStream(client, store, sync_id)
+        return IntercomCompaniesStream(client, store, sync_id)

@@ -1,0 +1,77 @@
+"""Google Sheets sink tests (reference: google-sheets/__tests__/to-table.test.ts)."""
+
+import datetime as dt
+
+import pytest
+
+from syncmaven_spark.sinks.google_sheets import (
+    GoogleSheetsDestination,
+    format_date_for_sheets,
+    to_table,
+)
+from syncmaven_spark.state import InMemoryStore
+
+
+def test_to_table_ragged_union_and_types():
+    rows = [
+        {"a": "x", "n": 1, "flag": True},
+        {"a": "y", "n": 2.5, "extra": "later-column"},
+        {"a": None, "n": 3, "flag": False, "when": dt.datetime(2024, 5, 15, 1, 2, 3)},
+    ]
+    table = to_table(rows)
+    assert table.header_names == ["a", "n", "flag", "extra", "when"]
+    # a: strings + empty → string?; n: all numbers → number;
+    # flag: booleans + empty → boolean?; when: date + empties → date?
+    assert table.column_types == ["string?", "number", "boolean?", "string?", "date?"]
+    assert table.data[0] == ["x", 1, True, None, None]
+    assert table.data[1] == ["y", 2.5, None, "later-column", None]
+
+
+def test_to_table_mixed_type_column_untyped():
+    table = to_table([{"m": "s"}, {"m": 5}])
+    assert table.column_types == [None]
+
+
+def test_to_table_rejects_nested():
+    with pytest.raises(ValueError):
+        to_table([{"bad": {"nested": 1}}])
+    with pytest.raises(TypeError):
+        to_table(["not-an-object"])
+
+
+def test_date_format():
+    assert format_date_for_sheets(dt.datetime(2024, 5, 15, 13, 39, 5, 172000)) == (
+        "2024-05-15 13:39:05"
+    )
+
+
+class FakeSheets:
+    def __init__(self):
+        self.written = None
+
+    def write_table(self, spreadsheet_id, sheet_name, header, rows):
+        self.written = (spreadsheet_id, sheet_name, header, rows)
+
+
+def test_stream_buffers_all_then_writes():
+    client = FakeSheets()
+    out = GoogleSheetsDestination().create_output_stream(
+        "sheet", {"_client": client, "spreadsheetId": "ss1"}, "s1", InMemoryStore(),
+        options={"sheetName": "Data"},
+    )
+    out.handle_row({"a": 1, "t": dt.datetime(2024, 5, 15, 1, 2, 3)})
+    out.handle_row({"a": 2, "b": "x"})
+    assert client.written is None  # nothing until finish
+    stats = out.finish()
+    ss, sheet, header, rows = client.written
+    assert (ss, sheet) == ("ss1", "Data")
+    assert header == ["a", "t", "b"]
+    assert rows == [[1, "2024-05-15 01:02:03", ""], [2, "", "x"]]
+    assert stats.success == 2
+
+
+def test_missing_client_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        GoogleSheetsDestination().create_output_stream(
+            "sheet", {"spreadsheetId": "x"}, "s1", InMemoryStore()
+        )
