@@ -1,0 +1,111 @@
+"""Enrichment stage: row → 0..N rows transforms between read and write.
+
+Reference: ``packages/protocol/src/index.ts:183-218,302-305`` defines the
+enrichment channel (``enrichment-request`` → ``enrichment-response``);
+``sync.ts:430-447,539-554,587-613`` applies it per row, re-validating results
+and dropping rows whose enrichment errors. (The reference's package-based
+provider is declared but unreachable — ``sync.ts:108-110`` throws; the
+protocol semantics are what we preserve.)
+
+Two execution paths:
+- driver-side (runner.py parity loop): any ``Enrichment.enrich(row)``,
+- scale path: ``enrich_dataframe`` runs the same enrichment inside
+  ``mapInPandas`` — Arrow-batched, executor-parallel, 1→0..N row expansion
+  via JSON rows so arbitrary schema changes are possible.
+"""
+
+from __future__ import annotations
+
+import json
+from abc import ABC, abstractmethod
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from syncmaven_spark.types import RowJSONEncoder
+
+
+class Enrichment(ABC):
+    @abstractmethod
+    def enrich(self, row: dict[str, Any]) -> list[dict[str, Any]]:
+        """Return 0..N output rows for one input row. Raising drops the row."""
+
+
+class CallableEnrichment(Enrichment):
+    def __init__(self, fn: Callable[[dict[str, Any]], list[dict[str, Any]]]):
+        self._fn = fn
+
+    def enrich(self, row: dict[str, Any]) -> list[dict[str, Any]]:
+        return self._fn(row)
+
+
+class HttpEnrichment(Enrichment):
+    """Enrichment over an HTTP service: POST the row, get back 0..N rows —
+    the in-process analog of the enrichment channel."""
+
+    def __init__(self, url: str, transport: Callable[..., Any] | None = None,
+                 timeout_ms: int = 10_000) -> None:
+        self.url = url
+        self.timeout_ms = timeout_ms
+        self._transport = transport
+
+    def enrich(self, row: dict[str, Any]) -> list[dict[str, Any]]:
+        if self._transport is not None:
+            result = self._transport(self.url, row)
+        else:
+            import requests
+
+            resp = requests.post(
+                self.url,
+                data=json.dumps(row, cls=RowJSONEncoder).encode(),
+                headers={"Content-Type": "application/json"},
+                timeout=self.timeout_ms / 1000.0,
+            )
+            resp.raise_for_status()
+            result = resp.json()
+        if result is None:
+            return []
+        return result if isinstance(result, list) else [result]
+
+
+def enrich_dataframe(
+    df: DataFrame,
+    enrichment_factory: Callable[[], Enrichment],
+    output_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Executor-parallel enrichment via ``mapInPandas``.
+
+    ``enrichment_factory`` is called once per executor task (keeps clients /
+    sessions out of the pickled closure). Rows cross the Python boundary as
+    one JSON column; enrichment errors drop the row (reference semantics).
+    Output schema defaults to the input schema (enrichments that only add
+    pass-through rows); pass a wider schema for shape-changing enrichments.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    schema = output_schema or df.schema
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    field_names = [f.name for f in schema.fields]
+    json_df = df.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]),
+            {"ignoreNullFields": "false"},
+        ).alias("_row")
+    )
+
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enrichment = enrichment_factory()
+        for pdf in batches:
+            out_rows = []
+            for raw in pdf["_row"]:
+                try:
+                    for out in enrichment.enrich(json.loads(raw)):
+                        out_rows.append([out.get(name) for name in field_names])
+                except Exception:
+                    continue  # enrichment errors drop the row (sync.ts:545-549)
+            yield pd.DataFrame(out_rows, columns=field_names)
+
+    return json_df.mapInPandas(apply, schema)

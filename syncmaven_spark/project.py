@@ -1,0 +1,295 @@
+"""Project compilation: directory convention → validated sync definitions.
+
+Reference: ``packages/core/src/lib/project.ts:131-278`` and ``template.ts`` —
+- a project directory holds ``models/`` (``.sql``/``.yaml``/``.json``),
+  ``syncs/`` and ``connections/`` (``.yaml``/``.json``); the file basename
+  (before the first dot) is the object id unless the object declares one,
+- inline destinations in syncs are unfolded into the connections section
+  (project.ts:168-185),
+- templating: ``{{ env.X }}`` (missing → empty string) and the legacy
+  ``${env.X}`` / ``${env.X:default}`` syntax (missing without default →
+  error) over every string leaf (template.ts:69-88),
+- SQL model files may carry ``{{ config "field" "value" }}`` directives whose
+  values are hoisted into model fields (e.g. cursor) (project.ts:196-226),
+- connections are compiled with the ``result`` context mapping
+  ``{{ result.rows }}`` → ``[RESULT_ROWS]`` etc. for the HTTP sink's body
+  templates (project.ts:246-251),
+- ``.env`` / ``.env.local`` are loaded without overriding the real
+  environment (project.ts:55-74).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import yaml
+
+from syncmaven_spark.runner import ModelDefinition, SyncDefinition
+
+_ENV_NEW_RE = re.compile(r"\{\{\s*env\.([A-Za-z0-9_]+)\s*\}\}")
+_ENV_LEGACY_RE = re.compile(r"\$\{([a-zA-Z0-9_.-]+)(?::([^}]*))?\}")
+_CONFIG_RE = re.compile(r"\{\{\s*config\s+\"([^\"]+)\"\s+\"([^\"]*)\"\s*\}\}")
+_RESULT_RE = re.compile(r"\{\{\s*result\.(rows|row|length)\s*\}\}")
+_RESULT_MACROS = {
+    "rows": "[RESULT_ROWS]",
+    "row": "[RESULT_ROW]",
+    "length": "[RESULT_LENGTH]",
+}
+
+
+class ProjectError(ValueError):
+    pass
+
+
+def configure_env_vars(dirs: list[str]) -> None:
+    """Load ``.env`` then ``.env.local`` into os.environ; real environment
+    variables win (project.ts:55-74)."""
+    for d in dirs:
+        for name in (".env", ".env.local"):
+            path = os.path.join(d, name)
+            if not os.path.exists(path):
+                continue
+            for line in open(path, encoding="utf-8"):
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                key, _, value = line.partition("=")
+                key, value = key.strip(), value.strip().strip("'\"")
+                os.environ.setdefault(key, value)
+
+
+def render_template(
+    text: str,
+    env: dict[str, str] | None = None,
+    config_cb: Callable[[str, str], None] | None = None,
+    result_macros: bool = False,
+    file_name: str = "<inline>",
+) -> str:
+    """Apply the template syntaxes to one string leaf."""
+    env = env if env is not None else dict(os.environ)
+
+    def config_sub(m: re.Match) -> str:
+        if config_cb is not None:
+            config_cb(m.group(1), m.group(2))
+        return ""
+
+    text = _CONFIG_RE.sub(config_sub, text)
+    if result_macros:
+        text = _RESULT_RE.sub(lambda m: _RESULT_MACROS[m.group(1)], text)
+    text = _ENV_NEW_RE.sub(lambda m: env.get(m.group(1), ""), text)
+
+    def legacy_sub(m: re.Match) -> str:
+        var, default = m.group(1).strip(), m.group(2)
+        prefix, _, name = var.partition(".")
+        if prefix != "env":
+            raise ProjectError(
+                f"Unsupported placeholder ${{{var}}} in {file_name}. Only "
+                f"${{env.NAME}} placeholders are supported."
+            )
+        value = env.get(name)
+        if value is None:
+            if default is None:
+                raise ProjectError(
+                    f"Environment variable {var} is not set. It's used in {file_name}"
+                )
+            return default.strip()
+        return value
+
+    return _ENV_LEGACY_RE.sub(legacy_sub, text)
+
+
+def _render_deep(obj: Any, **kw) -> Any:
+    if isinstance(obj, str):
+        return render_template(obj, **kw)
+    if isinstance(obj, dict):
+        return {k: _render_deep(v, **kw) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_render_deep(v, **kw) for v in obj]
+    return obj
+
+
+@dataclass
+class ConnectionDefinition:
+    id: str
+    package: str  # destination package/name, e.g. "file", "hubspot"
+    credentials: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class Project:
+    models: dict[str, ModelDefinition] = field(default_factory=dict)
+    connections: dict[str, ConnectionDefinition] = field(default_factory=dict)
+    syncs: dict[str, SyncDefinition] = field(default_factory=dict)
+
+
+def _file_id(path: str) -> str:
+    return os.path.basename(path).split(".")[0]
+
+
+def _read_config_file(path: str) -> str | dict[str, Any]:
+    if path.endswith(".sql"):
+        return open(path, encoding="utf-8").read()
+    if path.endswith((".yaml", ".yml")):
+        return yaml.safe_load(open(path, encoding="utf-8"))
+    if path.endswith(".json"):
+        return json.load(open(path, encoding="utf-8"))
+    raise ProjectError(f"unsupported config file type: {path}")
+
+
+def _list_dir(dir_path: str) -> list[str]:
+    if not os.path.isdir(dir_path):
+        return []
+    return sorted(
+        os.path.join(dir_path, f)
+        for f in os.listdir(dir_path)
+        if f.endswith((".sql", ".yaml", ".yml", ".json"))
+    )
+
+
+def read_project(project_dir: str, env: dict[str, str] | None = None) -> Project:
+    """readProject + compileProject in one pass."""
+    if not os.path.isdir(project_dir):
+        raise ProjectError(f"Project directory {project_dir} does not exist")
+    syncs_dir = os.path.join(project_dir, "syncs")
+    if not os.path.isdir(syncs_dir):
+        raise ProjectError(
+            f"Sync directory ./syncs does not exist in the project directory {project_dir}"
+        )
+    configure_env_vars([project_dir])
+    env = env if env is not None else dict(os.environ)
+
+    project = Project()
+
+    for path in _list_dir(os.path.join(project_dir, "models")):
+        content = _read_config_file(path)
+        if isinstance(content, str):
+            # SQL file: config directives hoist into model fields
+            fields: dict[str, Any] = {}
+
+            def config_cb(key: str, value: str) -> None:
+                fields[key] = value
+
+            query = render_template(
+                content, env=env, config_cb=config_cb, file_name=path
+            ).strip()
+            fields = {
+                k: render_template(v, env=env, file_name=path) if isinstance(v, str) else v
+                for k, v in fields.items()
+            }
+            model = ModelDefinition(
+                id=fields.get("id", _file_id(path)),
+                query=query,
+                cursor=fields.get("cursor"),
+                datasource=fields.get("datasource"),
+            )
+        else:
+            content = _render_deep(content, env=env, file_name=path)
+            model = ModelDefinition(
+                id=content.get("id", _file_id(path)),
+                query=content["query"],
+                cursor=content.get("cursor"),
+                datasource=content.get("datasource"),
+            )
+        project.models[model.id] = model
+
+    for path in _list_dir(os.path.join(project_dir, "connections")):
+        content = _read_config_file(path)
+        if isinstance(content, str):
+            raise ProjectError(
+                f"Connection {path} should be defined in YAML or JSON format"
+            )
+        content = _render_deep(content, env=env, result_macros=True, file_name=path)
+        conn = ConnectionDefinition(
+            id=content.get("id", _file_id(path)),
+            package=content.get("package") or content.get("kind") or content["id"],
+            credentials=content.get("credentials", {}),
+        )
+        project.connections[conn.id] = conn
+
+    raw_syncs = []
+    for path in _list_dir(syncs_dir):
+        content = _read_config_file(path)
+        if isinstance(content, str):
+            raise ProjectError(f"Sync {path} should be defined in YAML or JSON format")
+        content = _render_deep(content, env=env, file_name=path)
+        content.setdefault("id", _file_id(path))
+        raw_syncs.append(content)
+
+    # unfold inline destinations (project.ts:168-185)
+    for raw in raw_syncs:
+        destination = raw.get("destination")
+        if isinstance(destination, dict):
+            conn_id = raw["id"]
+            while conn_id in project.connections:
+                conn_id += "_conn"
+            project.connections[conn_id] = ConnectionDefinition(
+                id=conn_id,
+                package=destination.get("package") or destination.get("kind"),
+                credentials=destination.get("credentials", {}),
+            )
+            raw["destination"] = conn_id
+
+    for raw in raw_syncs:
+        model_id = raw.get("model")
+        conn_id = raw.get("destination")
+        if model_id not in project.models:
+            raise ProjectError(f"Sync {raw['id']} references unknown model {model_id!r}")
+        if conn_id not in project.connections:
+            raise ProjectError(
+                f"Sync {raw['id']} references unknown connection {conn_id!r}"
+            )
+        conn = project.connections[conn_id]
+        project.syncs[raw["id"]] = SyncDefinition(
+            id=raw["id"],
+            model=project.models[model_id],
+            destination=conn.package,
+            stream=raw.get("stream") or _default_stream(conn.package),
+            credentials=conn.credentials,
+            options=raw.get("options", {}),
+        )
+    return project
+
+
+def _default_stream(package: str) -> str:
+    defaults = {
+        "file": "raw",
+        "http": "default",
+        "hubspot": "contacts",
+        "intercom": "contacts",
+        "facebook-ads": "audience",
+        "twitter-ads": "audience",
+        "resend": "audience",
+        "google-sheets": "sheet",
+        "mixpanel": "AdData",
+    }
+    return defaults.get(package.split("/")[-1].removeprefix("connector-"), "default")
+
+
+def ad_hoc_project(
+    model_query: str,
+    package: str,
+    credentials: dict[str, Any],
+    cursor: str | None = None,
+    stream: str | None = None,
+    sync_id: str = "adhoc",
+) -> Project:
+    """CLI ad-hoc sync: synthesize a one-model/one-connection/one-sync project
+    in memory (sync.ts:160-227)."""
+    model = ModelDefinition(id=f"{sync_id}_model", query=model_query, cursor=cursor)
+    conn = ConnectionDefinition(id=f"{sync_id}_conn", package=package, credentials=credentials)
+    sync = SyncDefinition(
+        id=sync_id,
+        model=model,
+        destination=package,
+        stream=stream or _default_stream(package),
+        credentials=credentials,
+    )
+    return Project(
+        models={model.id: model},
+        connections={conn.id: conn},
+        syncs={sync.id: sync},
+    )

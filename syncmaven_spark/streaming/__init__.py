@@ -1,0 +1,6 @@
+"""Structured Streaming execution paths."""
+
+from syncmaven_spark.streaming.incremental import (  # noqa: F401
+    run_streaming_sync,
+    windowed_event_counts,
+)

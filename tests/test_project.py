@@ -1,0 +1,140 @@
+"""Project loader/templating tests (reference: project.ts / template.ts tests)."""
+
+import os
+
+import pytest
+
+from syncmaven_spark.project import (
+    ProjectError,
+    ad_hoc_project,
+    read_project,
+    render_template,
+)
+
+
+def test_new_syntax_env_replace():
+    assert render_template("x={{ env.FOO }} y={{ env.MISSING }}", env={"FOO": "1"}) == "x=1 y="
+
+
+def test_legacy_syntax_with_default():
+    env = {"FOO": "1"}
+    assert render_template("${env.FOO} + ${env.MISSING:fallback}", env=env) == "1 + fallback"
+    with pytest.raises(ProjectError):
+        render_template("${env.MISSING}", env=env)
+    with pytest.raises(ProjectError):
+        render_template("${notenv.X}", env=env)
+
+
+def test_config_directive_captured():
+    captured = {}
+    out = render_template(
+        'select 1 -- {{ config "cursor" "id" }}',
+        env={},
+        config_cb=lambda k, v: captured.update({k: v}),
+    )
+    assert captured == {"cursor": "id"}
+    assert '{{ config' not in out
+
+
+def test_result_macros_only_for_connections():
+    assert render_template(
+        '{"rows": "{{ result.rows }}"}', env={}, result_macros=True
+    ) == '{"rows": "[RESULT_ROWS]"}'
+    # without the flag the macro is left alone (not an env template)
+    assert "result.rows" in render_template('{"rows": "{{ result.rows }}"}', env={})
+
+
+@pytest.fixture
+def project_dir(tmp_path):
+    (tmp_path / "models").mkdir()
+    (tmp_path / "syncs").mkdir()
+    (tmp_path / "connections").mkdir()
+    (tmp_path / "models" / "events.sql").write_text(
+        "-- {{ config \"cursor\" \"event_id\" }}\n"
+        "select event_id, ts, event_type from events "
+        "where :cursor is null or event_id >= :cursor order by event_id asc\n"
+    )
+    (tmp_path / "connections" / "out.yaml").write_text(
+        "package: file\ncredentials:\n  filename: ${env.OUT_FILE:/tmp/out.ndjson}\n"
+    )
+    (tmp_path / "syncs" / "main.yaml").write_text(
+        "model: events\ndestination: out\nstream: raw\noptions:\n  checkpointEvery: 100\n"
+    )
+    (tmp_path / "syncs" / "inline.yaml").write_text(
+        "model: events\ndestination:\n  package: file\n  credentials:\n"
+        "    filename: /tmp/inline.ndjson\n"
+    )
+    (tmp_path / ".env").write_text("PROJ_ENV_VAR=fromdotenv\n")
+    return str(tmp_path)
+
+
+def test_read_project_full(project_dir):
+    project = read_project(project_dir, env={})
+    assert set(project.models) == {"events"}
+    assert project.models["events"].cursor == "event_id"
+    assert ":cursor" in project.models["events"].query
+    assert "config" not in project.models["events"].query
+
+    assert set(project.syncs) == {"main", "inline"}
+    main = project.syncs["main"]
+    assert main.destination == "file"
+    assert main.credentials["filename"] == "/tmp/out.ndjson"
+    assert main.options == {"checkpointEvery": 100}
+
+    # inline destination unfolded into a connection
+    inline = project.syncs["inline"]
+    assert inline.credentials["filename"] == "/tmp/inline.ndjson"
+    assert "inline" in project.connections
+
+
+def test_dotenv_loaded_without_override(project_dir):
+    os.environ.pop("PROJ_ENV_VAR", None)
+    read_project(project_dir)
+    assert os.environ["PROJ_ENV_VAR"] == "fromdotenv"
+    os.environ["PROJ_ENV_VAR"] = "real"
+    read_project(project_dir)
+    assert os.environ["PROJ_ENV_VAR"] == "real"  # real env wins
+    del os.environ["PROJ_ENV_VAR"]
+
+
+def test_missing_syncs_dir_rejected(tmp_path):
+    with pytest.raises(ProjectError):
+        read_project(str(tmp_path))
+
+
+def test_sync_referencing_unknown_model(tmp_path):
+    (tmp_path / "syncs").mkdir()
+    (tmp_path / "syncs" / "bad.yaml").write_text("model: nope\ndestination: x\n")
+    with pytest.raises(ProjectError):
+        read_project(str(tmp_path))
+
+
+def test_ad_hoc_project():
+    p = ad_hoc_project(
+        "select * from events", "file", {"filename": "/tmp/x"}, cursor=None
+    )
+    assert p.syncs["adhoc"].stream == "raw"
+    assert p.syncs["adhoc"].destination == "file"
+
+
+def test_end_to_end_project_sync(spark, project_dir, tmp_path):
+    """Project → run_sync → NDJSON file, incremental second run."""
+    from syncmaven_spark.runner import run_sync
+    from syncmaven_spark.session import load_tables
+    from syncmaven_spark.state import create_store
+    from tests.conftest import SF_SMOKE
+
+    load_tables(spark, SF_SMOKE)
+    out = tmp_path / "events_out.ndjson"
+    os.environ["OUT_FILE"] = str(out)
+    try:
+        project = read_project(project_dir)
+    finally:
+        del os.environ["OUT_FILE"]
+    store = create_store(str(tmp_path / "state"))
+    result = run_sync(spark, project.syncs["main"], store)
+    assert result.stats.received == 1000
+    assert len(out.read_text().splitlines()) == 1000
+
+    result2 = run_sync(spark, project.syncs["main"], store)
+    assert result2.stats.received == 1  # inclusive boundary row only
