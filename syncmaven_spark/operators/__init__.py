@@ -1,0 +1,27 @@
+"""LLM-data-pipeline operators (north-star extensions beyond the reference).
+
+Every operator here is designed 100-TB-first: shuffles are minimized and
+explicit, per-doc work stays inside whole-stage codegen (built-in column
+expressions) wherever possible, and Python only appears as Arrow-batched
+pandas UDFs in the genuinely non-relational kernels (vector math against
+broadcast arrays).
+"""
+
+from syncmaven_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from syncmaven_spark.operators.similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+)
+from syncmaven_spark.operators.text import (  # noqa: F401
+    document_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)

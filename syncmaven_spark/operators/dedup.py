@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the part that matters at 100 TB):
+- ``exact_dedup`` is one hash-shuffle with map-side partial aggregation.
+- ``minhash_signatures`` computes the whole signature in ONE shuffle: the
+  shingle explosion is map-side, and all ``num_perm`` min-hashes are
+  aggregated together (``min(xxhash64(shingle, seed_i))`` per permutation) —
+  no per-permutation passes, no Python in the loop.
+- ``minhash_lsh_candidates`` buckets signatures into bands; only docs sharing
+  a (band, band-hash) bucket are pair-joined — the classic LSH trick that
+  replaces the O(n²) cross join with a shuffle on band hashes. Skewed buckets
+  (boilerplate text) are capped with a per-bucket limit to bound the worst
+  pair blow-up; AQE's skew-join handles residual imbalance.
+- ``simhash`` folds 64 bit-counters in one aggregation over exploded tokens.
+- ``ngram_jaccard_pairs`` is exact verification *within a blocking key* —
+  never run it unblocked at scale; feed it LSH candidates or a natural block
+  (source, length bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+DEFAULT_NUM_PERM = 64
+DEFAULT_BANDS = 16
+
+
+def _shingles(text_col, k: int):
+    """k-word shingles as a distinct array, JVM-side: normalize → split →
+    sliding window via transform over index range."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"[^\w\s]+", " ")), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content group. One shuffle."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    keep = (
+        df.groupBy(key.alias("_content_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("_n_copies"))
+    )
+    return (
+        df.join(keep.select(id_col, "_n_copies"), on=id_col, how="inner")
+        .withColumn("is_duplicate_group", F.col("_n_copies") > 1)
+        .drop("_n_copies")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns ``mh0..mh{num_perm-1}``.
+
+    One explode + one groupBy; each permutation is ``min(xxhash64(shingle,
+    seed))`` with a distinct constant seed column — all permutations ride the
+    same shuffle.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: ``(id_a, id_b, n_shared_bands)``.
+
+    Signature → ``bands`` band-hashes → explode → bucket self-join with
+    ``id_a < id_b``. ``max_bucket_size`` caps degenerate buckets (identical
+    boilerplate) so one hot bucket cannot produce O(n²) pairs.
+    """
+    assert num_perm % bands == 0, "num_perm must be divisible by bands"
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band_id", "b.band_hash")
+
+    # cap degenerate buckets before the pair join
+    w_bucket = F.row_number().over(
+        W.partitionBy("band_id", "band_hash").orderBy(id_col)
+    )
+    melted = melted.withColumn("_rn", w_bucket).filter(F.col("_rn") <= max_bucket_size)
+
+    left = melted.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    right = melted.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    pairs = left.join(right, ["band_id", "band_hash"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_shared_bands")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact Jaccard over word/shingle sets for pairs sharing a blocking key.
+
+    ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold. The blocking join is
+    the scale lever: pair count is bounded per block, not global.
+    """
+    with_sets = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        _shingles(F.col(text_col), shingle_k).alias("_set"),
+    )
+    a = with_sets.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
+    )
+    b = with_sets.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b")
+    )
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size(F.array_union("_set_a", "_set_b"))
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document (column ``simhash``).
+
+    Explode tokens → per-bit ±1 contributions aggregated in one pass →
+    fold sign bits back into one long. All JVM-side integer math.
+    """
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]+", " ")), r"\s+"
+    )
+    tokens = df.select(F.col(id_col), F.explode(words).alias("tok"))
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(64)
+    ]
+    counts = tokens.groupBy(id_col).agg(*aggs)
+    sim = None
+    for bit in range(64):
+        contrib = F.when(F.col(f"b{bit}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << bit).cast("long") if bit < 63 else F.when(
+            F.col(f"b{bit}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = contrib if sim is None else sim + contrib
+    return counts.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit hash into ``max_hamming + 1`` chunks — any
+    pair within the distance must agree on at least one chunk exactly
+    (pigeonhole), so candidates come from equi-joins on chunk values, never a
+    cross join.
+    """
+    n_chunks = max_hamming + 1
+    bits_per = 64 // n_chunks
+    sig = simhash(df, text_col, id_col)
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftrightunsigned(F.col("simhash"), c * bits_per)
+                    .bitwiseAND(F.lit((1 << bits_per) - 1))
+                    .alias("chunk_val"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+
+    a = chunks.select(
+        "chunk_id", "chunk_val",
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = chunks.select(
+        "chunk_id", "chunk_val",
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

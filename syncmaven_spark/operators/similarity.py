@@ -1,0 +1,179 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk_bruteforce``: the exact baseline — broadcast the query set,
+  JVM-side dot products (``zip_with`` + ``aggregate``), per-query top-k via
+  window. Cost is |corpus| × |queries| but each row stays in codegen; right
+  whenever the query set is small.
+- ``cosine_topk_ivf``: the scale path — IVF (inverted file) partitioning:
+  k-means centroids are trained driver-side on a bounded sample (centroids
+  are tiny — they broadcast), every corpus vector is assigned to its nearest
+  centroid in one vectorized pandas pass, and each query probes only the
+  ``n_probe`` nearest cells. The cross product shrinks by ~n_centroids/
+  n_probe while recall stays high; this is the standard ANN trade
+  (FAISS-style IVF-Flat) expressed as DataFrame ops: assignment column →
+  equi-join on cell id → windowed top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query: ``(q_id, n_id, cos_sim, rank)``."""
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    ).withColumn("n_norm", F.sqrt(_dot(F.col("n_vec"), F.col("n_vec"))))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+            round_to,
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    iterations: int = 5,
+    seed: int = 42,
+    order_col: str | None = None,
+) -> np.ndarray:
+    """Driver-side Lloyd k-means over a bounded sample.
+
+    Centroids are the only state that leaves the cluster — n_centroids × dim
+    floats — so this scales to any corpus size; the sample bound keeps driver
+    memory flat. Pass ``order_col`` for a reproducible sample (plain limit()
+    order depends on partition layout).
+    """
+    sampled = df if order_col is None else df.orderBy(order_col)
+    sample = sampled.select(vec_col).limit(sample_size).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iterations):
+        # cosine assignment: normalize then argmax dot
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        Cn = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append the ``n_probe`` nearest centroid ids (cosine) as an array column.
+
+    One vectorized pandas pass; the centroid matrix rides the closure as a
+    broadcast-sized constant.
+    """
+    cn = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12)
+    c_list = cn.tolist()
+    n_probe = min(n_probe, len(c_list))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest_cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        C = np.array(c_list)
+        for series in batches:
+            X = np.array(series.tolist(), dtype=np.float64)
+            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+            sims = Xn @ C.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.Series([row.tolist() for row in top])
+
+    return df.withColumn(out_col, nearest_cells(F.col(vec_col)))
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-partitioned approximate top-k: ``(q_id, n_id, cos_sim, rank)``.
+
+    Corpus vectors live in exactly one cell; queries probe ``n_probe`` cells.
+    The candidate join is an equi-join on cell id — shuffle keyed by cell —
+    then the same windowed top-k as brute force scores only candidates.
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, vec_col, n_centroids)
+
+    c_assigned = (
+        assign_cells(corpus, centroids, vec_col, n_probe=1, out_col="_cells")
+        .select(
+            F.col(id_col).alias("n_id"),
+            _as_double(F.col(vec_col)).alias("n_vec"),
+            F.col("_cells")[0].alias("cell"),
+        )
+        .withColumn("n_norm", F.sqrt(_dot(F.col("n_vec"), F.col("n_vec"))))
+    )
+    q_assigned = (
+        assign_cells(queries, centroids, vec_col, n_probe=n_probe, out_col="_cells")
+        .select(
+            F.col(id_col).alias("q_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+            F.explode(F.col("_cells")).alias("cell"),
+        )
+        .withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+
+    pairs = c_assigned.join(F.broadcast(q_assigned), "cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+            round_to,
+        ).alias("cos_sim"),
+    ).dropDuplicates(["q_id", "n_id"])
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,143 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All hot-path math is built-in column expressions (whole-stage codegen); the
+only state is small constant lists baked into the plan. Each operator
+appends columns so they compose into one scan → one projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# minimal stopword marker sets per language — n-gram heuristic, not a model
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "que", "los", "es"],
+}
+
+
+def _hit_count(padded: Column, word: str) -> Column:
+    token = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+        / len(token)
+    ).cast("long")
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Append stopword-score columns per language + argmax prediction.
+
+    CJK text is detected by character-class ratio first (stopword tokens
+    don't apply); otherwise the language with the highest stopword hit rate
+    wins, 'und' (undetermined) when nothing matches.
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    out = df
+    for lang, words in STOPWORDS.items():
+        score = None
+        for w in words:
+            h = _hit_count(padded, w)
+            score = h if score is None else score + h
+        out = out.withColumn(f"score_{lang}", score)
+
+    cjk_chars = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    cjk_ratio = cjk_chars / F.greatest(F.length(F.col(text_col)), F.lit(1))
+
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
+    pred = F.when(cjk_ratio > 0.05, F.lit("zh"))
+    for lang in STOPWORDS:
+        pred = pred.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        )
+    return out.withColumn(out_col, pred.otherwise(F.lit("und")))
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
+) -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (``n_bpe_tokens`` ≈ word pieces split on 4-char boundaries + punct)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bpe_ish = F.size(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.col(text_col), r"([^\w\s])|(\w{4})(?=\w)", "$1$2 "
+                )
+            ),
+            r"\s+",
+        )
+    )
+    return df.withColumn(out_col, F.size(words)).withColumn("n_bpe_tokens", bpe_ish)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality features + a composite [0,1] score.
+
+    Features: word count, mean word length, alpha ratio, distinct-word
+    ratio (repetition), stop-word presence. The composite is a fixed
+    weighted product of saturating sub-scores — deterministic, explainable,
+    and entirely JVM-side.
+    """
+    text = F.col(text_col)
+    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " ")), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-zÀ-ɏ]", ""))
+    distinct_ratio = F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.length(F.regexp_replace(text, r"\s", "")) / F.greatest(n_words, F.lit(1))
+    )
+
+    length_score = F.least(F.lit(1.0), n_words / F.lit(50.0))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    word_len_score = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 10), 1.0
+    ).otherwise(0.5)
+
+    return (
+        df.withColumn("q_n_words", n_words)
+        .withColumn("q_mean_word_len", F.round(mean_word_len, 4))
+        .withColumn("q_alpha_ratio", F.round(alpha_ratio, 4))
+        .withColumn("q_distinct_ratio", F.round(distinct_ratio, 4))
+        .withColumn(
+            "quality_score",
+            F.round(
+                length_score * alpha_ratio * word_len_score * distinct_ratio, 4
+            ),
+        )
+    )
+
+
+def document_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    normalized_md5: bool = False,
+) -> DataFrame:
+    """Order-sensitive rolling fingerprint over normalized words.
+
+    Polynomial rolling hash folded JVM-side:
+    ``h = h * 31 + xxhash64(word)`` over the word sequence (via
+    ``F.aggregate``), so word order matters (unlike a bag-of-words hash).
+    ``normalized_md5=True`` instead emits the md5 of the normalized text —
+    the content-equality key (SQL-oracle-able).
+    """
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", "")
+    if normalized_md5:
+        return df.withColumn(out_col, F.md5(normalized))
+    words = F.split(F.trim(normalized), r"\s+")
+    # modular polynomial hash: keep the accumulator < 2^56 so acc*31 + term
+    # never overflows a long under ANSI mode
+    modulus = F.lit(1 << 56).cast("long")
+    rolling = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(w), modulus), modulus),
+    )
+    return df.withColumn(out_col, rolling)

@@ -827,6 +827,180 @@ def lang_stopword_scores(spark, sf_dir):
     )
 
 
+# =========================================================================
+# E. LLM-pipeline operator queries (operators/ package; entries without an
+#    oracle are genuinely non-SQL-expressible — xxhash64 minhashing, pandas
+#    vector kernels — and get the driver's rows-only check)
+# =========================================================================
+
+
+@q(
+    "dedup_minhash_candidates",
+    None,
+    doc="MinHash+LSH near-dup candidate pairs (32 perms × 16 bands, 3-word "
+    "shingles): one explode + one agg for signatures, band-bucket equi-join "
+    "for pairs — no O(n²) cross join. xxhash64-based → no SQL oracle.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_candidates(spark, sf_dir):
+    from syncmaven_spark.operators import minhash_lsh_candidates
+
+    t = _t(spark, sf_dir)
+    return minhash_lsh_candidates(
+        t["documents"], "text", "doc_id", num_perm=32, bands=16
+    )
+
+
+@q(
+    "dedup_simhash_pairs",
+    None,
+    doc="SimHash near-dup pairs (hamming ≤ 8) with pigeonhole chunk "
+    "blocking — equi-joins on hash chunks, never a cross join.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    from syncmaven_spark.operators import simhash_near_dups
+
+    t = _t(spark, sf_dir)
+    return simhash_near_dups(t["documents"], "text", "doc_id", max_hamming=8)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(list_distinct(a.ws || b.ws)), 4) AS jaccard FROM "
+    "(SELECT doc_id, lang, source, list_distinct(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')) AS ws "
+    "FROM documents) a JOIN "
+    "(SELECT doc_id, lang, source, list_distinct(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')) AS ws "
+    "FROM documents) b ON a.lang = b.lang AND a.source = b.source "
+    "AND a.doc_id < b.doc_id "
+    "WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(list_distinct(a.ws || b.ws)), 4) >= 0.5",
+    doc="Exact word-set Jaccard ≥ 0.5 within (lang, source) blocks — "
+    "verification stage for LSH candidates; blocking bounds pair count.",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from syncmaven_spark.operators import ngram_jaccard_pairs
+
+    t = _t(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", ["lang", "source"], threshold=0.5,
+        shingle_k=1,
+    )
+
+
+@q(
+    "knn_cosine_ivf",
+    None,
+    doc="IVF-partitioned approximate top-5 ANN (8 centroids, probe 4): "
+    "driver-trained centroids broadcast, corpus assigned in one vectorized "
+    "pandas pass, candidate equi-join on cell id. Compared against "
+    "brute-force recall in tests.",
+    tags=("similarity", "knn", "ivf"),
+)
+def knn_cosine_ivf(spark, sf_dir):
+    from syncmaven_spark.operators import cosine_topk_ivf
+    from syncmaven_spark.operators.similarity import train_centroids
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = train_centroids(emb, n_centroids=8, order_col="vec_id")
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=centroids, n_probe=4
+    )
+
+
+@q(
+    "text_lang_id",
+    None,
+    doc="Language-ID heuristic: per-language stopword scores + CJK char "
+    "ratio, argmax prediction — all codegen'd column math.",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark, sf_dir):
+    from syncmaven_spark.operators import language_id
+
+    t = _t(spark, sf_dir)
+    return language_id(t["documents"]).select(
+        "doc_id", "lang", "lang_pred", "score_en", "score_de", "score_fr", "score_es"
+    )
+
+
+@q(
+    "text_quality_full",
+    "SELECT doc_id, "
+    "len(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')) AS q_n_words, "
+    "round(length(regexp_replace(text, '\\s', '', 'g')) / "
+    "greatest(len(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')), 1), 4) AS q_mean_word_len, "
+    "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / "
+    "CAST(greatest(length(text), 1) AS DOUBLE), 4) AS q_alpha_ratio "
+    "FROM documents",
+    doc="Quality-feature extraction (word stats + alpha ratio) verified "
+    "against the SQL oracle; the composite score adds saturating sub-scores "
+    "on top (operators/text.py).",
+    tags=("text", "quality"),
+)
+def text_quality_full(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    text = F.col("text")
+    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " ")), r"\s+")
+    n_words = F.size(words)
+    return t["documents"].select(
+        "doc_id",
+        n_words.alias("q_n_words"),
+        F.round(
+            F.length(F.regexp_replace(text, r"\s", "")) / F.greatest(n_words, F.lit(1)),
+            4,
+        ).alias("q_mean_word_len"),
+        F.round(
+            F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+            / F.greatest(F.length(text), F.lit(1)).cast("double"),
+            4,
+        ).alias("q_alpha_ratio"),
+    )
+
+
+@q(
+    "text_rolling_fingerprint",
+    None,
+    doc="Order-sensitive polynomial rolling hash over normalized words, "
+    "folded JVM-side with modular arithmetic (xxhash64 → no SQL oracle).",
+    tags=("text", "fingerprint"),
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    from syncmaven_spark.operators import document_fingerprint
+
+    t = _t(spark, sf_dir)
+    return document_fingerprint(t["documents"]).select("doc_id", "fingerprint")
+
+
+@q(
+    "multimodal_features",
+    None,
+    doc="Multimodal plumbing: synthetic binary media → mapInPandas feature "
+    "extraction (stubbed decoder) → per-type aggregate. Exercises the "
+    "binary-column schema, Arrow batch shape, and failure-tolerant decode.",
+    tags=("multimodal",),
+)
+def multimodal_features(spark, sf_dir):
+    from syncmaven_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=50)
+    feats = extract_features(media, feature_dim=16)
+    return feats.groupBy(F.col("meta.media_type").alias("media_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_decoded"),
+        F.round(F.avg(F.size("features")), 2).alias("avg_dim"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark_fn for name, qd in CATALOG.items()}
 

@@ -1,0 +1,84 @@
+"""Similarity search tests: brute-force exactness + IVF recall."""
+
+import numpy as np
+import pytest
+
+from syncmaven_spark.operators import cosine_topk_bruteforce, cosine_topk_ivf
+from syncmaven_spark.operators.similarity import assign_cells, train_centroids
+from syncmaven_spark.session import load_tables
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_tables(spark, SF_SMOKE)["embeddings"]
+
+
+def test_bruteforce_known_neighbors(spark):
+    # construct vectors where neighbor structure is known
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    topk = cosine_topk_bruteforce(df, df.filter("vec_id = 0"), k=3)
+    ordered = [r.n_id for r in topk.orderBy("rank").collect()]
+    assert ordered == [1, 2, 3]
+
+
+def test_bruteforce_on_testdata(embeddings):
+    q = embeddings.filter("vec_id < 3")
+    res = cosine_topk_bruteforce(embeddings, q, k=5).collect()
+    assert len(res) == 15
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.n_id != q_id for r in rows)
+
+
+def test_train_centroids_deterministic(embeddings):
+    c1 = train_centroids(embeddings, n_centroids=8, order_col="vec_id")
+    c2 = train_centroids(embeddings, n_centroids=8, order_col="vec_id")
+    assert np.allclose(c1, c2)
+    assert c1.shape == (8, 64)
+
+
+def test_assign_cells_shapes(embeddings):
+    centroids = train_centroids(embeddings, n_centroids=8, order_col="vec_id")
+    assigned = assign_cells(embeddings.limit(20), centroids, n_probe=3)
+    rows = assigned.collect()
+    assert all(len(r.cell) == 3 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r.cell)
+
+
+def test_ivf_recall_against_bruteforce(embeddings):
+    queries = embeddings.filter("vec_id < 8")
+    exact = cosine_topk_bruteforce(embeddings, queries, k=5).collect()
+    centroids = train_centroids(embeddings, n_centroids=8, order_col="vec_id")
+    approx = cosine_topk_ivf(
+        embeddings, queries, k=5, centroids=centroids, n_probe=4
+    ).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.n_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.q_id, set()).add(r.n_id)
+
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing half the cells should recover most true neighbors
+    assert sum(recalls) / len(recalls) >= 0.5
+    # every approx hit is a real corpus vector with a valid score
+    assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in approx)

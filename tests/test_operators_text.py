@@ -1,0 +1,62 @@
+"""Text analysis operator tests."""
+
+from syncmaven_spark.operators import (
+    document_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+
+def test_language_id_on_real_sentences(spark):
+    rows = [
+        (1, "the cat is on the mat and the dog is in the garden", "en"),
+        (2, "der Hund ist im Garten und das Wetter ist heute schön", "de"),
+        (3, "le chat est sur la table et les enfants sont dans le jardin", "fr"),
+        (4, "el perro está en el jardín y los niños juegan en la casa", "es"),
+        (5, "今天天气很好我们一起去公园散步吧然后吃午饭", "zh"),
+        (6, "xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "expected"])
+    result = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    expected = {r[0]: r[2] for r in rows}
+    assert result == expected
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, "supercalifragilistic!")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_bpe_tokens) for r in token_count(df).collect()}
+    assert out[1][0] == 3
+    assert out[2][0] == 1
+    assert out[2][1] > 3  # long word split into subword pieces + punct
+
+
+def test_quality_features_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog near the quiet river " * 5
+    junk = "zz zz zz zz zz @@ ## $$ %% ^^ && zz zz"
+    df = spark.createDataFrame([(1, good), (2, junk)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in quality_features(df).collect()}
+    assert rows[1].quality_score > rows[2].quality_score
+    assert 0.0 <= rows[2].quality_score <= rows[1].quality_score <= 1.0
+    assert rows[1].q_n_words == 65
+    assert rows[2].q_distinct_ratio < 0.5  # heavy repetition detected
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"),
+         (4, "Alpha, beta; GAMMA")],
+        ["doc_id", "text"],
+    )
+    rolling = {r.doc_id: r.fingerprint for r in document_fingerprint(df).collect()}
+    assert rolling[1] == rolling[3]
+    assert rolling[1] != rolling[2]  # word order matters
+    assert rolling[1] == rolling[4]  # normalization: case + punctuation
+
+    md5 = {
+        r.doc_id: r.fingerprint
+        for r in document_fingerprint(df, normalized_md5=True).collect()
+    }
+    assert md5[1] == md5[3] == md5[4] and md5[1] != md5[2]
