@@ -33,7 +33,12 @@ HEADLINE = [
     "text_fingerprint",
     "fn_mixpanel_insert_id",
     "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
     "embedding_norm_stats",
+    "dedup_minhash_candidates",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "text_lang_id",
 ]
 
 

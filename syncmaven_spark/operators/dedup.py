@@ -27,8 +27,11 @@ DEFAULT_BANDS = 16
 
 def _shingles(text_col, k: int):
     """k-word shingles as a distinct array, JVM-side: normalize → split →
-    sliding window via transform over index range."""
+    sliding window via transform over index range (k=1 short-circuits to the
+    word array — no per-word slice/concat machinery)."""
     words = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"[^\w\s]+", " ")), r"\s+")
+    if k == 1:
+        return F.array_distinct(words)
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
@@ -37,6 +40,19 @@ def _shingles(text_col, k: int):
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
         ).otherwise(F.array(F.concat_ws(" ", words)))
     )
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition upstream of heavy per-doc compute.
+
+    A small/coarse upstream layout (one parquet file → one partition) would
+    serialize the expensive regex/hash work; repartitioning by id costs one
+    linear shuffle of raw text and unlocks full-cluster parallelism. At real
+    scale the input already has many splits and this is a cheap no-op-ish
+    round-robin of similar-sized partitions.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism, id_col)
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -66,7 +82,7 @@ def minhash_signatures(
     seed))`` with a distinct constant seed column — all permutations ride the
     same shuffle.
     """
-    exploded = df.select(
+    exploded = _spread(df, id_col).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
     )
     aggs = [
@@ -144,10 +160,18 @@ def ngram_jaccard_pairs(
     ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold. The blocking join is
     the scale lever: pair count is bounded per block, not global.
     """
-    with_sets = df.select(
+    # hash shingles to longs: jaccard is invariant under the (injective
+    # modulo ~2^-64 collisions) mapping, and long arrays shuffle and
+    # intersect far cheaper than string arrays
+    hashed = F.array_distinct(
+        F.transform(
+            _shingles(F.col(text_col), shingle_k), lambda w: F.xxhash64(w)
+        )
+    )
+    with_sets = _spread(df, id_col).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
-        _shingles(F.col(text_col), shingle_k).alias("_set"),
+        hashed.alias("_set"),
     )
     a = with_sets.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
@@ -157,9 +181,13 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("_set_a", "_set_b"))
     union = F.size(F.array_union("_set_a", "_set_b"))
+    n_a, n_b = F.size("_set_a"), F.size("_set_b")
+    # size-ratio prune: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
+    # so most pairs skip the expensive intersection entirely
+    size_ok = F.least(n_a, n_b).cast("double") / F.greatest(n_a, n_b) >= threshold
     return (
         a.join(b, block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
         .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -175,7 +203,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]+", " ")), r"\s+"
     )
-    tokens = df.select(F.col(id_col), F.explode(words).alias("tok"))
+    tokens = _spread(df, id_col).select(F.col(id_col), F.explode(words).alias("tok"))
     h = F.xxhash64("tok")
     aggs = [
         F.sum(
