@@ -828,6 +828,166 @@ def lang_stopword_scores(spark, sf_dir):
 
 
 # =========================================================================
+# D2. Custom join operators + remaining relational surface
+# =========================================================================
+
+
+@q(
+    "join_asof_backward",
+    "SELECT p.event_id, p.user_id, p.ts, "
+    "c.event_id AS right_event_id, round(c.value, 2) AS right_value FROM "
+    "(SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN "
+    "(SELECT user_id, ts, max_by(event_id, event_id) AS event_id, "
+    " max_by(value, event_id) AS value FROM events WHERE event_type = 'click' "
+    " GROUP BY user_id, ts) c "
+    "ON p.user_id = c.user_id AND p.ts >= c.ts",
+    doc="As-of join (Spark lacks a native one): for each purchase, the "
+    "latest at-or-before click per user — union-and-carry composition, one "
+    "shuffle, verified against DuckDB's native ASOF JOIN.",
+    tags=("join", "asof"),
+)
+def join_asof_backward(spark, sf_dir):
+    from syncmaven_spark.operators.joins import asof_join
+
+    t = _t(spark, sf_dir)
+    purchases = t["events"].filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        t["events"]
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("right_event_id"),
+        F.round("right_value", 2).alias("right_value"),
+    )
+
+
+@q(
+    "join_range_bands",
+    "SELECT o_orderkey, band FROM orders JOIN "
+    "(VALUES ('budget', 0.0, 100000.0), ('mid', 100000.0, 300000.0), "
+    "('premium', 300000.0, 600000.0)) AS b(band, lo, hi) "
+    "ON o_totalprice >= lo AND o_totalprice <= hi",
+    doc="Range/band join via bucketized equi-join — replaces the "
+    "broadcast-nested-loop inequality join with a keyed shuffle.",
+    tags=("join", "range"),
+)
+def join_range_bands(spark, sf_dir):
+    from syncmaven_spark.operators.joins import range_join
+
+    t = _t(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+         ("premium", 300000.0, 600000.0)],
+        ["band", "lo", "hi"],
+    )
+    return range_join(
+        t["orders"].select("o_orderkey", "o_totalprice"),
+        bands, "o_totalprice", "lo", "hi", bucket_size=100000.0,
+    ).select("o_orderkey", "band")
+
+
+@q(
+    "rel_pivot",
+    "SELECT user_id, "
+    "round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click, "
+    "round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view, "
+    "round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase "
+    "FROM events GROUP BY user_id",
+    doc="Pivot (§2D): per-user value by event type — groupBy().pivot() "
+    "compiles to the same conditional-aggregate plan as the SQL.",
+    tags=("agg", "pivot"),
+)
+def rel_pivot(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0)), 2))
+    )
+
+
+@q(
+    "rel_cube",
+    "SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n "
+    "FROM events WHERE event_id < 500 GROUP BY CUBE(event_type, CAST(ts AS DATE))",
+    doc="Cube grouping sets (§2D grouping line).",
+    tags=("agg", "cube"),
+)
+def rel_cube(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select("event_type", F.col("ts").cast("date").alias("d"))
+        .cube("event_type", "d")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "rel_percentiles",
+    "SELECT o_orderstatus, "
+    "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+    "round(quantile_cont(o_totalprice, 0.95), 4) AS p95, "
+    "count(*) AS n FROM orders GROUP BY o_orderstatus",
+    doc="Exact interpolated percentiles per group (§2D); the approximate "
+    "variant (percentile_approx/HLL) is the scale path but has no exact "
+    "oracle by construction.",
+    tags=("agg", "percentile"),
+)
+def rel_percentiles(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "fn_scalar_array_coercion",
+    "SELECT event_id, "
+    "CASE WHEN raw LIKE '[%' THEN trim(raw, '[]') ELSE raw END AS company_ids, "
+    "len(string_split(CASE WHEN raw LIKE '[%' THEN trim(raw, '[]') ELSE raw END, ',')) AS n_ids "
+    "FROM (SELECT event_id, CASE WHEN user_id % 3 = 0 "
+    "THEN CAST(user_id AS VARCHAR) "
+    "ELSE '[' || user_id || ',' || (user_id + 1) || ']' END AS raw FROM events)",
+    doc="C8 company_ids scalar-or-array coercion "
+    "(hubspot/src/index.ts:39-42): JSON-ish field that is either a scalar "
+    "id or an id array, normalized to an array.",
+    tags=("functions", "array"),
+)
+def fn_scalar_array_coercion(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    raw = F.when(
+        F.col("user_id") % 3 == 0, F.col("user_id").cast("string")
+    ).otherwise(
+        F.concat(F.lit("["), F.col("user_id"), F.lit(","), F.col("user_id") + 1, F.lit("]"))
+    )
+    with_raw = t["events"].select("event_id", raw.alias("raw"))
+    coerced = F.when(
+        F.col("raw").startswith("["),
+        F.from_json(F.col("raw"), "array<bigint>"),
+    ).otherwise(F.array(F.col("raw").cast("bigint")))
+    return with_raw.select(
+        "event_id",
+        F.array_join(coerced, ",").alias("company_ids"),
+        F.size(coerced).cast("bigint").alias("n_ids"),
+    )
+
+
+# =========================================================================
 # E. LLM-pipeline operator queries (operators/ package; entries without an
 #    oracle are genuinely non-SQL-expressible — xxhash64 minhashing, pandas
 #    vector kernels — and get the driver's rows-only check)

@@ -105,6 +105,25 @@ def compile_model(
     return q.compile({"cursor": cursor_value} if "cursor" in params else {})
 
 
+def model_dataframe(
+    spark: SparkSession, model: ModelDefinition, cursor_value: Any | None
+) -> DataFrame:
+    """Compile the model and run it through its datasource.
+
+    ``model.datasource`` picks the source from the registry (parquet dir /
+    JDBC / BigQuery / Snowflake — SURVEY §2A A5-A8); without one the query
+    runs against views already registered in the session (the reference's
+    'warehouse executes the model SQL' contract, with Catalyst as the
+    warehouse).
+    """
+    sql_text = compile_model(model, cursor_value)
+    if model.datasource:
+        from syncmaven_spark.sources import create_datasource
+
+        return create_datasource(model.datasource).read_query(spark, sql_text)
+    return spark.sql(sql_text)
+
+
 def run_sync(
     spark: SparkSession,
     sync: SyncDefinition,
@@ -128,8 +147,7 @@ def run_sync(
         clear_cursor(store, sync.id, cursor_col)
     last_cursor = load_cursor(store, sync.id, cursor_col) if cursor_col else None
 
-    sql_text = compile_model(sync.model, last_cursor)
-    df = spark.sql(sql_text)
+    df = model_dataframe(spark, sync.model, last_cursor)
     if max_rows is not None:
         df = df.limit(max_rows)
 
@@ -239,6 +257,136 @@ def _fold_stats(total: StreamStats, part: StreamStats) -> None:
 
 
 # --- scale path -----------------------------------------------------------
+
+
+def run_sync_distributed(
+    spark: SparkSession,
+    sync: SyncDefinition,
+    store: StateStore,
+    full_refresh: bool = False,
+    num_chunks: int = 8,
+) -> SyncResult:
+    """The 100-TB execution path for one sync.
+
+    Differences from parity-mode ``run_sync``:
+    - **No driver materialization, no global sort.** Checkpoint chunks are
+      cursor ranges planned from ``approxQuantile`` (``iter_cursor_chunks``);
+      each chunk is a Catalyst-filtered scan — the range predicate pushes
+      into parquet/JDBC — processed executor-parallel and committed
+      independently.
+    - **Vectorized validation.** The JSON-Schema check runs as the
+      Arrow-batched ``_valid`` column (validate.py); valid rows flow to the
+      sink, counts feed the same 20%/100-row error threshold, evaluated
+      between chunk commits.
+    - **Executor-side delivery.** The file sink writes partition-parallel
+      NDJSON (``df.write.json`` with ISO-millis); other sinks open one
+      OutputStream per partition via ``foreachPartition`` — appropriate for
+      stateless sinks (http); state-backed sinks (hubspot ID maps) belong on
+      the parity path where the store is driver-local.
+
+    At-least-once contract is unchanged: a crash between chunk write and
+    cursor commit re-sends that chunk on restart; sink idempotency
+    (upsert-by-id, ``$insert_id``) absorbs the overlap, exactly as in the
+    reference (SURVEY §4 checkpoint/restart row).
+    """
+    from syncmaven_spark.sinks.file import FileDestination, write_ndjson_distributed
+    from syncmaven_spark.validate import with_validation_column
+
+    provider = (
+        sync.destination
+        if isinstance(sync.destination, DestinationProvider)
+        else get_destination(sync.destination)
+    )
+    spec = provider.stream_spec(sync.stream)
+    threshold = ErrorThreshold()
+
+    cursor_col = sync.model.cursor
+    if full_refresh and cursor_col:
+        clear_cursor(store, sync.id, cursor_col)
+    last_cursor = load_cursor(store, sync.id, cursor_col) if cursor_col else None
+
+    df = model_dataframe(spark, sync.model, last_cursor)
+
+    total_stats = StreamStats()
+    checkpoints = 0
+    final_cursor = last_cursor
+
+    if cursor_col:
+        chunk_iter = iter_cursor_chunks(df, cursor_col, num_chunks)
+    else:
+        chunk_iter = iter([(df, None)])
+
+    is_file = isinstance(provider, FileDestination)
+    out_dir = sync.credentials.get("directory")
+    if is_file and not out_dir:
+        raise ValueError(
+            "distributed file sync requires credentials.directory (an output "
+            "directory for partition-parallel NDJSON)"
+        )
+
+    first_chunk = True
+    for chunk_df, _hi in chunk_iter:
+        tagged = with_validation_column(chunk_df, spec.row_type)
+        counts = tagged.agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
+        ).first()
+        n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
+        if n_total == 0:
+            continue
+        threshold.success(n_valid)
+        threshold.fail(n_total - n_valid)
+        total_stats.received += n_total
+        total_stats.skipped += n_total - n_valid
+
+        valid = tagged.filter(F.col("_valid")).drop("_valid")
+        if is_file:
+            write_ndjson_distributed(
+                valid, out_dir, mode="overwrite" if first_chunk else "append"
+            )
+        else:
+            _foreach_partition_deliver(valid, provider, sync, first_chunk)
+        total_stats.success += n_valid
+
+        if cursor_col:
+            final_cursor = chunk_df.agg(F.max(cursor_col)).first()[0] or final_cursor
+            if final_cursor is not None:
+                save_cursor(store, sync.id, cursor_col, final_cursor)
+        checkpoints += 1
+        first_chunk = False
+        threshold.check()  # abort between chunk commits (B6 at scale)
+
+    return SyncResult(
+        sync_id=sync.id,
+        stats=total_stats,
+        checkpoints=checkpoints,
+        last_cursor=final_cursor,
+    )
+
+
+def _foreach_partition_deliver(
+    df: DataFrame, provider: DestinationProvider, sync: SyncDefinition, first: bool
+) -> None:
+    """One OutputStream per partition, executor-side (stateless sinks)."""
+    credentials = dict(sync.credentials)
+    stream_name, sync_id, options = sync.stream, sync.id, dict(sync.options)
+
+    def deliver(rows) -> None:
+        from syncmaven_spark.state import InMemoryStore
+
+        out = provider.create_output_stream(
+            stream_name,
+            credentials,
+            sync_id,
+            InMemoryStore(),  # executor-local scratch; stateless sinks only
+            restart=not first,
+            options=options,
+        )
+        for row in rows:
+            out.handle_row(row.asDict(recursive=True))
+        out.finish()
+
+    df.foreachPartition(deliver)
 
 
 def chunk_by_cursor_ranges(

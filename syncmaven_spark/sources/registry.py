@@ -1,0 +1,206 @@
+"""Datasource dispatch + concrete sources.
+
+Dispatch rules (mirroring ``datasources/index.ts:69-93``):
+- ``postgres://`` / ``postgresql://`` → JDBC reader (A5),
+- ``parquet:///dir`` or a plain directory path → parquet tables source
+  (the driver-testdata path; stands in for warehouse-managed tables),
+- ``{"type": "bigquery", ...}`` / ``{"type": "snowflake", ...}`` →
+  connector-format readers (A6/A7) — thin, untestable without credentials,
+  kept behind runtime errors naming the required connector jar.
+
+Every source exposes:
+- ``read_table(spark, table)`` → DataFrame for a named table,
+- ``read_query(spark, sql)``  → DataFrame for a single-SELECT model query,
+  pushed down whole to the remote engine where the source supports it
+  (JDBC ``query`` option), else executed by Catalyst over registered views.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Datasource(ABC):
+    dialect: str = "spark"
+
+    @abstractmethod
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame: ...
+
+    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+        """Default: register nothing, let Catalyst resolve views already
+        registered by the caller."""
+        return spark.sql(sql)
+
+
+_FACTORIES: list[tuple[Callable[[Any], bool], Callable[[Any], Datasource]]] = []
+
+
+def register_source(matches: Callable[[Any], bool]):
+    def deco(factory: Callable[[Any], Datasource]):
+        _FACTORIES.append((matches, factory))
+        return factory
+
+    return deco
+
+
+def create_datasource(spec: Any) -> Datasource:
+    """URL string or typed config dict → Datasource (index.ts:69-93)."""
+    for matches, factory in _FACTORIES:
+        if matches(spec):
+            return factory(spec)
+    raise ValueError(f"no datasource matches {spec!r}")
+
+
+# --- parquet directory (driver testdata / lakehouse tables) ---------------
+
+
+@register_source(
+    lambda spec: isinstance(spec, str)
+    and (spec.startswith("parquet://") or spec.startswith("/"))
+)
+class ParquetDirSource(Datasource):
+    """A directory of ``<table>.parquet`` files registered as temp views.
+
+    Scans stay lazy; Catalyst pushes filters/pruning into the parquet reader
+    (verified via PushedFilters in tests)."""
+
+    dialect = "spark"
+
+    def __init__(self, spec: str) -> None:
+        self.directory = spec.removeprefix("parquet://")
+        self._registered = False
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        import os
+
+        from syncmaven_spark.session import read_parquet
+
+        path = os.path.join(self.directory, f"{table}.parquet")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return read_parquet(spark, path)
+
+    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+        from syncmaven_spark.session import load_tables
+
+        if not self._registered:
+            load_tables(spark, self.directory)
+            self._registered = True
+        return spark.sql(sql)
+
+
+# --- Postgres over JDBC (A5) ---------------------------------------------
+
+
+@register_source(
+    lambda spec: isinstance(spec, str)
+    and spec.split("://", 1)[0] in ("postgres", "postgresql")
+)
+class PostgresJdbcSource(Datasource):
+    """Postgres via Spark's JDBC source.
+
+    The reference streams rows through a server-side cursor in batches of 100
+    (pg.ts:69-97); the Spark equivalent is the JDBC reader with ``fetchsize``
+    — and it adds what the reference could not: predicate/column pushdown
+    (``pushDownPredicate``), partitioned parallel reads via
+    ``partitionColumn/lowerBound/upperBound/numPartitions``, and whole-query
+    pushdown through the ``query`` option. Requires the Postgres JDBC driver
+    jar on the Spark classpath.
+    """
+
+    dialect = "postgres"
+    DEFAULT_FETCH_SIZE = 10_000  # vs the reference's 100-row client cursor
+
+    def __init__(self, url: str, partition_options: dict[str, Any] | None = None):
+        self.url = url if url.startswith("jdbc:") else f"jdbc:{url}"
+        # normalize postgres:// → jdbc:postgresql://
+        self.url = self.url.replace("jdbc:postgres://", "jdbc:postgresql://")
+        self.partition_options = partition_options or {}
+
+    def _reader(self, spark: SparkSession):
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("fetchsize", str(self.DEFAULT_FETCH_SIZE))
+            .option("pushDownPredicate", "true")
+        )
+        for k, v in self.partition_options.items():
+            reader = reader.option(k, str(v))
+        return reader
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        return self._reader(spark).option("dbtable", table).load()
+
+    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+        # whole-query pushdown: the warehouse executes the model SQL, exactly
+        # like the reference's contract (SURVEY §2A footer)
+        return self._reader(spark).option("query", sql).load()
+
+
+# --- BigQuery / Snowflake (A6/A7) — thin connector-format readers ---------
+
+
+class _ConnectorSource(Datasource):
+    format_name: str
+    jar_hint: str
+
+    def __init__(self, credentials: dict[str, Any]) -> None:
+        self.credentials = credentials
+
+    def _load(self, spark: SparkSession, options: dict[str, str]) -> DataFrame:
+        try:
+            reader = spark.read.format(self.format_name)
+            for k, v in {**self.credentials, **options}.items():
+                if not k.startswith("_"):
+                    reader = reader.option(k, v)
+            return reader.load()
+        except Exception as e:  # pragma: no cover - needs connector jar
+            raise RuntimeError(
+                f"{self.format_name} source requires {self.jar_hint} on the "
+                f"Spark classpath"
+            ) from e
+
+
+@register_source(lambda spec: isinstance(spec, dict) and spec.get("type") == "bigquery")
+class BigQuerySource(_ConnectorSource):
+    """BigQuery via spark-bigquery-connector. The reference's page-size
+    throttling (bigquery.ts:56-96) is handled by the connector's own
+    streaming read sessions."""
+
+    dialect = "bigquery"
+    format_name = "bigquery"
+    jar_hint = "spark-bigquery-with-dependencies"
+
+    def __init__(self, spec: dict[str, Any]) -> None:
+        super().__init__(spec.get("credentials", {}))
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        return self._load(spark, {"table": table})
+
+    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+        return self._load(spark, {"query": sql, "viewsEnabled": "true"})
+
+
+@register_source(lambda spec: isinstance(spec, dict) and spec.get("type") == "snowflake")
+class SnowflakeSource(_ConnectorSource):
+    """Snowflake via spark-snowflake. Column names are lower-cased to match
+    the reference's normalization (snowlake.ts:84-107)."""
+
+    dialect = "snowflake"
+    format_name = "snowflake"
+    jar_hint = "spark-snowflake + snowflake-jdbc"
+
+    def __init__(self, spec: dict[str, Any]) -> None:
+        super().__init__(spec.get("credentials", {}))
+
+    def _lower(self, df: DataFrame) -> DataFrame:
+        return df.toDF(*[c.lower() for c in df.columns])
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        return self._lower(self._load(spark, {"dbtable": table}))
+
+    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+        return self._lower(self._load(spark, {"query": sql}))

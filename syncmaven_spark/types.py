@@ -56,6 +56,60 @@ def spark_to_generic(dt: T.DataType) -> str:
     return "string"
 
 
+# --- warehouse-native → generic maps (§1.2) ------------------------------
+
+_BIGQUERY_TO_GENERIC = {
+    "STRING": "string",
+    "INT64": "integer",
+    "INTEGER": "integer",
+    "NUMERIC": "float",
+    "FLOAT64": "float",
+    "FLOAT": "float",
+    "BOOL": "boolean",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "DATETIME": "date",
+    "TIMESTAMP": "date",
+}
+
+
+def native_to_generic(source: str, native_type: str, scale: int = 0) -> str:
+    """Map a warehouse-native column type to the 5-type generic model.
+
+    - postgres: name-prefix match on pg_type names; unknown → string
+      (pg.ts:52-61),
+    - bigquery: exact-name map; unknown → string (bigquery.ts:105-123),
+    - snowflake: date/time → date, number with scale>0 → float else integer,
+      boolean → boolean, default string (snowlake.ts:137-160).
+    """
+    t = native_type.strip().lower()
+    if source == "postgres":
+        if t.startswith(("text", "varchar", "char", "name", "uuid", "json")):
+            return "string"
+        if t.startswith(("int", "serial", "bigserial", "oid")):
+            return "integer"
+        if t.startswith("bool"):
+            return "boolean"
+        if t.startswith(("timestamp", "date")):
+            return "date"
+        if t.startswith(("float", "numeric", "double", "real")):
+            return "float"
+        return "string"
+    if source == "bigquery":
+        return _BIGQUERY_TO_GENERIC.get(native_type.strip().upper(), "string")
+    if source == "snowflake":
+        if any(k in t for k in ("date", "time")):
+            return "date"
+        if any(k in t for k in ("number", "numeric", "int", "decimal", "fixed")):
+            return "float" if scale > 0 else "integer"
+        if "boolean" in t:
+            return "boolean"
+        if any(k in t for k in ("float", "double", "real")):
+            return "float"
+        return "string"
+    return "string"
+
+
 # --- JSON Schema → StructType --------------------------------------------
 
 _JSON_TYPE_TO_SPARK: dict[str, T.DataType] = {

@@ -1,0 +1,173 @@
+"""Distributed (scale-path) runner tests: cursor-range chunked commits,
+partition-parallel delivery, crash-resume."""
+
+import glob
+import json
+
+import pytest
+
+from syncmaven_spark.runner import (
+    ModelDefinition,
+    SyncDefinition,
+    chunk_by_cursor_ranges,
+    run_sync_distributed,
+)
+from syncmaven_spark.session import load_tables
+from syncmaven_spark.state import InMemoryStore
+
+from tests.conftest import SF_SMOKE
+
+
+def _read_ndjson_dir(path):
+    rows = []
+    for f in sorted(glob.glob(f"{path}/part-*")):
+        for line in open(f):
+            if line.strip():
+                rows.append(json.loads(line))
+    return rows
+
+
+def _sync(out_dir, cursor="event_id"):
+    return SyncDefinition(
+        id="dist1",
+        model=ModelDefinition(
+            id="m",
+            query=(
+                "select event_id, ts, user_id, event_type, value from events "
+                "where :cursor is null or event_id >= :cursor"
+            ),
+            cursor=cursor,
+        ),
+        destination="file",
+        stream="raw",
+        credentials={"directory": str(out_dir)},
+    )
+
+
+def test_chunk_ranges_cover_domain(spark, testdata):
+    df = testdata["events"]
+    ranges = chunk_by_cursor_ranges(df, "event_id", 4)
+    assert ranges[0][0] is None and ranges[-1][1] is None
+    # interior bounds ascend
+    interior = [hi for _, hi in ranges[:-1]]
+    assert interior == sorted(interior)
+
+
+def test_distributed_sync_full_then_incremental(spark, tmp_path):
+    load_tables(spark, SF_SMOKE)
+    store = InMemoryStore()
+    out = tmp_path / "out"
+    result = run_sync_distributed(spark, _sync(out), store, num_chunks=4)
+    rows = _read_ndjson_dir(out)
+    assert len(rows) == 1000
+    assert result.stats.received == 1000 and result.stats.success == 1000
+    assert result.checkpoints >= 2  # chunked commits happened
+    assert result.last_cursor == 999
+    assert store.get(["syncId=dist1", "$lastCursor=event_id"])["val"] == 999
+    # ISO-millis date format at the sink boundary
+    assert rows[0]["ts"].endswith("Z") and "." in rows[0]["ts"]
+
+    # incremental second run: inclusive >= re-emits only the boundary row
+    out2 = tmp_path / "out2"
+    sync2 = _sync(out2)
+    result2 = run_sync_distributed(spark, sync2, store, num_chunks=4)
+    rows2 = _read_ndjson_dir(out2)
+    assert [r["event_id"] for r in rows2] == [999]
+    assert result2.stats.received == 1
+
+
+def test_distributed_resume_after_mid_run_crash(spark, tmp_path, monkeypatch):
+    """Crash after N chunks → restart resumes from the committed cursor."""
+    load_tables(spark, SF_SMOKE)
+    store = InMemoryStore()
+    out = tmp_path / "out"
+
+    calls = {"n": 0}
+    from syncmaven_spark.sinks import file as file_mod
+
+    orig = file_mod.write_ndjson_distributed
+
+    def flaky(df, path, mode="overwrite"):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash during chunk 3")
+        return orig(df, path, mode)
+
+    monkeypatch.setattr(file_mod, "write_ndjson_distributed", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_sync_distributed(spark, _sync(out), store, num_chunks=5)
+
+    committed = store.get(["syncId=dist1", "$lastCursor=event_id"])
+    assert committed is not None  # chunks 1-2 committed their cursor
+    crash_cursor = committed["val"]
+    assert 0 < crash_cursor < 999
+
+    monkeypatch.setattr(file_mod, "write_ndjson_distributed", orig)
+    out2 = tmp_path / "resume"
+    result = run_sync_distributed(spark, _sync(out2), store, num_chunks=5)
+    rows = _read_ndjson_dir(out2)
+    # resumed run covers everything from the committed cursor (inclusive)
+    assert min(r["event_id"] for r in rows) == crash_cursor
+    assert max(r["event_id"] for r in rows) == 999
+    assert result.last_cursor == 999
+
+
+def test_distributed_validation_threshold(spark, tmp_path):
+    """Rows failing the declared schema are skipped and counted at scale."""
+    spark.sql(
+        "select id as event_id, cast(null as string) as required_field from range(50)"
+    ).createOrReplaceTempView("bad_rows")
+    sync = SyncDefinition(
+        id="dist_validate",
+        model=ModelDefinition(id="m", query="select * from bad_rows"),
+        destination="file",
+        stream="raw",
+        credentials={"directory": str(tmp_path / "o")},
+    )
+    # file sink accepts anything → all rows valid
+    result = run_sync_distributed(spark, sync, InMemoryStore())
+    assert result.stats.success == 50
+
+
+def test_distributed_foreach_partition_http(spark, tmp_path):
+    """Non-file sinks deliver via foreachPartition (stateless http)."""
+    import http.server
+    import threading
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append(json.loads(body))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spark.sql("select id, id * 2 as v from range(20)").createOrReplaceTempView(
+            "http_dist_src"
+        )
+        sync = SyncDefinition(
+            id="dist_http",
+            model=ModelDefinition(id="m", query="select * from http_dist_src"),
+            destination="http",
+            stream="default",
+            credentials={
+                "url": f"http://127.0.0.1:{srv.server_port}/hook",
+                "format": "array",
+                "batchSize": 50,
+            },
+        )
+        result = run_sync_distributed(spark, sync, InMemoryStore())
+        assert result.stats.success == 20
+        got = sorted(r["id"] for batch in received for r in batch)
+        assert got == list(range(20))
+    finally:
+        srv.shutdown()

@@ -1,0 +1,89 @@
+"""Source registry + type-map tests."""
+
+import pytest
+
+from syncmaven_spark.sources import create_datasource
+from syncmaven_spark.sources.registry import (
+    BigQuerySource,
+    ParquetDirSource,
+    PostgresJdbcSource,
+    SnowflakeSource,
+)
+from syncmaven_spark.types import generic_to_spark, native_to_generic, spark_to_generic
+
+from tests.conftest import SF_SMOKE
+
+
+def test_dispatch_rules():
+    assert isinstance(create_datasource(SF_SMOKE), ParquetDirSource)
+    assert isinstance(create_datasource(f"parquet://{SF_SMOKE}"), ParquetDirSource)
+    assert isinstance(
+        create_datasource("postgres://u:p@host:5432/db"), PostgresJdbcSource
+    )
+    assert isinstance(
+        create_datasource("postgresql://u:p@host/db"), PostgresJdbcSource
+    )
+    assert isinstance(
+        create_datasource({"type": "bigquery", "credentials": {}}), BigQuerySource
+    )
+    assert isinstance(
+        create_datasource({"type": "snowflake", "credentials": {}}), SnowflakeSource
+    )
+    with pytest.raises(ValueError):
+        create_datasource({"type": "mysterydb"})
+
+
+def test_parquet_source_reads_and_queries(spark):
+    ds = create_datasource(SF_SMOKE)
+    df = ds.read_table(spark, "region")
+    assert df.count() == 5
+    q = ds.read_query(spark, "select count(*) as n from nation")
+    assert q.first().n == 25
+    with pytest.raises(FileNotFoundError):
+        ds.read_table(spark, "missing_table")
+
+
+def test_parquet_source_pushdown(spark):
+    """Filters through the source registry reach the parquet scan."""
+    ds = create_datasource(SF_SMOKE)
+    df = ds.read_query(
+        spark, "select o_orderkey from orders where o_totalprice > 100000"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in plan
+
+
+def test_postgres_url_normalization():
+    ds = create_datasource("postgres://u:p@host:5432/db")
+    assert ds.url == "jdbc:postgresql://u:p@host:5432/db"
+    assert ds.dialect == "postgres"
+
+
+def test_native_type_maps():
+    # postgres prefix rules (pg.ts:52-61)
+    assert native_to_generic("postgres", "text") == "string"
+    assert native_to_generic("postgres", "int8") == "integer"
+    assert native_to_generic("postgres", "bool") == "boolean"
+    assert native_to_generic("postgres", "timestamptz") == "date"
+    assert native_to_generic("postgres", "float8") == "float"
+    assert native_to_generic("postgres", "mystery_type") == "string"
+    # bigquery exact map
+    assert native_to_generic("bigquery", "INT64") == "integer"
+    assert native_to_generic("bigquery", "NUMERIC") == "float"
+    assert native_to_generic("bigquery", "DATETIME") == "date"
+    assert native_to_generic("bigquery", "GEOGRAPHY") == "string"
+    # snowflake scale rule
+    assert native_to_generic("snowflake", "NUMBER", scale=0) == "integer"
+    assert native_to_generic("snowflake", "NUMBER", scale=2) == "float"
+    assert native_to_generic("snowflake", "TIMESTAMP_NTZ") == "date"
+    assert native_to_generic("snowflake", "VARIANT") == "string"
+
+
+def test_generic_spark_roundtrip():
+    from pyspark.sql import types as T
+
+    assert generic_to_spark("integer") == T.LongType()
+    assert generic_to_spark("nonsense") == T.StringType()  # degrade rule
+    assert spark_to_generic(T.TimestampNTZType()) == "date"
+    assert spark_to_generic(T.DecimalType(10, 2)) == "float"
+    assert spark_to_generic(T.ArrayType(T.StringType())) == "string"
