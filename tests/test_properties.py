@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis) for engine invariants."""
+
+import datetime as dt
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from syncmaven_spark.cursor import compare_cursor
+from syncmaven_spark.sinks.google_sheets import to_table
+from syncmaven_spark.sinks.mixpanel import DateRanges
+from syncmaven_spark.sql import SqlQuery
+from syncmaven_spark.state import InMemoryStore
+
+# --- SqlQuery ------------------------------------------------------------
+
+ident = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+literal_text = st.text(
+    alphabet=string.ascii_letters + " :;-@'", min_size=0, max_size=20
+)
+
+
+@given(param=ident, fake=ident, noise=literal_text)
+@settings(max_examples=200, deadline=None)
+def test_params_in_strings_never_detected(param, fake, noise):
+    escaped = noise.replace("'", "''")
+    q = SqlQuery(f"select '{escaped}', ':{fake}' as c from t where x >= :{param}")
+    params = q.named_parameters()
+    assert param in params
+    # only parameters outside string literals are discovered
+    assert all(p == param for p in params)
+
+
+@given(param=ident, value=st.one_of(st.integers(), st.text(alphabet=string.printable, max_size=30), st.none()))
+@settings(max_examples=200, deadline=None)
+def test_compile_removes_all_params(param, value):
+    q = SqlQuery(f"select * from t where :{param} is null or x >= :{param}")
+    compiled = q.compile({param: value})
+    # compiled SQL has no remaining parameter markers outside strings
+    assert not SqlQuery(compiled).named_parameters()
+
+
+# --- cursor comparator ---------------------------------------------------
+
+cursor_values = st.one_of(
+    st.none(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.datetimes(min_value=dt.datetime(1970, 1, 1), max_value=dt.datetime(2100, 1, 1)),
+)
+
+
+def _comparable_pair(a, b):
+    if a is None or b is None:
+        return True
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        type(a) is type(b)
+    ) or (isinstance(a, dt.datetime) and isinstance(b, dt.datetime))
+
+
+@given(a=cursor_values, b=cursor_values)
+@settings(max_examples=300, deadline=None)
+def test_compare_antisymmetry(a, b):
+    if not _comparable_pair(a, b):
+        return
+    assert compare_cursor(a, b) == -compare_cursor(b, a)
+
+
+@given(v=cursor_values)
+@settings(max_examples=100, deadline=None)
+def test_null_is_smallest(v):
+    assert compare_cursor(None, v) <= 0
+    assert compare_cursor(v, None) >= 0
+
+
+# --- DateRanges ----------------------------------------------------------
+
+days = st.dates(min_value=dt.date(2024, 1, 1), max_value=dt.date(2024, 6, 30))
+
+
+@given(ds=st.lists(days, min_size=0, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_date_ranges_contains_all_appended(ds):
+    dr = DateRanges()
+    for d in ds:
+        dr.append(d)
+    for d in ds:
+        assert dr.contains(d)
+    if ds:
+        assert dr.last_date() == max(ds)
+
+
+@given(ds=st.lists(days, min_size=0, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_date_ranges_json_roundtrip_and_disjoint(ds):
+    dr = DateRanges()
+    for d in ds:
+        dr.append(d)
+    back = DateRanges.from_json(dr.to_json())
+    assert back == dr
+    # internal ranges are sorted and non-adjacent
+    rs = dr._ranges
+    for (lo1, hi1), (lo2, hi2) in zip(rs, rs[1:]):
+        assert hi1 + dt.timedelta(days=1) < lo2
+
+
+# --- sheets to_table ------------------------------------------------------
+
+cells = st.one_of(st.none(), st.booleans(), st.integers(-1000, 1000), st.text(max_size=8))
+row_dicts = st.dictionaries(
+    keys=st.sampled_from(["a", "b", "c", "d"]), values=cells, max_size=4
+)
+
+
+@given(rows=st.lists(row_dicts, min_size=0, max_size=15))
+@settings(max_examples=200, deadline=None)
+def test_to_table_rectangular_and_complete(rows):
+    table = to_table(rows)
+    assert len(table.data) == len(rows)
+    width = len(table.header_names)
+    assert all(len(r) == width for r in table.data)
+    assert len(table.column_types) == width
+    # every key of every row appears in the header exactly once
+    keys = {k for r in rows for k in r}
+    assert set(table.header_names) == keys
+    assert len(set(table.header_names)) == width
+    # cell values preserved
+    for i, row in enumerate(rows):
+        for k, v in row.items():
+            assert table.data[i][table.header_names.index(k)] == v
+
+
+# --- state store prefix scans --------------------------------------------
+
+segments = st.lists(
+    st.text(alphabet=string.ascii_lowercase + "=", min_size=1, max_size=6),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(keys=st.lists(segments, min_size=0, max_size=20, unique_by=lambda k: "::".join(k)),
+       prefix=segments)
+@settings(max_examples=200, deadline=None)
+def test_prefix_scan_exactness(keys, prefix):
+    store = InMemoryStore()
+    for i, k in enumerate(keys):
+        store.set(k, i)
+    got = {k for k, _ in store.list(prefix)}
+    p = "::".join(prefix)
+    expected = {
+        "::".join(k)
+        for k in keys
+        if "::".join(k) == p or "::".join(k).startswith(p + "::")
+    }
+    assert got == expected
