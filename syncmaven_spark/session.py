@@ -105,6 +105,11 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
     Returns ``{name: DataFrame}``. Scans stay lazy — Catalyst prunes columns
     and pushes filters into the parquet reader per consuming query.
     """
+    # The engine's timestamp semantics are UTC (golden files, DuckDB oracle
+    # parity). The round driver may hand us a session with a different zone —
+    # pin it here so LTZ values (e.g. the nanos-cast events.ts) and
+    # epoch/date functions are deterministic regardless of the host session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tables = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
