@@ -327,10 +327,13 @@ def run_sync_distributed(
     first_chunk = True
     for chunk_df, _hi in chunk_iter:
         tagged = with_validation_column(chunk_df, spec.row_type)
-        counts = tagged.agg(
+        agg_cols = [
             F.count("*").alias("total"),
             F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
-        ).first()
+        ]
+        if cursor_col:
+            agg_cols.append(F.max(cursor_col).alias("max_cursor"))
+        counts = tagged.agg(*agg_cols).first()
         n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
         if n_total == 0:
             continue
@@ -349,7 +352,7 @@ def run_sync_distributed(
         total_stats.success += n_valid
 
         if cursor_col:
-            final_cursor = chunk_df.agg(F.max(cursor_col)).first()[0] or final_cursor
+            final_cursor = counts["max_cursor"] or final_cursor
             if final_cursor is not None:
                 save_cursor(store, sync.id, cursor_col, final_cursor)
         checkpoints += 1
@@ -401,6 +404,8 @@ def chunk_by_cursor_ranges(
     materialization. This replaces the reference's count-based
     ``checkpointEvery`` at scale.
     """
+    if num_chunks <= 1:
+        return [(None, None)]
     numeric_view = df.select(F.col(cursor_col).cast("double").alias("c")).na.drop()
     qs = numeric_view.approxQuantile(
         "c", [i / num_chunks for i in range(1, num_chunks)], 0.01

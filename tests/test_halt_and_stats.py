@@ -1,0 +1,67 @@
+"""Halt handling (B11) + stream-stats aggregation (B12) through the runner."""
+
+from syncmaven_spark.runner import ModelDefinition, SyncDefinition, run_sync
+from syncmaven_spark.sinks.base import (
+    ANY_OBJECT_SCHEMA,
+    DestinationProvider,
+    HaltError,
+    OutputStream,
+    StreamSpec,
+)
+from syncmaven_spark.state import InMemoryStore
+
+
+class HaltingStream(OutputStream):
+    def __init__(self, halt_after: int):
+        super().__init__()
+        self.halt_after = halt_after
+
+    def handle_row(self, row):
+        self.stats.received += 1
+        if self.stats.received > self.halt_after:
+            raise HaltError("destination says stop")
+        self.stats.success += 1
+        self.stats.substreams["default"] = self.stats.substreams.get("default", 0) + 1
+
+
+class HaltingDestination(DestinationProvider):
+    name = "halting"
+
+    def __init__(self, halt_after):
+        self.halt_after = halt_after
+        self.opened = []
+
+    def streams(self):
+        return [StreamSpec(name="s", row_type=ANY_OBJECT_SCHEMA)]
+
+    def create_output_stream(self, stream_name, credentials, sync_id, store,
+                             full_refresh=False, restart=False, options=None):
+        out = HaltingStream(self.halt_after)
+        self.opened.append(out)
+        return out
+
+
+def test_halt_stops_feeding_and_preserves_state(spark):
+    """A sink halt mid-sync stops delivery (sync.ts:551-553) but the rows
+    already delivered still checkpoint their cursor."""
+    spark.sql("select id from range(100)").createOrReplaceTempView("halt_src")
+    dest = HaltingDestination(halt_after=10)
+    store = InMemoryStore()
+    sync = SyncDefinition(
+        id="halt1",
+        model=ModelDefinition(
+            id="m",
+            query="select id from halt_src where :cursor is null or id >= :cursor order by id",
+            cursor="id",
+        ),
+        destination=dest,
+        stream="s",
+    )
+    result = run_sync(spark, sync, store)
+    assert result.stats.success == 10
+    assert result.stats.substreams == {"default": 10}
+    # delivered prefix was checkpointed: ids 0..9 done, halt on row 10
+    assert store.get(["syncId=halt1", "$lastCursor=id"])["val"] == 10
+    # only one stream was opened; no rows after the halt
+    assert len(dest.opened) == 1
+    assert dest.opened[0].stats.received == 11  # 10 ok + the halting row
