@@ -833,6 +833,95 @@ def lang_stopword_scores(spark, sf_dir):
 
 
 @q(
+    "fn_string_functions",
+    "SELECT c_custkey, upper(c_name) AS name_upper, "
+    "substr(c_name, 1, 8) AS name_prefix, length(c_name) AS name_len, "
+    "replace(c_name, 'Customer', 'Cust') AS name_short, "
+    "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, "
+    "concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_key "
+    "FROM customer",
+    doc="String scalar-function surface (§2D): upper/substr/length/replace/"
+    "lpad/concat — all codegen'd.",
+    tags=("functions", "string"),
+)
+def fn_string_functions(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["customer"].select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat_ws(":", F.col("c_mktsegment"), F.col("c_nationkey")).alias("seg_key"),
+    )
+
+
+@q(
+    "fn_date_functions",
+    "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS order_year, "
+    "CAST(month(o_orderdate) AS INT) AS order_month, "
+    "CAST(dayofweek(o_orderdate) AS INT) + 1 AS order_dow, "
+    "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, "
+    "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) "
+    "AS days_since_epoch_start FROM orders",
+    doc="Date scalar-function surface (§2D): year/month/dow/trunc/datediff. "
+    "DuckDB dayofweek is 0-based Sunday, Spark 1-based — offset aligned in "
+    "the oracle.",
+    tags=("functions", "date"),
+)
+def fn_date_functions(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since_epoch_start"),
+    )
+
+
+_CORRELATED_SUBQUERY_SQL = (
+    "SELECT c_custkey, c_acctbal, "
+    "round(c_acctbal - (SELECT avg(c2.c_acctbal) FROM customer c2 "
+    "WHERE c2.c_nationkey = customer.c_nationkey), 4) AS bal_vs_nation_avg "
+    "FROM customer"
+)
+
+
+@q(
+    "rel_correlated_scalar_subquery",
+    _CORRELATED_SUBQUERY_SQL,
+    doc="Correlated scalar subquery (decorrelated by Catalyst into an "
+    "aggregate + join) — §2D subquery line; the same ANSI SQL runs on both "
+    "engines.",
+    tags=("subquery",),
+)
+def rel_correlated_scalar_subquery(spark, sf_dir):
+    _t(spark, sf_dir)
+    return spark.sql(_CORRELATED_SUBQUERY_SQL)
+
+
+@q(
+    "rel_approx_distinct",
+    None,
+    doc="Approximate sketches (the 100-TB path for distinct counting): "
+    "approx_count_distinct (HLL++) per group; deterministic for a fixed "
+    "dataset but sketch-dependent, so no exact SQL oracle — accuracy is "
+    "asserted against exact counts in tests.",
+    tags=("agg", "approx"),
+)
+def rel_approx_distinct(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@q(
     "join_asof_backward",
     "SELECT p.event_id, p.user_id, p.ts, "
     "c.event_id AS right_event_id, round(c.value, 2) AS right_value FROM "
