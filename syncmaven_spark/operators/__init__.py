@@ -16,6 +16,8 @@ from syncmaven_spark.operators.dedup import (  # noqa: F401
     simhash_near_dups,
 )
 from syncmaven_spark.operators.similarity import (  # noqa: F401
+    cosine_pairs_exact,
+    cosine_pairs_lsh,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
 )

@@ -125,6 +125,124 @@ def assign_cells(
     return df.withColumn(out_col, nearest_cells(F.col(vec_col)))
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: ``(id_a, id_b, cos_sim)`` with
+    cosine ≥ threshold, ``id_a < id_b``.
+
+    O(n²) dot products, all JVM-side — correct for corpora that fit a
+    pairwise pass (or as the verify stage on LSH candidates at scale).
+    """
+    vecs = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                round_to,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dups via random-hyperplane (sign) LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` sign bits each; vectors
+    sharing a (table, bucket) key become candidates (equi-join keyed by
+    bucket — the O(n²) cross join never materializes), then candidates are
+    verified with the exact cosine. Deterministic: planes derive from the
+    seed. Recall < 1 by construction — the probabilistic trade that makes
+    100-TB near-dup mining feasible; tune (n_planes, n_tables) to the target
+    similarity band.
+    """
+    # planes need the vector dimension — read it from one row
+    first = df.select(vec_col).first()
+    if first is None:  # empty corpus → no pairs
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
+        )
+    dim = len(first[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim)).tolist()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        P = np.array(planes)  # (T*k, dim)
+        weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+        for series in batches:
+            X = np.array(series.tolist(), dtype=np.float64)
+            bits = (X @ P.T) > 0  # (n, T*k)
+            out = []
+            for row in bits:
+                tables = row.reshape(n_tables, n_planes)
+                out.append([int(t @ weights) for t in tables])
+            yield pd.Series(out)
+
+    with_buckets = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec"),
+        buckets(F.col(vec_col)).alias("_buckets"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+
+    melted = with_buckets.select(
+        id_col, "vec", "norm",
+        F.posexplode("_buckets").alias("table_id", "bucket"),
+    )
+    a = melted.select(
+        "table_id", "bucket",
+        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"),
+    )
+    b = melted.select(
+        "table_id", "bucket",
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
+    )
+    candidates = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b", "norm_a", "norm_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                round_to,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

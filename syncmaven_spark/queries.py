@@ -1143,6 +1143,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dedup_embedding_cosine",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 4) >= 0.4",
+    doc="Embedding-cosine near-dup pairs (exact, cosine ≥ 0.4): the verify "
+    "stage of vector dedup; at scale candidates come from the sign-LSH "
+    "variant (cosine_pairs_lsh) instead of the O(n²) pass.",
+    tags=("dedup", "similarity", "embedding"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from syncmaven_spark.operators import cosine_pairs_exact
+
+    t = _t(spark, sf_dir)
+    return cosine_pairs_exact(t["embeddings"], threshold=0.4)
+
+
+@q(
+    "dedup_embedding_cosine_lsh",
+    None,
+    doc="Embedding near-dups via random-hyperplane sign-LSH (6 tables × 8 "
+    "bits, deterministic seed): bucket equi-join candidates verified with "
+    "exact cosine — the scale path; recall vs the exact pass asserted in "
+    "tests.",
+    tags=("dedup", "similarity", "lsh"),
+)
+def dedup_embedding_cosine_lsh(spark, sf_dir):
+    from syncmaven_spark.operators import cosine_pairs_lsh
+
+    t = _t(spark, sf_dir)
+    return cosine_pairs_lsh(t["embeddings"], threshold=0.4)
+
+
+@q(
     "knn_cosine_ivf",
     None,
     doc="IVF-partitioned approximate top-5 ANN (8 centroids, probe 4): "

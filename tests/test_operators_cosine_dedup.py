@@ -1,0 +1,57 @@
+"""Embedding-cosine near-dup tests: exact correctness + LSH recall."""
+
+import numpy as np
+import pytest
+
+from syncmaven_spark.operators import cosine_pairs_exact, cosine_pairs_lsh
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with planted near-duplicate pairs (cos > 0.95) among noise."""
+    rng = np.random.RandomState(7)
+    rows = []
+    base_vectors = rng.standard_normal((10, 32))
+    vid = 0
+    for b in base_vectors:
+        rows.append((vid, [float(x) for x in b]))
+        vid += 1
+        # near-dup: tiny perturbation
+        rows.append((vid, [float(x) for x in b + rng.standard_normal(32) * 0.05]))
+        vid += 1
+    for _ in range(80):  # unrelated noise
+        rows.append((vid, [float(x) for x in rng.standard_normal(32)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_pairs_find_planted_dups(planted):
+    pairs = {(r.id_a, r.id_b) for r in cosine_pairs_exact(planted, 0.9).collect()}
+    expected = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert expected <= pairs
+    # noise vectors in 32 dims essentially never reach 0.9
+    assert len(pairs - expected) <= 2
+
+
+def test_exact_pairs_symmetric_free(planted):
+    rows = cosine_pairs_exact(planted, 0.9).collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in rows)
+
+
+def test_lsh_recall_on_planted_dups(planted):
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs_exact(planted, 0.9).collect()}
+    lsh = {(r.id_a, r.id_b) for r in cosine_pairs_lsh(
+        planted, 0.9, n_planes=8, n_tables=6
+    ).collect()}
+    # every LSH pair is verified exactly → subset of exact
+    assert lsh <= exact
+    # high-similarity pairs survive sign-LSH with high probability
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8
+
+
+def test_lsh_deterministic(planted):
+    a = sorted((r.id_a, r.id_b) for r in cosine_pairs_lsh(planted, 0.9).collect())
+    b = sorted((r.id_a, r.id_b) for r in cosine_pairs_lsh(planted, 0.9).collect())
+    assert a == b
