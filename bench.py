@@ -38,7 +38,10 @@ HEADLINE = [
     "dedup_minhash_candidates",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "text_lang_id",
+    "join_asof_backward",
+    "join_range_bands",
 ]
 
 

@@ -131,35 +131,56 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: ``(id_a, id_b, cos_sim)`` with
     cosine ≥ threshold, ``id_a < id_b``.
 
-    O(n²) dot products, all JVM-side — correct for corpora that fit a
-    pairwise pass (or as the verify stage on LSH candidates at scale).
+    Execution: the (normalized) corpus matrix is broadcast to executors and
+    each partition computes its rows' similarities against it with one
+    vectorized matmul — Spark's higher-order array functions are interpreted
+    per element, ~20× slower than Arrow+BLAS for this kernel. The broadcast
+    bound keeps this the *verify/bounded-corpus* variant; unbounded corpora
+    go through ``cosine_pairs_lsh`` (candidates) → this (verification on the
+    candidate set).
     """
-    vecs = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
-    a = vecs.select(
-        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a")
-    )
-    b = vecs.select(
-        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                round_to,
-            ),
+    n = df.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"exact all-pairs cosine on {n} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use cosine_pairs_lsh for candidate "
+            "generation at this scale"
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+    rows = df.select(id_col, vec_col).collect()
+    ids = [r[0] for r in rows]
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+    id_arr, mat = ids, Mn.tolist()
+
+    out_schema = (
+        f"id_a {df.schema[id_col].dataType.simpleString()}, "
+        f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
     )
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = np.array(mat)
+        b_ids = np.array(id_arr)
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+            sims = np.round(Xn @ B.T, round_to)
+            x_ids = pdf[id_col].to_numpy()
+            out_a, out_b, out_s = [], [], []
+            for i, xa in enumerate(x_ids):
+                mask = (sims[i] >= threshold) & (b_ids > xa)
+                out_a.extend([xa] * int(mask.sum()))
+                out_b.extend(b_ids[mask])
+                out_s.extend(sims[i][mask])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    return df.select(id_col, vec_col).mapInPandas(pairs, out_schema)
 
 
 def cosine_pairs_lsh(
