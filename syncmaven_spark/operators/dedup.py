@@ -109,7 +109,9 @@ def minhash_lsh_candidates(
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    # persist the O(n) signature table so the shingle explode+agg lineage is
+    # computed once, not once per side of the bucket self-join
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).persist()
 
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -168,11 +170,12 @@ def ngram_jaccard_pairs(
             _shingles(F.col(text_col), shingle_k), lambda w: F.xxhash64(w)
         )
     )
+    # persisted: O(n) hashed-set rows, computed once for both join sides
     with_sets = _spread(df, id_col).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
         hashed.alias("_set"),
-    )
+    ).persist()
     a = with_sets.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
     )
@@ -235,7 +238,10 @@ def simhash_near_dups(
     """
     n_chunks = max_hamming + 1
     bits_per = 64 // n_chunks
-    sig = simhash(df, text_col, id_col)
+    # the signature table is O(n) ids+longs — persisting it keeps the
+    # expensive explode/64-agg lineage from being recomputed for both sides
+    # of the self-join (safe at any corpus size; it's signatures, not text)
+    sig = simhash(df, text_col, id_col).persist()
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),
