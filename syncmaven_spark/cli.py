@@ -52,6 +52,11 @@ def _build_parser() -> argparse.ArgumentParser:
     streams = sub.add_parser("streams", help="describe a destination's streams")
     streams.add_argument("package")
 
+    describe = sub.add_parser(
+        "describe", help="describe a destination package (streams overview)"
+    )
+    describe.add_argument("package")
+
     return p
 
 
@@ -65,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
 
 def _main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.command == "describe":
+        provider = get_destination(args.package)
+        spec = provider.describe()
+        print(f"destination: {spec['name']}")
+        print(f"streams: {', '.join(spec['streams'])}")
+        return 0
 
     if args.command == "streams":
         provider = get_destination(args.package)
