@@ -50,19 +50,25 @@ def asof_join(
             c for c in right.columns if c not in (on, by)
         ]
 
+    # The matched right row is carried as ONE struct so all its columns come
+    # from the same row — carrying columns independently with
+    # last(ignorenulls) would backfill a matched row's NULL column with a
+    # stale value from an older right row (and could mix columns of
+    # different rows).
+    r_struct = F.struct(
+        F.col(on).alias("_ts"), *[F.col(c) for c in right_value_cols]
+    )
     l_tag = left.select(
         F.col(by), F.col(on), F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias("_r_ts"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r_tag = right.select(
         F.col(by), F.col(on), F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            l_tag.schema["_l"].dataType
-        ).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
-        F.col(on).alias("_r_ts"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        r_struct.alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -74,32 +80,20 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in right_value_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_c")
     )
     matched = carried.filter(F.col("_side") == 1)
 
+    match_col = F.col("_c")
     if tolerance_seconds is not None:
         in_tol = (
-            F.col(on).cast("double") - F.col("_c_ts").cast("double")
+            F.col(on).cast("double") - F.col("_c._ts").cast("double")
         ) <= F.lit(tolerance_seconds)
-        matched = matched.select(
-            "*",
-            *[
-                F.when(in_tol, F.col(f"_c_{c}")).alias(f"_t_{c}")
-                for c in right_value_cols
-            ],
-        )
-        value_cols = [F.col(f"_t_{c}").alias(f"right_{c}") for c in right_value_cols]
-    else:
-        value_cols = [F.col(f"_c_{c}").alias(f"right_{c}") for c in right_value_cols]
+        match_col = F.when(in_tol, F.col("_c"))
 
     return matched.select(
-        *[F.col("_l")[c].alias(c) for c in left.columns], *value_cols
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[match_col[c].alias(f"right_{c}") for c in right_value_cols],
     )
 
 

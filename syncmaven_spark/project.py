@@ -250,8 +250,32 @@ def read_project(project_dir: str, env: dict[str, str] | None = None) -> Project
             stream=raw.get("stream") or _default_stream(conn.package),
             credentials=conn.credentials,
             options=raw.get("options", {}),
+            enrichments=_compile_enrichments(raw),
         )
     return project
+
+
+def _compile_enrichments(raw_sync: dict[str, Any]) -> list[Any]:
+    """Sync-level ``enrichment:`` / ``enrichments:`` entries → Enrichment
+    instances (the reference accepts both keys, sync.ts:430-434). Supported
+    form: ``{url: ..., timeout?: ms}`` → HTTP enrichment service."""
+    from syncmaven_spark.enrich import HttpEnrichment
+
+    entries = raw_sync.get("enrichments") or []
+    single = raw_sync.get("enrichment")
+    if single:
+        entries = [single, *entries]
+    out = []
+    for entry in entries:
+        if isinstance(entry, dict) and entry.get("url"):
+            out.append(
+                HttpEnrichment(entry["url"], timeout_ms=entry.get("timeout", 10_000))
+            )
+        else:
+            raise ProjectError(
+                f"unsupported enrichment spec {entry!r}: expected {{url: ...}}"
+            )
+    return out
 
 
 def _default_stream(package: str) -> str:

@@ -195,6 +195,10 @@ def run_sync(
             if tracker is not None:
                 tracker.observe(row.get(cursor_col))
 
+            # checkpoint cadence counts every source row, including skipped
+            # invalid ones (sync.ts:566-569 counts totalRows)
+            rows_since_checkpoint += 1
+
             if not validator.is_valid(row):
                 threshold.fail()
                 threshold.check()
@@ -232,11 +236,24 @@ def run_sync(
                 break
 
             threshold.success()
-            rows_since_checkpoint += 1
             if checkpoint_every and rows_since_checkpoint >= checkpoint_every:
                 checkpoint(final=False)
                 rows_since_checkpoint = 0
-    finally:
+    except BaseException:
+        # Failure path: close the sink for stats, but do NOT persist the
+        # cursor — the tracker has observed rows that were never delivered
+        # (e.g. a batching sink's unflushed buffer). The reference only
+        # checkpoints on success (sync.ts:573-577); saving here would make
+        # the next incremental run skip undelivered rows permanently.
+        if out is not None:
+            try:
+                _fold_stats(total_stats, out.finish())
+            except Exception:  # noqa: BLE001 - already failing; keep original
+                log.warning("sink close failed during error handling", exc_info=True)
+            out = None
+        raise
+    else:
+        # Success (including graceful halt): final flush + cursor persist.
         checkpoint(final=True)
 
     return SyncResult(
@@ -326,7 +343,10 @@ def run_sync_distributed(
 
     first_chunk = True
     for chunk_df, _hi in chunk_iter:
-        tagged = with_validation_column(chunk_df, spec.row_type)
+        # persist the validated chunk: the count aggregate and the delivery
+        # pass share one evaluation of the scan + validation UDF (and the
+        # counts can't diverge from what is written if the source moves)
+        tagged = with_validation_column(chunk_df, spec.row_type).persist()
         agg_cols = [
             F.count("*").alias("total"),
             F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
@@ -336,6 +356,7 @@ def run_sync_distributed(
         counts = tagged.agg(*agg_cols).first()
         n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
         if n_total == 0:
+            tagged.unpersist()
             continue
         threshold.success(n_valid)
         threshold.fail(n_total - n_valid)
@@ -343,18 +364,21 @@ def run_sync_distributed(
         total_stats.skipped += n_total - n_valid
 
         valid = tagged.filter(F.col("_valid")).drop("_valid")
-        if is_file:
-            write_ndjson_distributed(
-                valid, out_dir, mode="overwrite" if first_chunk else "append"
-            )
-        else:
-            _foreach_partition_deliver(valid, provider, sync, first_chunk)
+        try:
+            if is_file:
+                write_ndjson_distributed(
+                    valid, out_dir, mode="overwrite" if first_chunk else "append"
+                )
+            else:
+                _foreach_partition_deliver(valid, provider, sync, first_chunk)
+        finally:
+            tagged.unpersist()
         total_stats.success += n_valid
 
-        if cursor_col:
-            final_cursor = counts["max_cursor"] or final_cursor
-            if final_cursor is not None:
-                save_cursor(store, sync.id, cursor_col, final_cursor)
+        if cursor_col and counts["max_cursor"] is not None:
+            # `is not None`, not truthiness: 0 / 0.0 are valid cursor values
+            final_cursor = counts["max_cursor"]
+            save_cursor(store, sync.id, cursor_col, final_cursor)
         checkpoints += 1
         first_chunk = False
         threshold.check()  # abort between chunk commits (B6 at scale)
@@ -405,6 +429,18 @@ def chunk_by_cursor_ranges(
     ``checkpointEvery`` at scale.
     """
     if num_chunks <= 1:
+        return [(None, None)]
+    from pyspark.sql import types as T
+
+    dt = df.schema[cursor_col].dataType
+    if not isinstance(
+        dt,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+         T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
+         T.TimestampNTZType),
+    ):
+        # string (or other) cursors have no meaningful double quantiles and
+        # a double-cast predicate would silently drop rows — single chunk
         return [(None, None)]
     numeric_view = df.select(F.col(cursor_col).cast("double").alias("c")).na.drop()
     qs = numeric_view.approxQuantile(

@@ -153,6 +153,45 @@ class DestinationProvider(ABC):
         re-initialize."""
 
 
+def parse_retry_after(value: str | None, default_ms: int = 1000) -> int:
+    """Robust Retry-After → milliseconds: integer/float seconds or an
+    RFC 9110 HTTP-date; unparseable values fall back to ``default_ms``."""
+    if not value:
+        return default_ms
+    try:
+        return max(0, int(float(value) * 1000))
+    except (TypeError, ValueError):
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+        import datetime as _dt
+
+        target = parsedate_to_datetime(value)
+        delta = (target - _dt.datetime.now(_dt.timezone.utc)).total_seconds()
+        return max(0, int(delta * 1000))
+    except Exception:  # noqa: BLE001 - malformed header → default backoff
+        return default_ms
+
+
+class RetryingClient:
+    """Transparent proxy wrapping every method of an API client in the
+    rate-limit retry loop — for clients whose transport raises
+    RateLimitError (e.g. on HTTP 429)."""
+
+    def __init__(self, client: Any) -> None:
+        self._client = client
+
+    def __getattr__(self, name: str):
+        attr = getattr(self._client, name)
+        if not callable(attr):
+            return attr
+
+        def wrapped(*args, **kwargs):
+            return with_rate_limit_retry(attr, *args, **kwargs)
+
+        return wrapped
+
+
 def with_rate_limit_retry(fn, *args, max_retries: int = MAX_RATE_LIMIT_RETRIES, **kwargs):
     """Engine-side sleep-and-retry loop honoring retry-after
     (std.ts:147-167)."""

@@ -128,12 +128,18 @@ class GoogleSheetsStream(OutputStream):
         self.spreadsheet_id = spreadsheet_id
         self.sheet_name = sheet_name
         self._rows: list[dict[str, Any]] = []
+        self._reported = 0
 
     def handle_row(self, row: dict[str, Any]) -> None:
         self.stats.received += 1
         self._rows.append(row)
 
     def finish(self):
+        """Write the *whole* accumulated buffer (clear-and-rewrite sheet
+        semantics) but report delta stats — the runner folds stats once per
+        checkpointed finish, and this stream instance survives reopens."""
+        from syncmaven_spark.sinks.base import StreamStats
+
         table = to_table(self._rows)
         data = [
             [
@@ -147,13 +153,19 @@ class GoogleSheetsStream(OutputStream):
         self.client.write_table(
             self.spreadsheet_id, self.sheet_name, table.header_names, data
         )
-        self.stats.success += len(data)
-        return self.stats
+        report = self.stats
+        report.success = len(self._rows) - self._reported
+        self._reported = len(self._rows)
+        self.stats = StreamStats()
+        return report
 
 
 @register("google-sheets")
 class GoogleSheetsDestination(DestinationProvider):
     name = "google-sheets"
+
+    def __init__(self) -> None:
+        self._live: dict[tuple[str, str], GoogleSheetsStream] = {}
 
     def streams(self) -> list[StreamSpec]:
         return [StreamSpec(name="sheet", row_type=ANY_OBJECT_SCHEMA)]
@@ -176,8 +188,17 @@ class GoogleSheetsDestination(DestinationProvider):
                 "not bundled; inject credentials['_client'] implementing "
                 "write_table(spreadsheet_id, sheet_name, header, rows)"
             )
-        return GoogleSheetsStream(
+        key = (sync_id, stream_name)
+        if restart and key in self._live:
+            # Checkpoint continuation: the sheet write is clear-then-rewrite-
+            # everything, so the buffer must keep accumulating across stream
+            # reopens — a fresh buffer would shrink the sheet to only the
+            # rows since the last checkpoint (base.py restart contract).
+            return self._live[key]
+        stream = GoogleSheetsStream(
             client,
             credentials["spreadsheetId"],
             (options or {}).get("sheetName", "Sheet1"),
         )
+        self._live[key] = stream
+        return stream

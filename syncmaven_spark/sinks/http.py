@@ -70,13 +70,17 @@ def _default_transport(timeout_ms: int) -> Callable[..., Any]:
     import requests
 
     def send(method: str, url: str, headers: dict[str, str], body: str):
+        from syncmaven_spark.sinks.base import parse_retry_after
+
         resp = requests.request(
             method, url, headers=headers, data=body.encode("utf-8"),
             timeout=timeout_ms / 1000.0,
         )
         if resp.status_code == 429:
-            retry_after = int(resp.headers.get("Retry-After", "1"))
-            raise RateLimitError("rate limited", retry_after_ms=retry_after * 1000)
+            raise RateLimitError(
+                "rate limited",
+                retry_after_ms=parse_retry_after(resp.headers.get("Retry-After")),
+            )
         if resp.status_code >= 400:
             raise RuntimeError(f"HTTP Error: {resp.status_code} {resp.reason}")
         return resp

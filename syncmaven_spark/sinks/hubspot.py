@@ -87,9 +87,16 @@ class RestHubspotClient:
         self._s.headers["Authorization"] = f"Bearer {access_token}"
 
     def _req(self, method: str, path: str, **kwargs) -> dict:
+        from syncmaven_spark.sinks.base import RateLimitError, parse_retry_after
+
         resp = self._s.request(method, self.BASE + path, timeout=30, **kwargs)
         if resp.status_code == 404:
             raise NotFound(path)
+        if resp.status_code == 429:
+            raise RateLimitError(
+                "hubspot rate limit",
+                retry_after_ms=parse_retry_after(resp.headers.get("Retry-After")),
+            )
         resp.raise_for_status()
         return resp.json() if resp.content else {}
 
@@ -330,9 +337,13 @@ class HubspotDestination(DestinationProvider):
         options: dict[str, Any] | None = None,
     ) -> OutputStream:
         self.stream_spec(stream_name)
+        from syncmaven_spark.sinks.base import RetryingClient
+
         client = credentials.get("_client") or RestHubspotClient(
             credentials["accessToken"]
         )
+        # every API call retries transparently on RateLimitError (429)
+        client = RetryingClient(client)
         cls = (
             HubspotContactsStream
             if stream_name == "contacts"

@@ -85,11 +85,13 @@ class RestIntercomClient:
         )
 
     def _req(self, method: str, path: str, body: dict) -> dict:
+        from syncmaven_spark.sinks.base import parse_retry_after
+
         resp = self._s.request(method, self.BASE + path, json=body, timeout=30)
         if resp.status_code == 429:
             raise RateLimitError(
                 "Rate limit exceeded",
-                retry_after_ms=int(resp.headers.get("Retry-After", "1")) * 1000,
+                retry_after_ms=parse_retry_after(resp.headers.get("Retry-After")),
             )
         if resp.status_code >= 400:
             try:
