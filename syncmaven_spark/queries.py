@@ -905,6 +905,45 @@ def rel_correlated_scalar_subquery(spark, sf_dir):
 
 
 @q(
+    "fn_array_functions",
+    "SELECT l_orderkey, len(qtys) AS n_lines, "
+    "list_sort(qtys) AS qtys_sorted, "
+    "round(list_sum(list_transform(list_sort(qtys), q -> q * 2)), 2) AS doubled_total, "
+    "len(list_filter(qtys, q -> q > 25)) AS n_big "
+    "FROM (SELECT l_orderkey, list(l_quantity) AS qtys "
+    "FROM lineitem GROUP BY l_orderkey)",
+    doc="Array function surface (§2D): collect_list → size/sort/transform/"
+    "filter/aggregate, all JVM-side higher-order expressions.",
+    tags=("functions", "array"),
+)
+def fn_array_functions(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    import pyspark.sql.functions as SF
+
+    grouped = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(SF.collect_list("l_quantity").alias("qtys"))
+    )
+    # order-insensitive outputs only: collect_list order is partition-
+    # dependent in both engines, so the fold runs over the sorted array
+    return grouped.select(
+        "l_orderkey",
+        SF.size("qtys").cast("long").alias("n_lines"),
+        SF.sort_array("qtys").alias("qtys_sorted"),
+        SF.round(
+            SF.aggregate(
+                SF.transform(SF.sort_array("qtys"), lambda q: q * 2),
+                SF.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            2,
+        ).alias("doubled_total"),
+        SF.size(SF.filter("qtys", lambda q: q > 25)).cast("long").alias("n_big"),
+    )
+
+
+@q(
     "rel_approx_distinct",
     None,
     doc="Approximate sketches (the 100-TB path for distinct counting): "
