@@ -76,6 +76,14 @@ def _main(argv: list[str] | None = None) -> int:
         spec = provider.describe()
         print(f"destination: {spec['name']}")
         print(f"streams: {', '.join(spec['streams'])}")
+        creds = spec.get("connectionCredentials") or {}
+        required = set(creds.get("required", []))
+        if creds.get("properties"):
+            print("credentials:")
+            for name, prop in creds["properties"].items():
+                mark = "*" if name in required else " "
+                desc = f" — {prop['description']}" if prop.get("description") else ""
+                print(f"  {mark} {name}: {prop.get('type', 'any')}{desc}")
         return 0
 
     if args.command == "streams":

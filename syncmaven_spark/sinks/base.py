@@ -120,6 +120,9 @@ class DestinationProvider(ABC):
     """A destination connector (describe / streams / start-stream)."""
 
     name: str = "base"
+    #: JSON Schema for connection credentials — the reference's describe →
+    #: spec payload (sync.ts:405-415, std.ts:62-70)
+    credentials_schema: dict[str, Any] = {"type": "object", "properties": {}}
 
     @abstractmethod
     def streams(self) -> list[StreamSpec]: ...
@@ -128,6 +131,7 @@ class DestinationProvider(ABC):
         return {
             "name": self.name,
             "streams": [s.name for s in self.streams()],
+            "connectionCredentials": self.credentials_schema,
         }
 
     def stream_spec(self, stream_name: str) -> StreamSpec:

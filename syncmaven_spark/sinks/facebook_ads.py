@@ -170,6 +170,11 @@ class FacebookAudienceStream(BatchingOutputStream):
 @register("facebook-ads")
 class FacebookAdsDestination(DestinationProvider):
     name = "facebook-ads"
+    credentials_schema = {
+        "type": "object",
+        "properties": {"accessToken": {"type": "string"}, "accountId": {"type": "string"}},
+        "required": ["accessToken", "accountId"],
+    }
 
     def streams(self) -> list[StreamSpec]:
         return [StreamSpec(name="audience", row_type=AUDIENCE_ROW_TYPE)]

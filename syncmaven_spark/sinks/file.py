@@ -48,6 +48,11 @@ class FileOutputStream(OutputStream):
 @register("file")
 class FileDestination(DestinationProvider):
     name = "file"
+    credentials_schema = {
+        "type": "object",
+        "properties": {"filename": {"type": "string", "description": "output NDJSON file path"},
+                        "directory": {"type": "string", "description": "scale mode: partition-parallel output dir"}},
+    }
 
     def streams(self) -> list[StreamSpec]:
         return [StreamSpec(name="raw", row_type=ANY_OBJECT_SCHEMA)]

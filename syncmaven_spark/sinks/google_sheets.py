@@ -163,6 +163,12 @@ class GoogleSheetsStream(OutputStream):
 @register("google-sheets")
 class GoogleSheetsDestination(DestinationProvider):
     name = "google-sheets"
+    credentials_schema = {
+        "type": "object",
+        "properties": {"spreadsheetId": {"type": "string"},
+                        "serviceAccountKey": {"type": ["object", "string"]}},
+        "required": ["spreadsheetId"],
+    }
 
     def __init__(self) -> None:
         self._live: dict[tuple[str, str], GoogleSheetsStream] = {}

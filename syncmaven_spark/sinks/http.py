@@ -170,6 +170,19 @@ class HttpBatchStream(BatchingOutputStream, _HttpBase):
 @register("http")
 class HttpDestination(DestinationProvider):
     name = "http"
+    credentials_schema = {
+        "type": "object",
+        "properties": {
+            "url": {"type": "string"},
+            "method": {"type": "string", "enum": ["GET", "POST", "PUT", "DELETE"]},
+            "format": {"type": "string", "enum": ["json", "array", "ndjson"]},
+            "body": {"type": ["string", "object"], "description": "json-format body template with [RESULT_ROWS]/[RESULT_ROW]/[RESULT_LENGTH] macros"},
+            "headers": {"type": "array", "items": {"type": "string"}},
+            "batchSize": {"type": "integer", "default": 1},
+            "timeout": {"type": "integer", "default": 10000},
+        },
+        "required": ["url"],
+    }
 
     def streams(self) -> list[StreamSpec]:
         return [StreamSpec(name="default", row_type=ANY_OBJECT_SCHEMA)]

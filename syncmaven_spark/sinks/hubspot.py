@@ -319,6 +319,11 @@ class HubspotCompaniesStream(_BaseHubspotStream):
 @register("hubspot")
 class HubspotDestination(DestinationProvider):
     name = "hubspot"
+    credentials_schema = {
+        "type": "object",
+        "properties": {"accessToken": {"type": "string", "description": "HubSpot API access token"}},
+        "required": ["accessToken"],
+    }
 
     def streams(self) -> list[StreamSpec]:
         return [

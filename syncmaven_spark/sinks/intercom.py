@@ -243,6 +243,11 @@ class IntercomCompaniesStream(OutputStream):
 @register("intercom")
 class IntercomDestination(DestinationProvider):
     name = "intercom"
+    credentials_schema = {
+        "type": "object",
+        "properties": {"accessToken": {"type": "string", "description": "Intercom API access token"}},
+        "required": ["accessToken"],
+    }
 
     def streams(self) -> list[StreamSpec]:
         return [

@@ -255,6 +255,15 @@ class MixpanelAdDataStream(OutputStream):
 @register("mixpanel")
 class MixpanelDestination(DestinationProvider):
     name = "mixpanel"
+    credentials_schema = {
+        "type": "object",
+        "properties": {"projectToken": {"type": "string"},
+                        "residency": {"type": "string", "enum": ["US", "EU"]},
+                        "batchSize": {"type": "integer", "default": 2000},
+                        "lookbackWindow": {"type": "integer", "default": 2},
+                        "initialSyncDays": {"type": "integer", "default": 30}},
+        "required": ["projectToken"],
+    }
 
     def streams(self) -> list[StreamSpec]:
         return [StreamSpec(name="AdData", row_type=ADDATA_ROW_TYPE)]

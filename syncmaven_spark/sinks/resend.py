@@ -132,6 +132,11 @@ class ResendAudienceStream(OutputStream):
 @register("resend")
 class ResendDestination(DestinationProvider):
     name = "resend"
+    credentials_schema = {
+        "type": "object",
+        "properties": {"apiKey": {"type": "string", "description": "Resend API key"}},
+        "required": ["apiKey"],
+    }
 
     def streams(self) -> list[StreamSpec]:
         return [StreamSpec(name="audience", row_type=AUDIENCE_ROW_TYPE)]

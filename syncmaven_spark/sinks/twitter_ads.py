@@ -164,6 +164,13 @@ class TwitterAudienceStream(BatchingOutputStream):
 @register("twitter-ads")
 class TwitterAdsDestination(DestinationProvider):
     name = "twitter-ads"
+    credentials_schema = {
+        "type": "object",
+        "properties": {"consumerKey": {"type": "string"}, "consumerSecret": {"type": "string"},
+                        "accessToken": {"type": "string"}, "accessTokenSecret": {"type": "string"},
+                        "accountId": {"type": "string"}},
+        "required": ["consumerKey", "consumerSecret", "accessToken", "accessTokenSecret", "accountId"],
+    }
 
     def streams(self) -> list[StreamSpec]:
         return [StreamSpec(name="audience", row_type=AUDIENCE_ROW_TYPE)]

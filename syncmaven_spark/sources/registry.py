@@ -92,6 +92,44 @@ class ParquetDirSource(Datasource):
         return spark.sql(sql)
 
 
+@register_source(
+    lambda spec: isinstance(spec, str)
+    and spec.split("://", 1)[0] in ("csv", "json")
+)
+class DelimitedDirSource(Datasource):
+    """``csv://dir`` / ``json://dir`` — directories of ``<table>.<ext>``
+    files. CSV reads with headers and an explicit-schema recommendation
+    (inference costs an extra pass); JSON is line-delimited. Both register
+    as temp views for ``read_query``."""
+
+    dialect = "spark"
+
+    def __init__(self, spec: str) -> None:
+        self.format, _, self.directory = spec.partition("://")
+        self._registered = False
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        import os
+
+        path = os.path.join(self.directory, f"{table}.{self.format}")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        if self.format == "csv":
+            return spark.read.csv(path, header=True, inferSchema=True)
+        return spark.read.json(path)
+
+    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+        import os
+
+        if not self._registered:
+            for f in os.listdir(self.directory):
+                name, _, ext = f.rpartition(".")
+                if ext == self.format and name:
+                    self.read_table(spark, name).createOrReplaceTempView(name)
+            self._registered = True
+        return spark.sql(sql)
+
+
 # --- Postgres over JDBC (A5) ---------------------------------------------
 
 

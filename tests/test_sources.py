@@ -87,3 +87,34 @@ def test_generic_spark_roundtrip():
     assert spark_to_generic(T.TimestampNTZType()) == "date"
     assert spark_to_generic(T.DecimalType(10, 2)) == "float"
     assert spark_to_generic(T.ArrayType(T.StringType())) == "string"
+
+
+def test_csv_json_sources(spark, tmp_path):
+    import json as _json
+
+    csv_dir = tmp_path / "csvsrc"
+    csv_dir.mkdir()
+    (csv_dir / "people.csv").write_text("id,name\n1,ada\n2,bob\n")
+    ds = create_datasource(f"csv://{csv_dir}")
+    assert ds.read_table(spark, "people").count() == 2
+    q = ds.read_query(spark, "select count(*) as n from people where id > 1")
+    assert q.first().n == 1
+
+    json_dir = tmp_path / "jsonsrc"
+    json_dir.mkdir()
+    with open(json_dir / "events.json", "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({"e": i, "kind": "x"}) + "\n")
+    dj = create_datasource(f"json://{json_dir}")
+    assert dj.read_table(spark, "events").count() == 3
+    with pytest.raises(FileNotFoundError):
+        dj.read_table(spark, "nope")
+
+
+def test_describe_includes_credentials_schema():
+    from syncmaven_spark.sinks import get_destination
+
+    spec = get_destination("mixpanel").describe()
+    creds = spec["connectionCredentials"]
+    assert "projectToken" in creds["properties"]
+    assert "projectToken" in creds.get("required", [])
