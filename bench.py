@@ -51,7 +51,10 @@ def _force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None  # non-'sfN' directory name — still benchmark, unlabeled
 
     from syncmaven_spark import get_spark
     from syncmaven_spark.queries import CATALOG

@@ -28,25 +28,30 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
+            escaped = path.replace("'", "''")
             con.execute(
-                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{escaped}')"
             )
     return con
 
 
-def _norm(v: Any) -> Any:
+def _norm(v: Any, digits: int | None = None) -> Any:
     if isinstance(v, Decimal):
-        return float(v)
+        v = float(v)
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v
     if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
         return v
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # with a tolerance active, round before sorting so both sides order
+        # identically and pairwise zip-compare doesn't mispair near-equal rows
+        return round(v, digits) if digits is not None else v
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        return tuple(_norm(x, digits) for x in v)
     return v
 
 
@@ -89,13 +94,18 @@ def compare(
             f"row count mismatch: spark={len(spark_data)} oracle={len(oracle_data)}",
         )
 
+    digits = None
+    if float_tol > 0:
+        digits = max(0, math.ceil(-math.log10(float_tol)))
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     o_order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
     s_rows = sorted(
-        (tuple(_norm(r[i]) for i in order) for r in spark_data), key=_sortable
+        (tuple(_norm(r[i], digits) for i in order) for r in spark_data),
+        key=_sortable,
     )
     o_rows = sorted(
-        (tuple(_norm(r[i]) for i in o_order) for r in oracle_data), key=_sortable
+        (tuple(_norm(r[i], digits) for i in o_order) for r in oracle_data),
+        key=_sortable,
     )
 
     diffs = []
@@ -114,16 +124,13 @@ def compare(
     return ParityResult(name, True, len(s_rows), len(o_rows))
 
 
-def _close(a: tuple, b: tuple, tol: float) -> bool:
-    if len(a) != len(b):
-        return False
-    for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, float):
-            if not math.isclose(x, y, rel_tol=tol, abs_tol=tol):
-                return False
-        elif x != y:
-            return False
-    return True
+def _close(a, b, tol: float) -> bool:
+    """Tolerance compare, recursing into nested tuples (array columns)."""
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_close(x, y, tol) for x, y in zip(a, b))
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=tol, abs_tol=tol)
+    return a == b
 
 
 def run_all(spark, sf_dir: str, names: list[str] | None = None) -> list[ParityResult]:

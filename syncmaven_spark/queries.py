@@ -474,8 +474,10 @@ def rel_running_sum(spark, sf_dir):
 
 @q(
     "rel_set_ops",
-    "SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 45 "
-    "EXCEPT SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F' "
+    # explicit parens: DuckDB binds INTERSECT tighter than EXCEPT, so the
+    # unparenthesized form would mean A EXCEPT (B INTERSECT C)
+    "(SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 45 "
+    "EXCEPT SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F') "
     "INTERSECT SELECT o_orderkey AS okey FROM orders",
     doc="Set ops (§2D): EXCEPT/INTERSECT distinct — orders with a high-"
     "quantity line that are not in final status.",
@@ -494,8 +496,8 @@ def rel_set_ops(spark, sf_dir):
         .select(F.col("o_orderkey").alias("okey"))
     )
     all_orders = t["orders"].select(F.col("o_orderkey").alias("okey"))
-    # EXCEPT and INTERSECT are distinct set semantics (subtract/intersect),
-    # left-associative — NOT bag semantics (exceptAll).
+    # distinct set semantics (subtract/intersect), NOT bag (exceptAll);
+    # grouping matches the parenthesized oracle: (A EXCEPT B) INTERSECT C
     return hi_qty.subtract(final).intersect(all_orders)
 
 
@@ -918,28 +920,26 @@ def rel_correlated_scalar_subquery(spark, sf_dir):
 )
 def fn_array_functions(spark, sf_dir):
     t = _t(spark, sf_dir)
-    import pyspark.sql.functions as SF
-
     grouped = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(SF.collect_list("l_quantity").alias("qtys"))
+        .agg(F.collect_list("l_quantity").alias("qtys"))
     )
     # order-insensitive outputs only: collect_list order is partition-
     # dependent in both engines, so the fold runs over the sorted array
     return grouped.select(
         "l_orderkey",
-        SF.size("qtys").cast("long").alias("n_lines"),
-        SF.sort_array("qtys").alias("qtys_sorted"),
-        SF.round(
-            SF.aggregate(
-                SF.transform(SF.sort_array("qtys"), lambda q: q * 2),
-                SF.lit(0.0),
+        F.size("qtys").cast("long").alias("n_lines"),
+        F.sort_array("qtys").alias("qtys_sorted"),
+        F.round(
+            F.aggregate(
+                F.transform(F.sort_array("qtys"), lambda q: q * 2),
+                F.lit(0.0),
                 lambda acc, v: acc + v,
             ),
             2,
         ).alias("doubled_total"),
-        SF.size(SF.filter("qtys", lambda q: q > 25)).cast("long").alias("n_big"),
+        F.size(F.filter("qtys", lambda q: q > 25)).cast("long").alias("n_big"),
     )
 
 
@@ -1037,11 +1037,18 @@ def join_range_bands(spark, sf_dir):
 )
 def rel_pivot(spark, sf_dir):
     t = _t(spark, sf_dir)
-    return (
+    pivoted = (
         t["events"]
         .groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase"])
-        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0)), 2))
+        .agg(F.round(F.sum("value"), 2))
+    )
+    # coalesce must run AFTER the pivot: missing (user, type) cells are
+    # filled with NULL by PivotFirst post-aggregation, so a coalesce inside
+    # the agg expression never sees them
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in ("click", "view", "purchase")],
     )
 
 

@@ -217,3 +217,46 @@ def test_hubspot_429_transparent_retry():
     out.handle_row({"id": 1, "email": "a@b.c"})
     assert out.stats.success == 1
     assert client.objects["contacts"]  # created after the transparent retry
+
+
+def test_pivot_missing_cells_match_oracle(spark, tmp_path):
+    """A user lacking one event type must yield 0 (not NULL) on both sides —
+    the sf0.001/sf0.01 testdata never exercises this cell."""
+    import duckdb
+
+    from syncmaven_spark.oracle import compare
+    from syncmaven_spark.queries import CATALOG
+
+    rows = [
+        (1, "click", 5.0), (1, "view", 2.0),  # user 1 has NO purchase
+        (2, "click", 1.0), (2, "view", 3.0), (2, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("events")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    qd = CATALOG["rel_pivot"]
+    # _pivot mirrors the catalog's Spark side over the shadowing temp view
+    result = compare("rel_pivot", _pivot(spark), con, qd.oracle)
+    assert result.ok, result.detail
+    # the previously-buggy cell: user 1 has no purchases → 0.0, not NULL
+    row = {r.user_id: r.purchase for r in _pivot(spark).collect()}
+    assert row[1] == 0.0
+
+
+def _pivot(spark):
+    from pyspark.sql import functions as F
+
+    pivoted = (
+        spark.table("events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in ("click", "view", "purchase")],
+    )
