@@ -944,6 +944,26 @@ def fn_array_functions(spark, sf_dir):
 
 
 @q(
+    "rel_explode_unnest",
+    "SELECT l_orderkey, unnest(list_sort(qtys)) AS qty FROM "
+    "(SELECT l_orderkey, list(l_quantity) AS qtys FROM lineitem "
+    "WHERE l_orderkey < 500 GROUP BY l_orderkey)",
+    doc="Explode/unnest — the table-generating (UDTF) surface (§2D): "
+    "1 row → N rows from an array column.",
+    tags=("functions", "explode", "udtf"),
+)
+def rel_explode_unnest(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 500)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("qtys"))
+        .select("l_orderkey", F.explode("qtys").alias("qty"))
+    )
+
+
+@q(
     "rel_approx_distinct",
     None,
     doc="Approximate sketches (the 100-TB path for distinct counting): "
