@@ -15,6 +15,10 @@ from syncmaven_spark.operators.dedup import (  # noqa: F401
     simhash,
     simhash_near_dups,
 )
+from syncmaven_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    dedup_cluster_assignments,
+)
 from syncmaven_spark.operators.similarity import (  # noqa: F401
     cosine_pairs_exact,
     cosine_pairs_lsh,

@@ -1,0 +1,180 @@
+"""Distributed connected components — the dedup *clustering* step.
+
+LSH / SimHash candidate generation (operators/dedup.py) yields near-dup
+PAIRS; collapsing pairs into groups ("keep one doc per duplicate cluster")
+is a connected-components problem. The reference has no analogue (its dedup
+story stops at per-row idempotency keys, cf. mixpanel ``$insert_id``,
+``packages/connectors/mixpanel/types.go:73-95``); this is part of the
+training-data-pipeline extension surface.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the edge list
+itself is rewritten toward star graphs whose centers are component minima:
+
+- large-star(v): every neighbor u > v re-attaches to min(Γ(v) ∪ {v})
+- small-star(v): every neighbor u ≤ v (and v itself) attaches to that min
+
+Each phase is one groupBy (per-node min) + one join (re-attach), i.e. two
+shuffles keyed on node id; the edge multiset stays O(V + E). Convergence is
+provably O(log² V) rounds (a handful in practice — a 500-node chain takes
+~6). Naive min-label propagation is O(diameter) rounds on chains, and even
+label pointer-doubling degenerates there, because a node's label is by
+construction a *local minimum* whose own label improves only when plain
+relaxation crawls into it — measured: 76 rounds on the sf0.1 document
+graph vs 6 for star rewriting.
+
+Scale notes:
+- **Rounds are carried via a parquet round-trip, not
+  ``localCheckpoint``/``checkpoint``.** Measured on pyspark 4.1.2 (local
+  mode, AQE on or off), a checkpointed self-join loop still recomputes
+  both join sides from the checkpoint's parent every round — cost doubles
+  per iteration and dies around round 20 even on 1k rows. A parquet
+  write/read is a true lineage cut, costs ~0.1s/round locally, and is what
+  reliable checkpointing does on a cluster anyway (point ``work_dir`` at
+  shared storage there).
+- Convergence is detected with one (count, hash-sum) aggregate over the
+  canonicalized edge list per round — no row-level diff.
+- Skew: a giant component's center accumulates degree = component size.
+  large-star spreads re-attachment across many nodes (it only moves
+  larger-id neighbors), which is the paper's skew argument; AQE skew-join
+  handles the residue.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _roundtrip(df: DataFrame, path: str) -> DataFrame:
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: order-independent and cannot overflow under ANSI mode
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    ``edges`` is an undirected pair list; ``nodes`` (single-column, same id
+    type) optionally adds isolated vertices, which label themselves.
+    Returns ``(v, component)``. The final label table lives under
+    ``work_dir`` (a fresh temp dir by default) — the directory must outlive
+    the result's consumption.
+    """
+    work_dir = work_dir or tempfile.mkdtemp(prefix="cc_")
+
+    # canonical undirected form (a > b), self-loops dropped
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = _roundtrip(cur, f"{work_dir}/it_0")
+    prev_fp = _edge_fingerprint(cur)
+
+    final_it = 0
+    for it in range(1, max_iter + 1):
+        # --- large-star: neighbors u > v re-attach to min(Γ(v) ∪ {v}) ---
+        sym = cur.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
+            cur.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        mins = (
+            sym.groupBy("v")
+            .agg(F.min("u").alias("mn"))
+            .select("v", F.least("mn", "v").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "v")
+            .filter(F.col("u") > F.col("v"))
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+        # --- small-star: on (big → small) edges, small neighbors and the
+        # node itself attach to the minimum ---
+        smins = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss_leaves = (
+            ls.join(smins, "a")
+            .select(F.col("b").alias("node"), F.col("m").alias("m"))
+            .filter(F.col("node") != F.col("m"))
+        )
+        ss_self = smins.select(F.col("a").alias("node"), F.col("m").alias("m"))
+        nxt = (
+            ss_leaves.union(ss_self)
+            .select(
+                F.greatest("node", "m").alias("a"), F.least("node", "m").alias("b")
+            )
+            .distinct()
+        )
+
+        cur = _roundtrip(nxt, f"{work_dir}/it_{it}")
+        final_it = it
+        if it >= 2:
+            shutil.rmtree(f"{work_dir}/it_{it - 2}", ignore_errors=True)
+
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # at fixpoint ``cur`` is a union of stars: label(a) = b, centers and
+    # isolated vertices label themselves
+    labels = cur.groupBy(F.col("a").alias("v")).agg(F.min("b").alias("component"))
+    centers = (
+        cur.select(F.col("b").alias("v"))
+        .distinct()
+        .join(labels, "v", "left_anti")
+        .select("v", F.col("v").alias("component"))
+    )
+    out = labels.union(centers)
+    if nodes is not None:
+        vcol = nodes.columns[0]
+        isolated = (
+            nodes.select(F.col(vcol).alias("v"))
+            .distinct()
+            .join(out.select("v"), "v", "left_anti")
+            .select("v", F.col("v").alias("component"))
+        )
+        out = out.union(isolated)
+    out = _roundtrip(out, f"{work_dir}/labels")
+    if final_it >= 1:
+        shutil.rmtree(f"{work_dir}/it_{final_it - 1}", ignore_errors=True)
+    shutil.rmtree(f"{work_dir}/it_{final_it}", ignore_errors=True)
+    return out
+
+
+def dedup_cluster_assignments(
+    candidate_pairs: DataFrame,
+    all_ids: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup clusters from candidate pairs: ``(v, component, is_canonical)``.
+
+    The canonical (kept) doc per cluster is the minimum id — matching
+    ``exact_dedup``'s keep-lowest-id policy — so downstream "drop
+    duplicates" is ``filter(is_canonical)``.
+    """
+    cc = connected_components(candidate_pairs, id_a, id_b, nodes=all_ids)
+    return cc.withColumn("is_canonical", F.col("v") == F.col("component"))

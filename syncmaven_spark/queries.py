@@ -1831,6 +1831,53 @@ def text_tfidf_topterms(spark, sf_dir):
     )
 
 
+@q(
+    "graph_connected_components",
+    "WITH vals AS (SELECT DISTINCT lang, n_chars FROM documents), "
+    "islands AS (SELECT lang, n_chars, n_chars - row_number() OVER ("
+    "PARTITION BY lang ORDER BY n_chars) AS island FROM vals), "
+    "comp AS (SELECT d.doc_id, d.lang, i.island FROM documents d "
+    "JOIN islands i ON d.lang = i.lang AND d.n_chars = i.n_chars) "
+    "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, island) AS component "
+    "FROM comp",
+    doc="Distributed connected components (the dedup CLUSTERING step after "
+    "LSH pair generation): iterative min-label propagation with pointer "
+    "doubling, O(log diameter) rounds. The test graph links documents of "
+    "the same lang with equal-or-adjacent n_chars, whose components have a "
+    "closed form (gaps-and-islands) — so a genuinely iterative distributed "
+    "algorithm is hash-checked against an analytic SQL oracle. Star edges "
+    "to a per-(lang,n_chars) representative keep the edge list O(V), not "
+    "O(V^2) per group.",
+    tags=("graph", "dedup", "iterative", "llm"),
+)
+def graph_connected_components(spark, sf_dir):
+    from syncmaven_spark.operators.graph import connected_components
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].select("doc_id", "lang", "n_chars")
+    # representative (min doc_id) per (lang, n_chars) value
+    reps = d.groupBy("lang", "n_chars").agg(F.min("doc_id").alias("rep"))
+    # star edges: every doc → its value's representative (clique-equivalent
+    # connectivity with O(V) edges)
+    star = (
+        d.join(reps, ["lang", "n_chars"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    # chain edges: representative of value n → representative of value n+1
+    nxt = reps.select(
+        "lang",
+        (F.col("n_chars") - 1).alias("n_chars"),
+        F.col("rep").alias("rep_next"),
+    )
+    chain = reps.join(nxt, ["lang", "n_chars"]).select(
+        F.col("rep").alias("id_a"), F.col("rep_next").alias("id_b")
+    )
+    edges = star.union(chain)
+    cc = connected_components(edges, nodes=d.select("doc_id"))
+    return cc.select(F.col("v").alias("doc_id"), "component")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark_fn for name, qd in CATALOG.items()}
 

@@ -1,0 +1,98 @@
+"""Connected components: pointer-doubling label propagation vs a pure-Python
+union-find, plus convergence on adversarial (deep chain) graphs."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from syncmaven_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_assignments,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, v)
+    # second pass: find() roots are not necessarily min ids — recompute
+    members = {}
+    for v in range(n_nodes):
+        members.setdefault(find(v), []).append(v)
+    return {v: min(ms) for ms in members.values() for v in ms}
+
+
+def _cc_dict(spark, edges, n_nodes):
+    edges_df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        edges_df = edges_df.filter("id_a < 0")
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "v long")
+    out = connected_components(edges_df, nodes=nodes_df)
+    return {r["v"]: r["component"] for r in out.collect()}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = random.Random(42)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(150)  # sparse → many nontrivial components
+    ]
+    assert _cc_dict(spark, edges, n) == _union_find(n, edges)
+
+
+def test_deep_chain_converges(spark):
+    # a 300-node path has diameter 299: naive min-label propagation would
+    # need ~300 rounds; star rewriting must finish within the default
+    # max_iter=30 (measured: ~6 rounds)
+    n = 300
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _cc_dict(spark, edges, n)
+    assert got == {v: 0 for v in range(n)}
+
+
+def test_isolated_nodes_label_themselves(spark):
+    got = _cc_dict(spark, [(0, 1)], 4)
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3}
+
+
+def test_cluster_assignments_canonical_flag(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    out = dedup_cluster_assignments(pairs, ids)
+    rows = {r["v"]: (r["component"], r["is_canonical"]) for r in out.collect()}
+    assert rows[1] == (1, True)
+    assert rows[2] == (1, False)
+    assert rows[3] == (1, False)
+    assert rows[5] == (5, True)
+    assert rows[6] == (5, False)
+    assert rows[4] == (4, True)  # isolated
+    assert rows[7] == (7, True)
+
+
+def test_catalog_component_labels_are_members(spark):
+    # structural sanity at sf0.001 beyond the hash-parity test
+    from syncmaven_spark.queries import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    out = CATALOG["graph_connected_components"].spark_fn(spark, SF_SMOKE)
+    n_docs = out.count()
+    assert out.select("doc_id").distinct().count() == n_docs
+    # component label must itself be a member doc
+    labels = out.select(F.col("component").alias("doc_id")).distinct()
+    member = out.select("doc_id").distinct()
+    assert labels.join(member, "doc_id", "left_anti").count() == 0
