@@ -42,6 +42,8 @@ HEADLINE = [
     "text_lang_id",
     "join_asof_backward",
     "join_range_bands",
+    "graph_connected_components",
+    "dedup_cluster_pipeline",
 ]
 
 

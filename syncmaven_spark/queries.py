@@ -1878,6 +1878,33 @@ def graph_connected_components(spark, sf_dir):
     return cc.select(F.col("v").alias("doc_id"), "component")
 
 
+@q(
+    "dedup_cluster_pipeline",
+    None,
+    doc="End-to-end near-dup removal: MinHash signatures → LSH band "
+    "bucketing → candidate pairs → connected components → per-doc cluster "
+    "assignment with a keep-lowest-id canonical flag. The full 100-TB "
+    "dedup recipe in one lineage; rows-only (MinHash is not "
+    "SQL-expressible), cluster invariants asserted in tests.",
+    tags=("dedup", "graph", "pipeline", "llm"),
+)
+def dedup_cluster_pipeline(spark, sf_dir):
+    from syncmaven_spark.operators.dedup import minhash_lsh_candidates
+    from syncmaven_spark.operators.graph import dedup_cluster_assignments
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id").filter(
+        F.col("n_shared_bands") >= 2
+    )
+    assigned = dedup_cluster_assignments(pairs, docs.select("doc_id"))
+    return (
+        assigned.select(
+            F.col("v").alias("doc_id"), "component", "is_canonical"
+        ).orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark_fn for name, qd in CATALOG.items()}
 

@@ -84,6 +84,29 @@ def test_cluster_assignments_canonical_flag(spark):
     assert rows[7] == (7, True)
 
 
+def test_dedup_cluster_pipeline_invariants(spark):
+    from syncmaven_spark.queries import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    out = CATALOG["dedup_cluster_pipeline"].spark_fn(spark, SF_SMOKE).cache()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # every doc assigned exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # canonical ⇔ doc is its cluster's minimum
+    bad = out.filter(
+        (F.col("is_canonical") != (F.col("doc_id") == F.col("component")))
+    )
+    assert bad.count() == 0
+    # each cluster has exactly one canonical member, and it's the min id
+    per = out.groupBy("component").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.min("doc_id").alias("min_id"),
+    )
+    assert per.filter("n_canon != 1 OR component != min_id").count() == 0
+    out.unpersist()
+
+
 def test_catalog_component_labels_are_members(spark):
     # structural sanity at sf0.001 beyond the hash-parity test
     from syncmaven_spark.queries import CATALOG
