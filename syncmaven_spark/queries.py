@@ -1879,6 +1879,36 @@ def graph_connected_components(spark, sf_dir):
 
 
 @q(
+    "rel_tumbling_window",
+    "SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type, "
+    "count(*) AS n, round(sum(value), 2) AS total_value "
+    "FROM events GROUP BY win_start, event_type",
+    doc="Tumbling event-time window aggregation (batch form of the "
+    "Structured Streaming windowed_event_counts operator — §2D streaming "
+    "line): epoch-aligned 15-minute buckets, one map-side-combinable "
+    "shuffle. Spark's window() and DuckDB's time_bucket() agree on "
+    "epoch-multiple alignment for minute-granularity intervals.",
+    tags=("window", "timeseries", "streaming"),
+)
+def rel_tumbling_window(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@q(
     "dedup_cluster_pipeline",
     None,
     doc="End-to-end near-dup removal: MinHash signatures → LSH band "
