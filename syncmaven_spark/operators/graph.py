@@ -42,6 +42,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -75,10 +76,17 @@ def connected_components(
     ``edges`` is an undirected pair list; ``nodes`` (single-column, same id
     type) optionally adds isolated vertices, which label themselves.
     Returns ``(v, component)``. The final label table lives under
-    ``work_dir`` (a fresh temp dir by default) — the directory must outlive
-    the result's consumption.
+    ``work_dir`` — the directory must outlive the result's consumption.
+    When ``work_dir`` is not supplied, a fresh temp dir is used and removed
+    at interpreter exit (callers that need the result to outlive the
+    process must pass their own directory). Raises ``RuntimeError`` if the
+    edge rewriting has not reached fixpoint within ``max_iter`` rounds —
+    a non-fixpoint edge list is not a union of stars, so label extraction
+    would silently under-merge components.
     """
-    work_dir = work_dir or tempfile.mkdtemp(prefix="cc_")
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="cc_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
 
     # canonical undirected form (a > b), self-loops dropped
     cur = (
@@ -93,6 +101,7 @@ def connected_components(
     prev_fp = _edge_fingerprint(cur)
 
     final_it = 0
+    converged = prev_fp[0] == 0  # no edges → already a (trivial) fixpoint
     for it in range(1, max_iter + 1):
         # --- large-star: neighbors u > v re-attach to min(Γ(v) ∪ {v}) ---
         sym = cur.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
@@ -135,8 +144,15 @@ def connected_components(
 
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach fixpoint in {max_iter} "
+            "rounds; labels would be wrong (under-merged). Raise max_iter."
+        )
 
     # at fixpoint ``cur`` is a union of stars: label(a) = b, centers and
     # isolated vertices label themselves

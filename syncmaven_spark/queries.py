@@ -1841,8 +1841,10 @@ def text_tfidf_topterms(spark, sf_dir):
     "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, island) AS component "
     "FROM comp",
     doc="Distributed connected components (the dedup CLUSTERING step after "
-    "LSH pair generation): iterative min-label propagation with pointer "
-    "doubling, O(log diameter) rounds. The test graph links documents of "
+    "LSH pair generation): alternating large-star/small-star edge "
+    "rewriting (Kiveris et al.), O(log^2 V) rounds — label propagation "
+    "variants degenerate to O(diameter) on chains. The test graph links "
+    "documents of "
     "the same lang with equal-or-adjacent n_chars, whose components have a "
     "closed form (gaps-and-islands) — so a genuinely iterative distributed "
     "algorithm is hash-checked against an analytic SQL oracle. Star edges "
@@ -1886,8 +1888,10 @@ def graph_connected_components(spark, sf_dir):
     doc="Tumbling event-time window aggregation (batch form of the "
     "Structured Streaming windowed_event_counts operator — §2D streaming "
     "line): epoch-aligned 15-minute buckets, one map-side-combinable "
-    "shuffle. Spark's window() and DuckDB's time_bucket() agree on "
-    "epoch-multiple alignment for minute-granularity intervals.",
+    "shuffle. Alignment caveat: Spark window() anchors at the 1970 epoch, "
+    "DuckDB time_bucket() at 2000-01-01 — they agree only for intervals "
+    "that divide the 946,684,800 s offset between the two origins "
+    "(15 min does; e.g. 7 min does not).",
     tags=("window", "timeseries", "streaming"),
 )
 def rel_tumbling_window(spark, sf_dir):

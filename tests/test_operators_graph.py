@@ -24,12 +24,7 @@ def _union_find(n_nodes, edges):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    # min id per component
-    comp = {}
-    for v in range(n_nodes):
-        r = find(v)
-        comp.setdefault(r, v)
-    # second pass: find() roots are not necessarily min ids — recompute
+    # find() roots are not necessarily min ids — label by member minimum
     members = {}
     for v in range(n_nodes):
         members.setdefault(find(v), []).append(v)
@@ -63,6 +58,16 @@ def test_deep_chain_converges(spark):
     edges = [(i, i + 1) for i in range(n - 1)]
     got = _cc_dict(spark, edges, n)
     assert got == {v: 0 for v in range(n)}
+
+
+def test_raises_when_max_iter_too_small(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(edges, max_iter=1)
 
 
 def test_isolated_nodes_label_themselves(spark):

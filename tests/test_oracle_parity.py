@@ -26,6 +26,17 @@ def test_query_matches_oracle(spark, con, name):
     assert result.ok, result.detail
 
 
+def test_queries_md_in_sync():
+    from syncmaven_spark.inventory import QUERIES_MD_PATH, render_inventory
+
+    with open(QUERIES_MD_PATH) as f:
+        on_disk = f.read()
+    assert on_disk == render_inventory(), (
+        "QUERIES.md is stale — regenerate with "
+        "`python -m syncmaven_spark.inventory`"
+    )
+
+
 def test_all_queries_return_rows(spark):
     for name, qd in CATALOG.items():
         df = qd.spark_fn(spark, SF_CORRECTNESS)
