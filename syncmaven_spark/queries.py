@@ -1881,6 +1881,57 @@ def graph_connected_components(spark, sf_dir):
 
 
 @q(
+    "rel_unpivot",
+    "SELECT * FROM (UNPIVOT ("
+    "SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey_d "
+    "FROM orders WHERE o_orderkey < 100) "
+    "ON o_totalprice, o_custkey_d INTO NAME metric VALUE val)",
+    doc="Unpivot/melt — wide→long reshaping (§2D, the inverse of "
+    "rel_pivot): Spark's unpivot generates an Expand node, one row per "
+    "value column, no shuffle at all.",
+    tags=("reshape", "unpivot"),
+)
+def rel_unpivot(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_custkey").cast("double").alias("o_custkey_d"),
+        )
+        .unpivot(
+            ids=["o_orderkey"],
+            values=["o_totalprice", "o_custkey_d"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+    )
+
+
+@q(
+    "fn_json_map_explode",
+    "SELECT event_id, k AS key, "
+    "CAST(json_extract(props, '$.\"'||k||'\"') AS INT) AS val "
+    "FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)",
+    doc="Semi-structured fan-out: JSON object column → from_json map → "
+    "explode to (key, value) rows (§2D array/map/json line). The parse and "
+    "explode are JVM-side; the schema is declared, not inferred.",
+    tags=("functions", "json", "explode"),
+)
+def fn_json_map_explode(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.explode(F.from_json("props", "map<string,int>")).alias("key", "val"),
+        )
+    )
+
+
+@q(
     "rel_tumbling_window",
     "SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start, event_type, "
     "count(*) AS n, round(sum(value), 2) AS total_value "
