@@ -1813,7 +1813,10 @@ def text_tfidf_topterms(spark, sf_dir):
     tokens = t["documents"].select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # persisted: tf feeds both the DF aggregate and the scoring join —
+    # without it Catalyst re-expands the lineage and tokenizes the corpus
+    # twice (visible as a second Scan+Generate in the physical plan)
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = t["documents"].count()  # scalar — one number to the driver
     scored = tf.join(F.broadcast(df_), "word").select(
