@@ -1884,6 +1884,36 @@ def graph_connected_components(spark, sf_dir):
 
 
 @q(
+    "agg_string_concat_ordered",
+    "SELECT o_orderpriority, "
+    "string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys "
+    "FROM (SELECT * FROM orders WHERE o_orderkey < 1000) "
+    "GROUP BY o_orderpriority",
+    doc="Ordered string aggregation (listagg/string_agg §2D): deterministic "
+    "via explicit within-group ordering — collect_list is unordered in a "
+    "distributed engine, so the sort happens on the collected array "
+    "(sort_array), never via a global orderBy.",
+    tags=("agg", "string"),
+)
+def agg_string_concat_ordered(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 1000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("keys")
+        )
+    )
+
+
+@q(
     "rel_unpivot",
     "SELECT * FROM (UNPIVOT ("
     "SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey_d "
