@@ -94,13 +94,14 @@ class ParquetDirSource(Datasource):
 
 @register_source(
     lambda spec: isinstance(spec, str)
-    and spec.split("://", 1)[0] in ("csv", "json")
+    and spec.split("://", 1)[0] in ("csv", "json", "orc")
 )
 class DelimitedDirSource(Datasource):
-    """``csv://dir`` / ``json://dir`` — directories of ``<table>.<ext>``
-    files. CSV reads with headers and an explicit-schema recommendation
-    (inference costs an extra pass); JSON is line-delimited. Both register
-    as temp views for ``read_query``."""
+    """``csv://dir`` / ``json://dir`` / ``orc://dir`` — directories of
+    ``<table>.<ext>`` files. CSV reads with headers and an explicit-schema
+    recommendation (inference costs an extra pass); JSON is line-delimited;
+    ORC is columnar with the same pushdown/pruning story as parquet. All
+    register as temp views for ``read_query``."""
 
     dialect = "spark"
 
@@ -116,6 +117,8 @@ class DelimitedDirSource(Datasource):
             raise FileNotFoundError(path)
         if self.format == "csv":
             return spark.read.csv(path, header=True, inferSchema=True)
+        if self.format == "orc":
+            return spark.read.orc(path)
         return spark.read.json(path)
 
     def read_query(self, spark: SparkSession, sql: str) -> DataFrame:

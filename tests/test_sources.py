@@ -111,6 +111,22 @@ def test_csv_json_sources(spark, tmp_path):
         dj.read_table(spark, "nope")
 
 
+def test_orc_source_roundtrip_with_pushdown(spark, tmp_path):
+    orc_dir = tmp_path / "orcsrc"
+    orc_dir.mkdir()
+    spark.range(100).selectExpr("id", "id * 2 AS doubled").write.orc(
+        str(orc_dir / "nums.orc")
+    )
+    ds = create_datasource(f"orc://{orc_dir}")
+    df = ds.read_table(spark, "nums")
+    assert df.count() == 100
+    q = ds.read_query(spark, "select sum(doubled) as s from nums where id < 10")
+    assert q.first().s == 90
+    # filter reaches the ORC scan
+    plan = df.filter("id < 10")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), LessThan(id,10)]" in plan
+
+
 def test_describe_includes_credentials_schema():
     from syncmaven_spark.sinks import get_destination
 
