@@ -1884,6 +1884,36 @@ def graph_connected_components(spark, sf_dir):
 
 
 @q(
+    "win_rank_family",
+    "SELECT o_orderkey, o_orderpriority, "
+    "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+    "round(percent_rank() OVER w, 6) AS prnk, "
+    "round(cume_dist() OVER w, 6) AS cdist "
+    "FROM orders WHERE o_orderkey < 2000 "
+    "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)",
+    doc="Ranking-function family (rank / dense_rank / percent_rank / "
+    "cume_dist) over one named window — §2D window line; all four share a "
+    "single sort within the partition.",
+    tags=("window", "rank"),
+)
+def win_rank_family(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+    )
+
+
+@q(
     "agg_string_concat_ordered",
     "SELECT o_orderpriority, "
     "string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys "
