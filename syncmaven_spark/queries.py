@@ -1883,6 +1883,47 @@ def graph_connected_components(spark, sf_dir):
     return cc.select(F.col("v").alias("doc_id"), "component")
 
 
+_LATERAL_TOP2 = (
+    "SELECT c_custkey, t.o_orderkey, t.o_totalprice "
+    "FROM customer, LATERAL ("
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_custkey = c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"
+)
+
+
+@q(
+    "rel_lateral_topn",
+    _LATERAL_TOP2,
+    doc="Correlated LATERAL subquery with per-row LIMIT (top-2 orders per "
+    "customer) — §2D subquery/lateral line. Catalyst decorrelates this "
+    "into a window-ranked join (same physical plan family as "
+    "rel_topk_per_group), not a per-row re-execution.",
+    tags=("subquery", "lateral", "topk"),
+)
+def rel_lateral_topn(spark, sf_dir):
+    _t(spark, sf_dir)
+    return spark.sql(_LATERAL_TOP2)
+
+
+@q(
+    "agg_bool_and_or",
+    "SELECT event_type, bool_and(value > 1) AS all_hi, "
+    "bool_or(value > 99) AS any_vhi, count(*) AS n "
+    "FROM events GROUP BY event_type",
+    doc="Boolean aggregates (every/any) — §2D aggregation line; NULL "
+    "values are skipped by both engines' bool_and/bool_or.",
+    tags=("agg", "boolean"),
+)
+def agg_bool_and_or(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 1).alias("all_hi"),
+        F.bool_or(F.col("value") > 99).alias("any_vhi"),
+        F.count("*").alias("n"),
+    )
+
+
 @q(
     "win_rank_family",
     "SELECT o_orderkey, o_orderpriority, "
