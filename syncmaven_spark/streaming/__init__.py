@@ -1,6 +1,7 @@
 """Structured Streaming execution paths."""
 
 from syncmaven_spark.streaming.incremental import (  # noqa: F401
+    dedup_within_watermark,
     run_streaming_sync,
     windowed_event_counts,
 )

@@ -93,6 +93,29 @@ def run_streaming_sync(
     return totals
 
 
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the incremental counterpart of
+    ``operators.exact_dedup``: drop re-deliveries of the same key arriving
+    within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes it, so state size is bounded by the horizon × key
+    arrival rate — the property that makes exactly-once-per-key feasible on
+    an unbounded stream (plain ``dropDuplicates`` on a stream grows state
+    forever). Complements the at-least-once batch sync path, which gets
+    idempotency from sink-side keys (hubspot external_id, mixpanel
+    ``$insert_id``) instead.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

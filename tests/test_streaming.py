@@ -73,6 +73,33 @@ def test_streaming_sync_applies_transform_and_validation(spark, tmp_path):
     assert totals["success"] == 2  # transform dropped one; null value row passes (any-schema)
 
 
+def test_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered keys within the watermark horizon are dropped once."""
+    from syncmaven_spark.streaming import dedup_within_watermark
+
+    src = str(tmp_path / "dup_events")
+    # ids 0..9 delivered twice at nearby timestamps
+    spark.sql(
+        "select cast(id % 10 as long) as event_id, "
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts, "
+        "cast(id as double) as value from range(20)"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select event_id from dedup_stream").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == list(range(10))
+
+
 def test_windowed_event_counts_plan(spark, tmp_path):
     """Watermark + tumbling window compiles and runs via availableNow."""
     src = str(tmp_path / "events")
