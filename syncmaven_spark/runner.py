@@ -30,7 +30,7 @@ import logging
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from syncmaven_spark.cursor import (
@@ -342,37 +342,52 @@ def run_sync_distributed(
         )
 
     first_chunk = True
-    for chunk_df, _hi in chunk_iter:
-        # persist the validated chunk: the count aggregate and the delivery
-        # pass share one evaluation of the scan + validation UDF (and the
-        # counts can't diverge from what is written if the source moves)
-        tagged = with_validation_column(chunk_df, spec.row_type).persist()
+    for chunk_idx, (chunk_df, _hi) in enumerate(chunk_iter):
         agg_cols = [
-            F.count("*").alias("total"),
+            F.count(F.lit(1)).alias("total"),
             F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
         ]
         if cursor_col:
             agg_cols.append(F.max(cursor_col).alias("max_cursor"))
-        counts = tagged.agg(*agg_cols).first()
-        n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
-        if n_total == 0:
-            tagged.unpersist()
-            continue
+        tagged = with_validation_column(chunk_df, spec.row_type)
+
+        if is_file:
+            # observe(): the row/validity counts and the cursor max ride the
+            # write action itself — ONE evaluation of the scan + validation
+            # UDF per chunk (no persist, no separate aggregate job), and the
+            # counts cannot diverge from what was written if the source
+            # moves between jobs
+            obs = Observation(f"chunk_{chunk_idx}")
+            tagged = tagged.observe(obs, *agg_cols)
+            valid = tagged.filter(F.col("_valid")).drop("_valid")
+            write_ndjson_distributed(
+                valid, out_dir, mode="overwrite" if first_chunk else "append"
+            )
+            counts = obs.get  # resolves when the write's job completes
+            n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
+            if n_total == 0:
+                # the write saw zero rows — keep first_chunk/checkpoint
+                # semantics identical to a skipped chunk
+                continue
+        else:
+            # foreachPartition is RDD-backed: observed metrics never reach
+            # the listener (measured — obs.get blocks forever), so this
+            # path pays one persisted pre-count instead
+            tagged = tagged.persist()
+            try:
+                counts = tagged.agg(*agg_cols).first()
+                n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
+                if n_total == 0:
+                    continue
+                valid = tagged.filter(F.col("_valid")).drop("_valid")
+                _foreach_partition_deliver(valid, provider, sync, first_chunk)
+            finally:
+                tagged.unpersist()
+
         threshold.success(n_valid)
         threshold.fail(n_total - n_valid)
         total_stats.received += n_total
         total_stats.skipped += n_total - n_valid
-
-        valid = tagged.filter(F.col("_valid")).drop("_valid")
-        try:
-            if is_file:
-                write_ndjson_distributed(
-                    valid, out_dir, mode="overwrite" if first_chunk else "append"
-                )
-            else:
-                _foreach_partition_deliver(valid, provider, sync, first_chunk)
-        finally:
-            tagged.unpersist()
         total_stats.success += n_valid
 
         if cursor_col and counts["max_cursor"] is not None:
