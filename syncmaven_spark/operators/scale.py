@@ -42,6 +42,52 @@ def salted_join(
     return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")
 
 
+_MERGE = {
+    "count": F.sum,  # partial counts re-aggregate by summing
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    factor: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for low-cardinality / hot grouping keys.
+
+    ``aggs`` maps output column → ``(fn, input_col)`` with fn in
+    count/sum/min/max (the decomposable aggregates). Phase 1 groups by
+    ``(keys, salt)`` so a hot key's rows spread over ``factor`` reducers;
+    phase 2 merges the ``factor`` partials per key. Results are identical
+    to a direct ``groupBy(keys)`` — only the shuffle layout changes.
+
+    Note Spark's hash aggregate already does map-side partial combining,
+    which covers most skew; the explicit salt matters when phase-1 groups
+    are too many to combine in map memory (e.g. high-cardinality secondary
+    keys) or when a single reducer's merged partials still dominate.
+    """
+    unsupported = [f for f, _ in aggs.values() if f not in _MERGE]
+    if unsupported:
+        raise ValueError(f"non-decomposable aggregate(s): {unsupported}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(factor))
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            *[
+                (F.count(c) if fn == "count" else getattr(F, fn)(c)).alias(out)
+                for out, (fn, c) in aggs.items()
+            ]
+        )
+    )
+    return phase1.groupBy(*key_cols).agg(
+        *[_MERGE[fn](out).alias(out) for out, (fn, _) in aggs.items()]
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -1883,6 +1883,41 @@ def graph_connected_components(spark, sf_dir):
     return cc.select(F.col("v").alias("doc_id"), "component")
 
 
+@q(
+    "rel_skew_salted_agg",
+    "SELECT event_type, count(value) AS n_vals, round(sum(value), 2) AS total, "
+    "round(min(value), 4) AS lo, round(max(value), 4) AS hi "
+    "FROM events GROUP BY event_type",
+    doc="Skew-safe two-phase aggregation: event_type has ~5 hot values, so "
+    "a direct groupBy lands on ~5 reducers at 100 TB; salting spreads each "
+    "key over 16 partial groups, then merges partials (sum-of-counts, "
+    "sum/min/max of partials). Result provably equals the direct GROUP BY "
+    "— the oracle IS the unsalted query.",
+    tags=("agg", "skew", "scale"),
+)
+def rel_skew_salted_agg(spark, sf_dir):
+    from syncmaven_spark.operators.scale import salted_aggregate
+
+    t = _t(spark, sf_dir)
+    out = salted_aggregate(
+        t["events"],
+        ["event_type"],
+        {
+            "n_vals": ("count", "value"),
+            "total": ("sum", "value"),
+            "lo": ("min", "value"),
+            "hi": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_vals",
+        F.round("total", 2).alias("total"),
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+    )
+
+
 _LATERAL_TOP2 = (
     "SELECT c_custkey, t.o_orderkey, t.o_totalprice "
     "FROM customer, LATERAL ("

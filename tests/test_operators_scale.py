@@ -72,3 +72,34 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+@pytest.fixture()
+def hotkeys(spark):
+    # 3 keys, one carrying 90% of rows; v is NULL every 7th row so count(v)
+    # vs count(*) semantics are exercised
+    return spark.sql(
+        "select case when id % 10 < 9 then 'HOT' else concat('k', id % 2) end as k, "
+        "case when id % 7 = 0 then null else cast(id as double) end as v "
+        "from range(2000)"
+    )
+
+
+def test_salted_aggregate_matches_direct_groupby(spark, hotkeys):
+    from syncmaven_spark.operators.scale import salted_aggregate
+
+    got = salted_aggregate(
+        hotkeys, ["k"], {"n": ("count", "v"), "s": ("sum", "v"), "mx": ("max", "v")},
+        factor=4,
+    )
+    want = hotkeys.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark, hotkeys):
+    from syncmaven_spark.operators.scale import salted_aggregate
+
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_aggregate(hotkeys, ["k"], {"a": ("avg", "v")})
