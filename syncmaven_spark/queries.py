@@ -981,6 +981,26 @@ def rel_approx_distinct(spark, sf_dir):
 
 
 @q(
+    "rel_approx_percentiles",
+    None,
+    doc="Approximate percentiles via the Greenwald-Khanna sketch "
+    "(percentile_approx, accuracy 1/10000) — the 100-TB path for "
+    "quantiles: mergeable per-partition sketches, no global sort, vs the "
+    "exact percentile_cont in rel_percentiles which must see all values "
+    "per group. Accuracy vs exact asserted in tests.",
+    tags=("agg", "approx", "percentile"),
+)
+def rel_approx_percentiles(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_pcts"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
     "join_asof_backward",
     "SELECT p.event_id, p.user_id, p.ts, "
     "c.event_id AS right_event_id, round(c.value, 2) AS right_value FROM "
