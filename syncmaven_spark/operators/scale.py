@@ -72,16 +72,15 @@ def salted_aggregate(
     unsupported = [f for f, _ in aggs.values() if f not in _MERGE]
     if unsupported:
         raise ValueError(f"non-decomposable aggregate(s): {unsupported}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(factor))
+    # rand(seed), NOT a content hash: duplicate rows (the classic skew
+    # case) must land on different salts. rand is deterministic per
+    # (partition, row offset) for a fixed input partitioning, so task
+    # retries regenerate the same salts.
+    salt = F.floor(F.rand(0x5A17) * factor).cast("long")
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
-        .agg(
-            *[
-                (F.count(c) if fn == "count" else getattr(F, fn)(c)).alias(out)
-                for out, (fn, c) in aggs.items()
-            ]
-        )
+        .agg(*[getattr(F, fn)(c).alias(out) for out, (fn, c) in aggs.items()])
     )
     return phase1.groupBy(*key_cols).agg(
         *[_MERGE[fn](out).alias(out) for out, (fn, _) in aggs.items()]

@@ -1806,6 +1806,9 @@ def text_vocab_topk(spark, sf_dir):
     )
 
 
+_TFIDF_CACHE: list[DataFrame] = []
+
+
 @q(
     "text_tfidf_topterms",
     "WITH tokens AS ("
@@ -1835,8 +1838,13 @@ def text_tfidf_topterms(spark, sf_dir):
     ).filter(F.col("word") != "")
     # persisted: tf feeds both the DF aggregate and the scoring join —
     # without it Catalyst re-expands the lineage and tokenizes the corpus
-    # twice (visible as a second Scan+Generate in the physical plan)
+    # twice (visible as a second Scan+Generate in the physical plan).
+    # Re-invocations in one session unpersist the previous call's cache so
+    # repeated bench/parity runs hold at most one cached copy.
+    while _TFIDF_CACHE:
+        _TFIDF_CACHE.pop().unpersist()
     tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
+    _TFIDF_CACHE.append(tf)
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = t["documents"].count()  # scalar — one number to the driver
     scored = tf.join(F.broadcast(df_), "word").select(

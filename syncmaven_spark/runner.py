@@ -357,6 +357,11 @@ def run_sync_distributed(
             # UDF per chunk (no persist, no separate aggregate job), and the
             # counts cannot diverge from what was written if the source
             # moves between jobs
+            if first_chunk and tagged.isEmpty():
+                # probe BEFORE the destructive overwrite: an empty first
+                # chunk must leave the previous run's output untouched
+                # (append-mode chunks below are harmless on empty input)
+                continue
             obs = Observation(f"chunk_{chunk_idx}")
             tagged = tagged.observe(obs, *agg_cols)
             valid = tagged.filter(F.col("_valid")).drop("_valid")
@@ -366,7 +371,7 @@ def run_sync_distributed(
             counts = obs.get  # resolves when the write's job completes
             n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
             if n_total == 0:
-                # the write saw zero rows — keep first_chunk/checkpoint
+                # the append saw zero rows — keep first_chunk/checkpoint
                 # semantics identical to a skipped chunk
                 continue
         else:

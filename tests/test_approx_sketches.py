@@ -41,3 +41,31 @@ def test_percentile_approx_close_to_exact(spark):
         .first()
     )
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_grouped_approx_percentiles_close_to_exact(spark):
+    """Backs rel_approx_percentiles' accuracy claim: per-group GK sketch at
+    accuracy 10000 vs exact interpolated percentiles."""
+    from syncmaven_spark.queries import CATALOG
+    from syncmaven_spark.session import load_tables
+
+    load_tables(spark, SF_CORRECTNESS)
+    approx = {
+        r["o_orderpriority"]: r["approx_pcts"]
+        for r in CATALOG["rel_approx_percentiles"]
+        .spark_fn(spark, SF_CORRECTNESS)
+        .collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["pcts"]
+        for r in spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("pcts")
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for grp in approx:
+        for a, e in zip(approx[grp], exact[grp]):
+            assert abs(a - e) / e < 0.02, (grp, a, e)

@@ -76,10 +76,10 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 
 @pytest.fixture()
 def hotkeys(spark):
-    # 3 keys, one carrying 90% of rows; v is NULL every 7th row so count(v)
-    # vs count(*) semantics are exercised
+    # one hot key (90% of rows) + a 3-key cold tail; v is NULL every 7th
+    # row so count(v) vs count(*) semantics are exercised
     return spark.sql(
-        "select case when id % 10 < 9 then 'HOT' else concat('k', id % 2) end as k, "
+        "select case when id % 10 < 9 then 'HOT' else concat('k', id % 3) end as k, "
         "case when id % 7 = 0 then null else cast(id as double) end as v "
         "from range(2000)"
     )
