@@ -2157,6 +2157,518 @@ def dedup_cluster_pipeline(spark, sf_dir):
     )
 
 
+# =========================================================================
+# H. TPC-H-analog relational suite (decision-support shapes over the
+# reduced star schema — the "any single SELECT" contract of SURVEY §2A
+# exercised end-to-end through Catalyst)
+# =========================================================================
+
+
+@q(
+    "rel_order_priority_counts",
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority",
+    doc="TPC-H Q4-shaped: EXISTS decorrelated to a left-semi join with a "
+    "non-equi conjunct, then a 5-group agg. Semi join keeps the orders "
+    "side unexpanded (no fanout, no distinct needed).",
+    tags=("join", "semi", "exists", "agg"),
+)
+def rel_order_priority_counts(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
+    "rel_volume_shipping",
+    "SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue "
+    "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume "
+    "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+    "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+    "GROUP BY supp_nation, cust_nation, l_year",
+    doc="TPC-H Q7-shaped: bi-directional nation-pair trade volume by ship "
+    "year. The two nation lookups are independent broadcast joins against "
+    "the same 25-row dim under different aliases; the disjunctive pair "
+    "filter lands after both are attached.",
+    tags=("join", "star", "agg", "self-alias"),
+)
+def rel_volume_shipping(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "rel_market_share",
+    "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) "
+    "/ sum(volume), 4) AS mkt_share "
+    "FROM (SELECT year(o_orderdate) AS o_year, "
+    "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "JOIN region ON n1.n_regionkey = r_regionkey "
+    "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "WHERE r_name = 'ASIA' AND p_type = 'PROMO') "
+    "GROUP BY o_year",
+    doc="TPC-H Q8-shaped market share: one supplier nation's fraction of "
+    "regional PROMO revenue per order year — conditional-sum ratio over a "
+    "6-dim snowflake join, every dim broadcast, single fact shuffle for "
+    "the final 7-group agg.",
+    tags=("join", "star", "agg", "ratio"),
+)
+def rel_market_share(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    cust_nation = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    promo_parts = t["part"].filter(F.col("p_type") == "PROMO")
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(asia), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "rel_product_profit",
+    "SELECT nation, o_year, round(sum(amount), 2) AS sum_profit "
+    "FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+    "l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE p_name LIKE '%red%') "
+    "GROUP BY nation, o_year",
+    doc="TPC-H Q9-shaped product-profit rollup (supply cost approximated "
+    "from p_retailprice — the reduced schema has no partsupp): LIKE-filtered "
+    "part dim broadcast, profit expression computed pre-shuffle so the agg "
+    "is map-side combinable on (nation, year).",
+    tags=("join", "star", "agg", "like"),
+)
+def rel_product_profit(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    red_parts = t["part"].filter(F.col("p_name").like("%red%"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@q(
+    "rel_top_value_parts",
+    "SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value "
+    "FROM lineitem GROUP BY l_partkey "
+    "HAVING sum(l_extendedprice * (1 - l_discount)) > "
+    "(SELECT sum(l_extendedprice * (1 - l_discount)) * 0.00065 FROM lineitem)",
+    doc="TPC-H Q11-shaped: per-part value filtered against a global-total "
+    "scalar subquery. Spark side computes the grand total once and applies "
+    "it as a broadcast scalar (cross-join of a 1-row agg) — no second "
+    "shuffle of the fact. Threshold margin verified ≫ float ulps at sf0.01.",
+    tags=("agg", "having", "scalar-subquery"),
+)
+def rel_top_value_parts(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = t["lineitem"].groupBy("l_partkey").agg(F.sum(vol).alias("_v"))
+    total = t["lineitem"].agg((F.sum(vol) * F.lit(0.00065)).alias("_threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_v") > F.col("_threshold"))
+        .select("l_partkey", F.round("_v", 2).alias("part_value"))
+    )
+
+
+@q(
+    "rel_customer_distribution",
+    "SELECT c_count, count(*) AS custdist FROM "
+    "(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey "
+    "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+    "GROUP BY c_count",
+    doc="TPC-H Q13-shaped: left outer join with the filter in the join "
+    "condition (zero-order customers survive with c_count=0), then a "
+    "distribution-of-counts double aggregate.",
+    tags=("join", "outer", "agg", "histogram"),
+)
+def rel_customer_distribution(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "rel_promo_revenue",
+    "SELECT round(100 * sum(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+    "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'",
+    doc="TPC-H Q14-shaped promo-revenue percentage: conditional-sum ratio "
+    "to a single scalar row; part dim broadcast, month filter pushed to "
+    "the parquet scan.",
+    tags=("join", "agg", "ratio"),
+)
+def rel_promo_revenue(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@q(
+    "rel_top_supplier",
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+    "JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)",
+    doc="TPC-H Q15-shaped top supplier: quarterly per-supplier revenue CTE "
+    "reused twice (group + its own max). The rounded revenue is what the "
+    "max equality compares, so both engines agree exactly. Spark reuses "
+    "one aggregated DataFrame for both branches (no recompute of the "
+    "fact scan thanks to the tiny 100-row agg output).",
+    tags=("cte", "agg", "scalar-subquery", "join"),
+)
+def rel_top_supplier(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(vol), 2).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "rel_small_qty_revenue",
+    "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand = 'Brand#23' AND l_quantity < "
+    "(SELECT 0.5 * avg(l_quantity) FROM lineitem l2 "
+    "WHERE l2.l_partkey = lineitem.l_partkey)",
+    doc="TPC-H Q17-shaped small-quantity revenue: correlated per-part avg "
+    "decorrelated to a groupBy + broadcast join (the per-part avg table is "
+    "part-cardinality small). Quantities are integer-valued doubles, so "
+    "the avg is order-independent and the `<` boundary is exact on both "
+    "engines.",
+    tags=("join", "correlated", "agg"),
+)
+def rel_small_qty_revenue(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("_half_avg_qty")
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "rel_large_orders",
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+    "sum_qty FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty "
+    "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey",
+    doc="TPC-H Q18-shaped large-volume orders: HAVING-filtered order "
+    "quantity rollup (exact — integer-valued doubles) joined back to "
+    "orders and customer. The filtered agg output is tiny, so both "
+    "follow-up joins broadcast it rather than shuffling the dims.",
+    tags=("agg", "having", "join"),
+)
+def rel_large_orders(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@q(
+    "rel_disjunctive_pred",
+    "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 "
+    "AND l_quantity BETWEEN 20 AND 30)",
+    doc="TPC-H Q19-shaped disjunctive predicate over join output: three "
+    "brand/size/quantity bands OR-ed together. The brand IN-superset is "
+    "derivable, but Catalyst keeps the residual disjunction post-join; "
+    "part stays broadcast so only one fact pass happens either way.",
+    tags=("join", "filter", "disjunction"),
+)
+def rel_disjunctive_pred(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    band = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@q(
+    "rel_sole_late_supplier",
+    "SELECT s_name, count(*) AS numwait FROM supplier "
+    "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "WHERE o_orderstatus = 'F' "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate) "
+    "GROUP BY s_name",
+    doc="TPC-H Q21-shaped sole-late-supplier (commitdate-free analog: the "
+    "strictly-latest ship line in multi-supplier finished orders): "
+    "EXISTS → left-semi and NOT EXISTS → left-anti self-joins on the fact, "
+    "both with non-equi conjuncts, then supplier rollup. The two "
+    "self-joins reuse the same l_orderkey shuffle partitioning.",
+    tags=("join", "semi", "anti", "self-join", "agg"),
+)
+def rel_sole_late_supplier(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    fin = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("ok3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    )
+    multi = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        l3,
+        (F.col("l_orderkey") == F.col("ok3"))
+        & (F.col("l_suppkey") != F.col("sk3"))
+        & (F.col("sd3") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@q(
+    "rel_global_sales_opportunity",
+    "SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal "
+    "FROM (SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal "
+    "FROM customer WHERE c_acctbal > "
+    "(SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) "
+    "GROUP BY cntrycode",
+    doc="TPC-H Q22-shaped global sales opportunity (cntrycode taken from "
+    "the customer-name digits — the reduced schema has no phone): "
+    "above-average balances with no orders, NOT EXISTS as a left-anti "
+    "join, global-avg scalar broadcast.",
+    tags=("anti", "scalar-subquery", "agg", "substring"),
+)
+def rel_global_sales_opportunity(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    rich = (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+    )
+    no_orders = rich.join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.select(
+            F.substring("c_name", 17, 2).alias("cntrycode"), "c_acctbal"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark_fn for name, qd in CATALOG.items()}
 
