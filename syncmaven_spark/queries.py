@@ -2669,6 +2669,131 @@ def rel_global_sales_opportunity(spark, sf_dir):
     )
 
 
+@q(
+    "ts_ohlc_resample",
+    "SELECT user_id, day, max(CASE WHEN rn_a = 1 THEN value END) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    "max(CASE WHEN rn_d = 1 THEN value END) AS close, count(*) AS n_ticks "
+    "FROM (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value, "
+    "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) "
+    "ORDER BY ts, event_id) AS rn_a, "
+    "row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) "
+    "ORDER BY ts DESC, event_id DESC) AS rn_d "
+    "FROM events WHERE value IS NOT NULL) "
+    "GROUP BY user_id, day",
+    doc="Time-series resample to per-user daily OHLC bars: open/close are "
+    "deterministic first/last via min_by/max_by over the unique (ts, "
+    "event_id) struct — one shuffle on (user, day), no window pass needed "
+    "on the Spark side (the oracle spells the same semantics with "
+    "row_number). High/low/count are plain aggregates; no float "
+    "arithmetic, so values compare exactly.",
+    tags=("timeseries", "agg", "argmin"),
+)
+def ts_ohlc_resample(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    ticks = t["events"].filter(F.col("value").isNotNull())
+    order = F.struct("ts", "event_id")
+    return (
+        ticks.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+@q(
+    "agg_heavy_hitters",
+    "SELECT user_id, count(*) AS n_events, "
+    "round(count(*) / (SELECT count(*) FROM events), 4) AS share "
+    "FROM events GROUP BY user_id "
+    "HAVING count(*) > (SELECT count(*) * 0.008 FROM events)",
+    doc="Frequent-items / heavy-hitters: users holding > 0.8% of all "
+    "events. Two aggregates over one fact pass — the grand total is a "
+    "broadcast scalar; per-key counts are map-side combinable, so the "
+    "heavy keys emerge without materializing light ones driver-side. "
+    "Counts are exact ints; the share division is identical on both "
+    "engines.",
+    tags=("agg", "having", "scalar-subquery", "llm"),
+)
+def agg_heavy_hitters(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    total = ev.agg(F.count("*").alias("_total"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .join(F.broadcast(total))
+        .filter(F.col("n_events") > F.col("_total") * F.lit(0.008))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("_total"), 4).alias("share"),
+        )
+    )
+
+
+@q(
+    "text_ngram_freq",
+    "SELECT trigram, count(*) AS n FROM "
+    "(SELECT unnest(list_transform(range(1, length(lower(text)) - 1), "
+    "i -> substring(lower(text), i, 3))) AS trigram "
+    "FROM documents WHERE length(text) >= 3) "
+    "GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20",
+    doc="Character-trigram frequency over the corpus (the n-gram feature "
+    "step behind language-ID and shingle fingerprints): generate trigram "
+    "arrays JVM-side with a higher-order transform over sequence(1, "
+    "len-2) — no Python UDF — explode, count, deterministic top-20. At "
+    "scale the explode multiplies rows ~len×, but partial aggregation "
+    "collapses them before the single shuffle.",
+    tags=("text", "ngram", "topk", "llm"),
+)
+def text_ngram_freq(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.length("text") >= 3)
+        .select(F.lower("text").alias("lt"))
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))")
+            ).alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(20)
+    )
+
+
+@q(
+    "embedding_centroids",
+    "SELECT label, pos, round(avg(val), 4) + 0.0 AS avg_val FROM "
+    "(SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, "
+    "unnest(embedding) AS val FROM embeddings) "
+    "GROUP BY label, pos",
+    doc="Per-label embedding centroids (the k-means / IVF "
+    "centroid-update step): posexplode the vector column and average "
+    "per (label, dimension) — one map-side-combinable shuffle keyed by "
+    "(label, pos), so at 100 TB each executor reduces its local vectors "
+    "to label×dim partial sums before exchanging anything. Rounded to "
+    "absorb summation-order ulps; `+ 0.0` collapses IEEE -0.0 to +0.0 on "
+    "both engines so near-zero centroids can't diverge in sign-of-zero.",
+    tags=("embedding", "agg", "llm"),
+)
+def embedding_centroids(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("avg_val"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark_fn for name, qd in CATALOG.items()}
 
