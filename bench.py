@@ -44,6 +44,11 @@ HEADLINE = [
     "join_range_bands",
     "graph_connected_components",
     "dedup_cluster_pipeline",
+    "rel_market_share",
+    "rel_sole_late_supplier",
+    "ts_ohlc_resample",
+    "text_ngram_freq",
+    "embedding_centroids",
 ]
 
 
