@@ -2794,6 +2794,97 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+@q(
+    "text_decontamination",
+    "WITH tok AS (SELECT doc_id, source, "
+    "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, source, "
+    "unnest(list_transform(range(1, len(toks) - 6), "
+    "i -> array_to_string(toks[i:i+7], ' '))) AS shingle "
+    "FROM tok WHERE len(toks) >= 8) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(DISTINCT a.shingle) AS n_shared "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source "
+    "GROUP BY doc_a, doc_b",
+    doc="Training-data decontamination: document pairs from different "
+    "sources sharing at least one exact 8-token shingle (the standard "
+    "benchmark-overlap check). Shingles are generated JVM-side "
+    "(slice + array_join under a higher-order transform), and the "
+    "self-join shuffles on the shingle hash — at 100 TB each shingle "
+    "bucket is tiny, so the join never materializes a cross product; "
+    "the source< ordering halves the pair space and kills self-matches.",
+    tags=("text", "dedup", "contamination", "join", "llm"),
+)
+def text_decontamination(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 8)
+    )
+    sh = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' '))"
+            )
+        ).alias("shingle"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.shingle").alias("n_shared"))
+    )
+
+
+@q(
+    "text_char_entropy",
+    "SELECT f.doc_id, round(-sum((n / t) * log2(n / t)), 4) AS char_entropy "
+    "FROM (SELECT doc_id, c, count(*) AS n FROM "
+    "(SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) + 1), "
+    "i -> substring(lower(text), i, 1))) AS c FROM documents) GROUP BY doc_id, c) f "
+    "JOIN (SELECT doc_id, length(lower(text)) AS t FROM documents) tot "
+    "ON f.doc_id = tot.doc_id "
+    "GROUP BY f.doc_id",
+    doc="Per-document character-level Shannon entropy — a cheap quality / "
+    "gibberish signal (low entropy = repetitive filler, high = noise). "
+    "Char frequencies via split-explode (JVM-side), total length as a "
+    "window-free broadcast of the per-doc length, entropy as one "
+    "grouped sum. Rounded to absorb summation-order ulps.",
+    tags=("text", "quality", "entropy", "llm"),
+)
+def text_char_entropy(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    ch = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    freq = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = t["documents"].select(
+        "doc_id", F.length(F.lower("text")).alias("t")
+    )
+    p = F.col("n") / F.col("t")
+    return (
+        freq.join(F.broadcast(tot), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark_fn for name, qd in CATALOG.items()}
 
