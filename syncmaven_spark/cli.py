@@ -57,6 +57,16 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     describe.add_argument("package")
 
+    explain = sub.add_parser(
+        "explain",
+        help="print the formatted physical plan of a project model or a "
+        "catalog query (q:<name>)",
+    )
+    explain.add_argument("project_dir", nargs="?", help="project directory "
+                         "(omit when explaining a q:<name> catalog query)")
+    explain.add_argument("model", help="model name, or q:<catalog query name>")
+    explain.add_argument("--sf-dir", default=None)
+
     return p
 
 
@@ -102,6 +112,31 @@ def _main(argv: list[str] | None = None) -> int:
     sf_dir = args.sf_dir
     if sf_dir:
         load_tables(spark, sf_dir)
+
+    if args.command == "explain":
+        # the perf loop: check PushedFilters / WholeStageCodegen spans /
+        # join strategies before trusting a plan at scale
+        if args.model.startswith("q:"):
+            from syncmaven_spark.queries import CATALOG
+
+            name = args.model[2:]
+            if name not in CATALOG:
+                print(f"unknown catalog query {name!r}")
+                return 1
+            df = CATALOG[name].spark_fn(spark, sf_dir or "/root/testdata/sf0.001")
+        else:
+            if not args.project_dir:
+                print("explain requires a project_dir for model queries")
+                return 1
+            project = read_project(args.project_dir)
+            if args.model not in project.models:
+                print(f"unknown model {args.model!r}; known: {sorted(project.models)}")
+                return 1
+            from syncmaven_spark.runner import compile_model
+
+            df = spark.sql(compile_model(project.models[args.model], None))
+        df.explain("formatted")
+        return 0
 
     if args.command == "preview":
         project = read_project(args.project_dir)

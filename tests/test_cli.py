@@ -71,3 +71,28 @@ def test_sync_failure_isolated_nonzero_exit(tmp_path, capsys, spark):
     rc = cli.main(["sync", str(tmp_path), "--state", "memory://"])
     assert rc == 1
     assert "FAILED" in capsys.readouterr().out
+
+
+def test_explain_catalog_query(capsys, spark):
+    rc = cli.main(
+        ["explain", "q:rel_pricing_summary", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out  # the filter reached the parquet scan
+
+    assert cli.main(["explain", "q:no_such_query"]) == 1
+
+
+def test_explain_project_model(tmp_path, capsys, spark):
+    (tmp_path / "models").mkdir()
+    (tmp_path / "syncs").mkdir()
+    (tmp_path / "models" / "ev.sql").write_text(
+        "select event_id, ts from events where event_id >= 10"
+    )
+    rc = cli.main(
+        ["explain", str(tmp_path), "ev", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    assert "Physical Plan" in capsys.readouterr().out
