@@ -1,0 +1,80 @@
+"""Physical-plan hygiene across the catalog — the automated version of
+"explain it before trusting it at scale".
+
+Asserts, for every declaratively-built catalog query:
+- no CartesianProduct anywhere;
+- BroadcastNestedLoopJoin only where a 1-row scalar broadcast is the
+  intended design (explicit allowlist — every name there joins a 1-row
+  aggregate with no key, which Spark can only express as a BNLJ);
+and, for flagship queries, that filters reach the parquet scan and
+dimension joins broadcast.
+"""
+
+import pytest
+
+from syncmaven_spark.queries import CATALOG
+
+from tests.conftest import SF_SMOKE
+
+# Queries whose *construction* already runs Spark jobs (iterative loops,
+# driver-trained centroids, chunk planning) — planning them isn't free, and
+# their inner steps are asserted by their own dedicated tests.
+EXECUTES_ON_BUILD = {
+    "graph_connected_components",
+    "dedup_cluster_pipeline",
+    "knn_cosine_ivf",
+}
+
+# 1-row scalar broadcasts: join of an aggregate total with no join key.
+SCALAR_BNLJ_OK = {
+    "rel_top_value_parts",
+    "rel_top_supplier",
+    "agg_heavy_hitters",
+    "rel_global_sales_opportunity",
+    "sync_validation_split_counts",
+    "sync_lookback_window",
+    "text_vocab_topk",
+    "text_tfidf_topterms",
+    # not a scalar, but an intended tiny-broadcast product: the brute-force
+    # ANN baseline joins the corpus against 8 broadcast query vectors with
+    # only a != condition — the O(corpus × queries) cost IS the baseline
+    "knn_cosine_bruteforce",
+}
+
+PLANNABLE = sorted(set(CATALOG) - EXECUTES_ON_BUILD)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", PLANNABLE)
+def test_no_accidental_product_joins(spark, name):
+    df = CATALOG[name].spark_fn(spark, SF_SMOKE)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_BNLJ_OK:
+        raise AssertionError(
+            f"{name}: BroadcastNestedLoopJoin outside the scalar-broadcast "
+            f"allowlist — at scale this is an O(n*m) join\n{plan[:2000]}"
+        )
+
+
+def test_pushdown_reaches_scan(spark):
+    plan = _physical_plan(CATALOG["rel_pricing_summary"].spark_fn(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # 2-column projection must not read the full lineitem width
+    plan = _physical_plan(CATALOG["rel_top_value_parts"].spark_fn(spark, SF_SMOKE))
+    scan = plan[plan.index("ReadSchema"):]
+    assert "l_partkey" in scan.split("\n")[0]
+    assert "l_shipdate" not in scan.split("\n")[0]
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("rel_shipping_priority", "rel_nation_revenue", "rel_market_share"):
+        plan = _physical_plan(CATALOG[name].spark_fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan or "lineitem" in plan, name
