@@ -76,7 +76,15 @@ def main() -> None:
     # warm the JVM/codegen once with a trivial action
     tables["region"].count()
 
+    # Per-query: one untimed warmup run (codegen compile + page-cache fill),
+    # then one timed run. Cold-vs-warm swings (observed 9-20 s on the
+    # iterative CC entry) otherwise dominate round-over-round comparisons;
+    # warm steady-state is the number that predicts cluster throughput.
+    # SPARK_GRAFT_BENCH_COLD=1 restores single-shot cold timings.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") != "1"
     for name in HEADLINE:
+        if warmup:
+            _force(CATALOG[name].spark_fn(spark, sf_dir))
         t0 = time.perf_counter()
         _force(CATALOG[name].spark_fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
