@@ -39,6 +39,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -110,6 +111,12 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
     # pin it here so LTZ values (e.g. the nanos-cast events.ts) and
     # epoch/date functions are deterministic regardless of the host session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Testdata parquet stores timestamps as timestamp[us] with
+    # isAdjustedToUTC=false; Spark 4 would infer TIMESTAMP_NTZ, which breaks
+    # LTZ-only functions (unix_micros) and diverges from the UTC-instant
+    # semantics the catalog + golden files assume. Under a UTC session the
+    # LTZ reading is value-identical to the naive wall clock DuckDB sees.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     tables = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
