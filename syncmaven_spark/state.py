@@ -177,15 +177,133 @@ class SqliteStore(StateStore):
         self._conn.close()
 
 
-def create_store(url_or_path: str | None) -> StateStore:
-    """Store selection mirroring ``sync.ts:112-124``: ``memory://`` → in-memory,
-    anything else → SQLite file in that directory (default ``.state``)."""
+class PostgresStore(StateStore):
+    """Postgres store mirroring ``packages/core/src/lib/store.ts:26-129``:
+    table ``syncmaven_store (key TEXT PRIMARY KEY, value TEXT)`` in the
+    schema named by the ``?schema=`` URL parameter (default ``syncmaven``),
+    same upsert and ``key LIKE 'prefix::%' OR key = prefix`` scan SQL.
+
+    The connection is any DB-API 2.0 connection with ``%s`` parameter style
+    (psycopg / psycopg2 / pg8000 — whichever is importable — or an injected
+    ``connection_factory`` for tests and custom pooling).
+    """
+
+    def __init__(self, url: str, connection_factory=None) -> None:
+        from urllib.parse import parse_qs, urlparse
+
+        parsed = urlparse(url)
+        self.schema = (
+            parse_qs(parsed.query).get("schema", ["syncmaven"])[0] or "syncmaven"
+        )
+        if not self.schema.replace("_", "").isalnum():
+            raise ValueError(f"invalid schema name: {self.schema!r}")
+        if connection_factory is not None:
+            self._conn = connection_factory(url)
+        else:
+            self._conn = self._connect(url)
+        self._lock = threading.Lock()
+        self._init_schema()
+
+    @staticmethod
+    def _connect(url: str):
+        try:
+            import psycopg  # type: ignore[import-not-found]
+
+            return psycopg.connect(url)
+        except ImportError:
+            pass
+        try:
+            import psycopg2  # type: ignore[import-not-found]
+
+            return psycopg2.connect(url)
+        except ImportError:
+            pass
+        raise NotImplementedError(
+            "PostgresStore needs a Postgres DB-API driver (psycopg or "
+            "psycopg2) or an explicit connection_factory"
+        )
+
+    def _init_schema(self) -> None:
+        # store.ts:38-45: search_path, create schema, create table
+        cur = self._conn.cursor()
+        cur.execute(f"SET search_path TO {self.schema}")
+        cur.execute(f"CREATE SCHEMA IF NOT EXISTS {self.schema}")
+        cur.execute(
+            "CREATE TABLE IF NOT EXISTS syncmaven_store "
+            "(key TEXT PRIMARY KEY, value TEXT)"
+        )
+        self._conn.commit()
+
+    def get(self, key: KeyLike) -> Any | None:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "SELECT value FROM syncmaven_store WHERE key = %s",
+                (stringify_key(key),),
+            )
+            row = cur.fetchone()
+        return json.loads(row[0]) if row else None
+
+    def set(self, key: KeyLike, value: Any) -> None:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "INSERT INTO syncmaven_store (key, value) VALUES (%s, %s) "
+                "ON CONFLICT (key) DO UPDATE SET value = excluded.value",
+                (stringify_key(key), json.dumps(value)),
+            )
+            self._conn.commit()
+
+    def delete(self, key: KeyLike) -> None:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "DELETE FROM syncmaven_store WHERE key = %s",
+                (stringify_key(key),),
+            )
+            self._conn.commit()
+
+    def stream(self, prefix: KeyLike) -> Iterator[tuple[str, Any]]:
+        p = stringify_key(prefix)
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "SELECT key, value FROM syncmaven_store "
+                "WHERE key LIKE %s OR key = %s ORDER BY key ASC",
+                (p + SEPARATOR + "%", p),
+            )
+            rows = cur.fetchall()
+        for k, v in rows:
+            yield k, json.loads(v)
+
+    def delete_by_prefix(self, prefix: KeyLike) -> None:
+        p = stringify_key(prefix)
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "DELETE FROM syncmaven_store WHERE key LIKE %s OR key = %s",
+                (p + SEPARATOR + "%", p),
+            )
+            self._conn.commit()
+
+    def size(self) -> int:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute("SELECT count(*) FROM syncmaven_store")
+            return cur.fetchone()[0]
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+def create_store(url_or_path: str | None, **kwargs) -> StateStore:
+    """Store selection mirroring ``sync.ts:112-124``: ``memory://`` →
+    in-memory, ``postgres(ql)://`` → PostgresStore, anything else → SQLite
+    file in that directory (default ``.state``)."""
     if not url_or_path or url_or_path == "memory://":
         return InMemoryStore()
-    if url_or_path.startswith("postgres://"):
-        raise NotImplementedError(
-            "PostgresStore requires a JDBC-side client; use sqlite or memory://"
-        )
+    if url_or_path.startswith(("postgres://", "postgresql://")):
+        return PostgresStore(url_or_path, **kwargs)
     if os.path.isdir(url_or_path) or not os.path.splitext(url_or_path)[1]:
         return SqliteStore(os.path.join(url_or_path, "store.sqlite"))
     return SqliteStore(url_or_path)

@@ -1,14 +1,64 @@
 """State store tests (reference: packages/core/src/lib/store.ts semantics)."""
 
+import sqlite3
+
 import pytest
 
-from syncmaven_spark.state import InMemoryStore, SqliteStore, create_store, stringify_key
+from syncmaven_spark.state import (
+    InMemoryStore,
+    PostgresStore,
+    SqliteStore,
+    create_store,
+    stringify_key,
+)
 
 
-@pytest.fixture(params=["memory", "sqlite"])
+class _PgShimCursor:
+    """DB-API cursor that executes PostgresStore's exact SQL against sqlite:
+    ``%s`` placeholders become ``?``; the two Postgres-only schema statements
+    (SET search_path / CREATE SCHEMA) are no-ops. Everything else —
+    CREATE TABLE, upsert ON CONFLICT, LIKE-prefix scans, count — runs
+    verbatim, so the statements themselves are what's under test."""
+
+    def __init__(self, conn: sqlite3.Connection) -> None:
+        self._cur = conn.cursor()
+
+    def execute(self, sql: str, params: tuple = ()) -> None:
+        if sql.startswith(("SET search_path", "CREATE SCHEMA")):
+            return
+        self._cur.execute(sql.replace("%s", "?"), params)
+
+    def fetchone(self):
+        return self._cur.fetchone()
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+
+class _PgShimConnection:
+    def __init__(self) -> None:
+        self._conn = sqlite3.connect(":memory:", check_same_thread=False)
+
+    def cursor(self) -> _PgShimCursor:
+        return _PgShimCursor(self._conn)
+
+    def commit(self) -> None:
+        self._conn.commit()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+def _pg_shim_store(url: str = "postgres://u@localhost/db") -> PostgresStore:
+    return PostgresStore(url, connection_factory=lambda _url: _PgShimConnection())
+
+
+@pytest.fixture(params=["memory", "sqlite", "postgres"])
 def store(request, tmp_path):
     if request.param == "memory":
         s = InMemoryStore()
+    elif request.param == "postgres":
+        s = _pg_shim_store()
     else:
         s = SqliteStore(str(tmp_path / "store.sqlite"))
     yield s
@@ -75,3 +125,28 @@ def test_create_store_dispatch(tmp_path):
     assert isinstance(create_store(None), InMemoryStore)
     assert isinstance(create_store("memory://"), InMemoryStore)
     assert isinstance(create_store(str(tmp_path)), SqliteStore)
+    pg = create_store(
+        "postgres://u@h/db",
+        connection_factory=lambda _url: _PgShimConnection(),
+    )
+    assert isinstance(pg, PostgresStore)
+    pg.close()
+
+
+def test_postgres_schema_from_url():
+    # store.ts:34: ?schema= URL param, default "syncmaven"
+    assert _pg_shim_store("postgres://u@h/db").schema == "syncmaven"
+    assert _pg_shim_store("postgres://u@h/db?schema=my_app").schema == "my_app"
+    with pytest.raises(ValueError):
+        _pg_shim_store("postgres://u@h/db?schema=bad-name;drop")
+
+
+def test_postgres_missing_driver_message():
+    for mod in ("psycopg", "psycopg2"):
+        try:
+            __import__(mod)
+            pytest.skip(f"{mod} installed — real connect would be attempted")
+        except ImportError:
+            pass
+    with pytest.raises(NotImplementedError, match="DB-API driver"):
+        PostgresStore("postgres://u@localhost/db")
