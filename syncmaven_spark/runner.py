@@ -411,12 +411,22 @@ def run_sync_distributed(
     )
 
 
-def _foreach_partition_deliver(
-    df: DataFrame, provider: DestinationProvider, sync: SyncDefinition, first: bool
+def deliver_partitions(
+    df: DataFrame,
+    provider: DestinationProvider,
+    stream_name: str,
+    credentials: dict[str, Any],
+    sync_id: str,
+    options: dict[str, Any],
+    restart: bool,
 ) -> None:
-    """One OutputStream per partition, executor-side (stateless sinks)."""
-    credentials = dict(sync.credentials)
-    stream_name, sync_id, options = sync.stream, sync.id, dict(sync.options)
+    """One OutputStream per partition, executor-side — the delivery path for
+    ``stateless`` sinks (http): rows never materialize on the driver; each
+    partition opens its own stream against an executor-local scratch store.
+    State-backed sinks (hubspot ID maps, audience last-synced caches) need
+    the driver-local store and belong on the collect path."""
+    credentials = dict(credentials)
+    options = dict(options)
 
     def deliver(rows) -> None:
         from syncmaven_spark.state import InMemoryStore
@@ -426,7 +436,7 @@ def _foreach_partition_deliver(
             credentials,
             sync_id,
             InMemoryStore(),  # executor-local scratch; stateless sinks only
-            restart=not first,
+            restart=restart,
             options=options,
         )
         for row in rows:
@@ -434,6 +444,15 @@ def _foreach_partition_deliver(
         out.finish()
 
     df.foreachPartition(deliver)
+
+
+def _foreach_partition_deliver(
+    df: DataFrame, provider: DestinationProvider, sync: SyncDefinition, first: bool
+) -> None:
+    deliver_partitions(
+        df, provider, sync.stream, sync.credentials, sync.id, sync.options,
+        restart=not first,
+    )
 
 
 def chunk_by_cursor_ranges(

@@ -123,6 +123,11 @@ class DestinationProvider(ABC):
     #: JSON Schema for connection credentials — the reference's describe →
     #: spec payload (sync.ts:405-415, std.ts:62-70)
     credentials_schema: dict[str, Any] = {"type": "object", "properties": {}}
+    #: True when output streams need no shared driver-side state (no ID maps,
+    #: no last-synced caches, no single local file): such sinks can be opened
+    #: one-per-partition on executors (``foreachPartition`` delivery) instead
+    #: of materializing batches on the driver.
+    stateless: bool = False
 
     @abstractmethod
     def streams(self) -> list[StreamSpec]: ...

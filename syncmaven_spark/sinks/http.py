@@ -170,6 +170,9 @@ class HttpBatchStream(BatchingOutputStream, _HttpBase):
 @register("http")
 class HttpDestination(DestinationProvider):
     name = "http"
+    # each request carries only its own batch — no cross-row driver state,
+    # so partitions can POST independently from executors
+    stateless = True
     credentials_schema = {
         "type": "object",
         "properties": {

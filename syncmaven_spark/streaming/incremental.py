@@ -37,6 +37,7 @@ def run_streaming_sync(
     checkpoint_dir: str,
     options: dict[str, Any] | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    executor_side: bool | None = None,
 ) -> dict[str, int]:
     """Incrementally sync a growing parquet directory into a destination.
 
@@ -44,7 +45,22 @@ def run_streaming_sync(
     interface as the batch runner; Spark's checkpoint tracks which source
     files were already processed (at-least-once into idempotent sinks, the
     same delivery contract as the reference).
+
+    Delivery is split by sink statefulness (``executor_side=None`` = auto):
+
+    - **stateless sinks** (``provider.stateless``, e.g. http): rows are
+      delivered with ``foreachPartition`` — one OutputStream per partition
+      on executors, nothing materializes on the driver, so micro-batch size
+      is bounded by executor memory, not driver memory;
+    - **state-backed sinks** (hubspot ID maps, audience caches, the
+      single-file NDJSON sink): rows are collected to the driver where the
+      shared store lives — correct but driver-bounded, exactly the
+      reference's own delivery model (one row at a time through one
+      process, sync.ts:493-573).
     """
+    from syncmaven_spark.runner import deliver_partitions
+    from syncmaven_spark.validate import with_validation_column
+
     provider = (
         destination
         if isinstance(destination, DestinationProvider)
@@ -53,6 +69,7 @@ def run_streaming_sync(
     spec = provider.stream_spec(stream)
     validator = RowValidator(spec.row_type)
     totals = {"received": 0, "success": 0, "skipped": 0, "failed": 0}
+    use_executor = provider.stateless if executor_side is None else executor_side
 
     reader = spark.readStream.schema(schema).parquet(source_dir)
     if transform is not None:
@@ -61,6 +78,33 @@ def run_streaming_sync(
     opened = {"n": 0}
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if use_executor:
+            # vectorized validation; one persisted pass feeds the counts
+            # aggregate and the partition-parallel delivery (observe() does
+            # not fire for RDD-backed foreachPartition — see runner.py)
+            tagged = with_validation_column(batch_df, spec.row_type).persist()
+            try:
+                counts = tagged.agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
+                ).first()
+                n_total = counts["total"] or 0
+                n_valid = counts["valid"] or 0
+                if n_total == 0:
+                    return
+                valid = tagged.filter(F.col("_valid")).drop("_valid")
+                deliver_partitions(
+                    valid, provider, stream, credentials, sync_id,
+                    options or {}, restart=opened["n"] > 0,
+                )
+            finally:
+                tagged.unpersist()
+            opened["n"] += 1
+            totals["received"] += n_total
+            totals["success"] += n_valid
+            totals["skipped"] += n_total - n_valid
+            return
+
         rows = [r.asDict(recursive=True) for r in batch_df.collect()]
         if not rows:
             return

@@ -123,3 +123,101 @@ def test_windowed_event_counts_plan(spark, tmp_path):
     rows = spark.sql("select * from win_counts").collect()
     assert sum(r.n for r in rows) == 30
     assert all(r.window.end > r.window.start for r in rows)
+
+
+def test_streaming_executor_side_delivery_for_stateless_sinks(spark, tmp_path):
+    """Stateless sinks deliver via foreachPartition on executors: one
+    OutputStream per partition, and the micro-batch is never collect()ed to
+    the driver (DataFrame.collect is patched to fail for the duration)."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import DataFrame
+    from syncmaven_spark.sinks.base import (
+        DestinationProvider,
+        OutputStream,
+        StreamSpec,
+    )
+    from syncmaven_spark.state import InMemoryStore
+
+    out_dir = tmp_path / "delivered"
+    out_dir.mkdir()
+
+    class RecordingStream(OutputStream):
+        def __init__(self, directory: str) -> None:
+            super().__init__()
+            self._directory = directory
+            self._rows = []
+
+        def handle_row(self, row):
+            self.stats.received += 1
+            self._rows.append(row)
+            self.stats.success += 1
+
+        def finish(self):
+            # one file per opened stream == per partition with rows
+            path = os.path.join(
+                self._directory, f"part-{os.getpid()}-{uuid.uuid4().hex}.json"
+            )
+            with open(path, "w") as f:
+                json.dump(self._rows, f)
+            return self.stats
+
+    class RecordingDestination(DestinationProvider):
+        name = "recording"
+        stateless = True
+
+        def __init__(self, directory: str) -> None:
+            self._directory = directory
+
+        def streams(self):
+            return [StreamSpec(name="rec", row_type={"type": "object"})]
+
+        def create_output_stream(
+            self, stream_name, credentials, sync_id, store,
+            full_refresh=False, restart=False, options=None,
+        ):
+            return RecordingStream(self._directory)
+
+    src = str(tmp_path / "src")
+    spark.sql(
+        "select cast(id as long) as event_id, cast(id as double) as value "
+        "from range(100)"
+    ).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    real_collect = DataFrame.collect
+
+    def forbidden_collect(self):
+        raise AssertionError(
+            "micro-batch rows must not materialize on the driver for a "
+            "stateless sink"
+        )
+
+    DataFrame.collect = forbidden_collect
+    try:
+        totals = run_streaming_sync(
+            spark,
+            src,
+            schema,
+            RecordingDestination(str(out_dir)),
+            "rec",
+            {},
+            InMemoryStore(),
+            "stream_exec",
+            str(tmp_path / "ckpt"),
+        )
+    finally:
+        DataFrame.collect = real_collect
+
+    assert totals["received"] == 100
+    assert totals["success"] == 100
+    files = glob.glob(str(out_dir / "part-*.json"))
+    # one stream per non-empty partition — parallel delivery, not one loop
+    assert len(files) > 1
+    delivered = sorted(
+        row["event_id"] for f in files for row in json.load(open(f))
+    )
+    assert delivered == list(range(100))
