@@ -67,7 +67,143 @@ def _build_parser() -> argparse.ArgumentParser:
     explain.add_argument("model", help="model name, or q:<catalog query name>")
     explain.add_argument("--sf-dir", default=None)
 
+    init = sub.add_parser(
+        "init", help="create an empty project directory skeleton"
+    )
+    init.add_argument("project_dir", help="directory to initialize")
+
+    link = sub.add_parser(
+        "link", help="create a sync linking an existing model to a connection"
+    )
+    link.add_argument("project_dir")
+    link.add_argument("--model", required=True)
+    link.add_argument("--connection", required=True)
+    link.add_argument("--stream", default=None)
+
+    add = sub.add_parser(
+        "add", help="add a connection for a destination package"
+    )
+    add.add_argument("kind", choices=["connection"])
+    add.add_argument("package", help="destination package, e.g. file, hubspot")
+    add.add_argument("project_dir")
+    add.add_argument(
+        "-c", "--credentials", default="{}",
+        help="credentials JSON (non-interactive stand-in for the "
+        "reference's prompt loop)",
+    )
+
+    cdev = sub.add_parser(
+        "connector-dev",
+        help="run one sync synthesized from explicit model/connection files "
+        "(the connector development loop and golden-test harness entry)",
+    )
+    cdev.add_argument("--model-file", required=True)
+    cdev.add_argument("--connection-file", required=True)
+    cdev.add_argument("--sync", default=None, help="sync file or id")
+    cdev.add_argument("--state", default=None)
+    cdev.add_argument("--full-refresh", action="store_true")
+    cdev.add_argument("--sf-dir", default=None)
+
     return p
+
+
+def _cmd_init(project_dir: str) -> int:
+    """init.ts:12-44: skeleton dirs + .env + .gitignore in an empty dir."""
+    import os
+    import subprocess
+
+    os.makedirs(project_dir, exist_ok=True)
+    if os.listdir(project_dir):
+        print(f"directory is not empty: {project_dir}; init needs an empty dir")
+        return 1
+    for sub_dir in ("models", "syncs", "connections"):
+        os.makedirs(os.path.join(project_dir, sub_dir))
+        open(os.path.join(project_dir, sub_dir, ".gitkeep"), "w").close()
+    with open(os.path.join(project_dir, ".env"), "w") as f:
+        f.write(
+            "# Keep secrets such as database connection strings or API keys here\n"
+            "SECRET_KEY=supersecret\n"
+        )
+    with open(os.path.join(project_dir, ".gitignore"), "w") as f:
+        f.write(".env\n.state\n")
+    try:  # best-effort, like tryGitInit (init.ts:40-43)
+        subprocess.run(
+            ["git", "init", "-q"], cwd=project_dir, check=False,
+            capture_output=True, timeout=10,
+        )
+    except Exception:
+        pass
+    print(f"created project at {project_dir}")
+    return 0
+
+
+def _cmd_link(
+    project_dir: str, model: str, connection: str, stream: str | None
+) -> int:
+    """link.ts:20-40: write syncs/<id>.yml for an existing model+connection."""
+    import os
+
+    import yaml
+
+    project = read_project(project_dir)
+    if model not in project.models:
+        print(f"unknown model {model!r}; known: {sorted(project.models)}")
+        return 1
+    if connection not in project.connections:
+        print(
+            f"unknown connection {connection!r}; known: "
+            f"{sorted(project.connections)}"
+        )
+        return 1
+    base = f"{connection}-{model}" + (f"-{stream}" if stream else "")
+    sync_id, i = base, 0
+    while sync_id in project.syncs:
+        i += 1
+        sync_id = f"{base}-{i}"
+    sync: dict = {"id": sync_id, "destination": connection, "model": model}
+    if stream:
+        sync["stream"] = stream
+    path = os.path.join(project_dir, "syncs", f"{sync_id}.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(sync, f, sort_keys=False)
+    print(f"sync {sync_id} created in {path}")
+    return 0
+
+
+def _cmd_add(project_dir: str, package: str, credentials_json: str) -> int:
+    """add.ts connection flow, non-interactive: validate the credentials
+    against the destination's describe() schema, write connections/<id>.yml
+    with the same unique-basename pick (add.ts:15-31)."""
+    import os
+
+    import yaml
+
+    from syncmaven_spark.validate import RowValidator
+
+    provider = get_destination(package)  # raises for unknown packages
+    schema = provider.credentials_schema
+    creds = json.loads(credentials_json)
+    validator = RowValidator(schema)
+    if not validator.is_valid(creds):
+        print(
+            f"credentials do not match {package}'s schema: "
+            f"{validator.errors_for(creds)}"
+        )
+        return 1
+    conn_dir = os.path.join(project_dir, "connections")
+    os.makedirs(conn_dir, exist_ok=True)
+    base = package.split("/")[-1].replace("_", "-").lower()
+    conn_id, i = base, 0
+    while os.path.exists(os.path.join(conn_dir, f"{conn_id}.yml")):
+        i += 1
+        conn_id = f"{base}-{i}"
+    path = os.path.join(conn_dir, f"{conn_id}.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(
+            {"package": package, "credentials": creds}, f, sort_keys=False
+        )
+    print(f"connection {conn_id} created in {path}")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -108,10 +244,35 @@ def _main(argv: list[str] | None = None) -> int:
                 print(f"  {mark} {name}: {types}")
         return 0
 
+    if args.command == "init":
+        return _cmd_init(args.project_dir)
+
+    if args.command == "link":
+        return _cmd_link(args.project_dir, args.model, args.connection, args.stream)
+
+    if args.command == "add":
+        return _cmd_add(args.project_dir, args.package, args.credentials)
+
+    import os
+
     spark = get_spark(app_name="syncmaven_spark_cli")
-    sf_dir = args.sf_dir
+    sf_dir = getattr(args, "sf_dir", None) or os.environ.get("SPARK_GRAFT_SF_DIR")
     if sf_dir:
         load_tables(spark, sf_dir)
+
+    if args.command == "connector-dev":
+        from syncmaven_spark.project import project_from_files
+
+        project = project_from_files(
+            args.model_file, args.connection_file, sync=args.sync
+        )
+        sync_id = next(iter(project.syncs))
+        store = create_store(args.state or "memory://")
+        result = run_sync(
+            spark, project.syncs[sync_id], store, full_refresh=args.full_refresh
+        )
+        print(f"[{sync_id}] {result.stats.as_dict()} cursor={result.last_cursor}")
+        return 0
 
     if args.command == "explain":
         # the perf loop: check PushedFilters / WholeStageCodegen spans /
@@ -123,10 +284,22 @@ def _main(argv: list[str] | None = None) -> int:
             if name not in CATALOG:
                 print(f"unknown catalog query {name!r}")
                 return 1
-            df = CATALOG[name].spark_fn(spark, sf_dir or "/root/testdata/sf0.001")
+            if not sf_dir:
+                print(
+                    "explain needs testdata tables: pass --sf-dir or set "
+                    "SPARK_GRAFT_SF_DIR (e.g. /root/testdata/sf0.001)"
+                )
+                return 1
+            df = CATALOG[name].spark_fn(spark, sf_dir)
         else:
             if not args.project_dir:
                 print("explain requires a project_dir for model queries")
+                return 1
+            if not sf_dir:
+                print(
+                    "explain needs the model's tables registered: pass "
+                    "--sf-dir or set SPARK_GRAFT_SF_DIR"
+                )
                 return 1
             project = read_project(args.project_dir)
             if args.model not in project.models:

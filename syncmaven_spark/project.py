@@ -150,6 +150,51 @@ def _list_dir(dir_path: str) -> list[str]:
     )
 
 
+def _parse_model_file(path: str, env: dict[str, str]) -> ModelDefinition:
+    content = _read_config_file(path)
+    if isinstance(content, str):
+        # SQL file: config directives hoist into model fields
+        fields: dict[str, Any] = {}
+
+        def config_cb(key: str, value: str) -> None:
+            fields[key] = value
+
+        query = render_template(
+            content, env=env, config_cb=config_cb, file_name=path
+        ).strip()
+        fields = {
+            k: render_template(v, env=env, file_name=path) if isinstance(v, str) else v
+            for k, v in fields.items()
+        }
+        return ModelDefinition(
+            id=fields.get("id", _file_id(path)),
+            query=query,
+            cursor=fields.get("cursor"),
+            datasource=fields.get("datasource"),
+        )
+    content = _render_deep(content, env=env, file_name=path)
+    return ModelDefinition(
+        id=content.get("id", _file_id(path)),
+        query=content["query"],
+        cursor=content.get("cursor"),
+        datasource=content.get("datasource"),
+    )
+
+
+def _parse_connection_file(path: str, env: dict[str, str]) -> ConnectionDefinition:
+    content = _read_config_file(path)
+    if isinstance(content, str):
+        raise ProjectError(
+            f"Connection {path} should be defined in YAML or JSON format"
+        )
+    content = _render_deep(content, env=env, result_macros=True, file_name=path)
+    return ConnectionDefinition(
+        id=content.get("id", _file_id(path)),
+        package=content.get("package") or content.get("kind") or content["id"],
+        credentials=content.get("credentials", {}),
+    )
+
+
 def read_project(project_dir: str, env: dict[str, str] | None = None) -> Project:
     """readProject + compileProject in one pass."""
     if not os.path.isdir(project_dir):
@@ -165,49 +210,11 @@ def read_project(project_dir: str, env: dict[str, str] | None = None) -> Project
     project = Project()
 
     for path in _list_dir(os.path.join(project_dir, "models")):
-        content = _read_config_file(path)
-        if isinstance(content, str):
-            # SQL file: config directives hoist into model fields
-            fields: dict[str, Any] = {}
-
-            def config_cb(key: str, value: str) -> None:
-                fields[key] = value
-
-            query = render_template(
-                content, env=env, config_cb=config_cb, file_name=path
-            ).strip()
-            fields = {
-                k: render_template(v, env=env, file_name=path) if isinstance(v, str) else v
-                for k, v in fields.items()
-            }
-            model = ModelDefinition(
-                id=fields.get("id", _file_id(path)),
-                query=query,
-                cursor=fields.get("cursor"),
-                datasource=fields.get("datasource"),
-            )
-        else:
-            content = _render_deep(content, env=env, file_name=path)
-            model = ModelDefinition(
-                id=content.get("id", _file_id(path)),
-                query=content["query"],
-                cursor=content.get("cursor"),
-                datasource=content.get("datasource"),
-            )
+        model = _parse_model_file(path, env)
         project.models[model.id] = model
 
     for path in _list_dir(os.path.join(project_dir, "connections")):
-        content = _read_config_file(path)
-        if isinstance(content, str):
-            raise ProjectError(
-                f"Connection {path} should be defined in YAML or JSON format"
-            )
-        content = _render_deep(content, env=env, result_macros=True, file_name=path)
-        conn = ConnectionDefinition(
-            id=content.get("id", _file_id(path)),
-            package=content.get("package") or content.get("kind") or content["id"],
-            credentials=content.get("credentials", {}),
-        )
+        conn = _parse_connection_file(path, env)
         project.connections[conn.id] = conn
 
     raw_syncs = []
@@ -316,4 +323,53 @@ def ad_hoc_project(
         models={model.id: model},
         connections={conn.id: conn},
         syncs={sync.id: sync},
+    )
+
+
+def project_from_files(
+    model_file: str,
+    connection_file: str,
+    sync: str | None = None,
+    env: dict[str, str] | None = None,
+) -> Project:
+    """connector-dev's project synthesizer (connector-dev.ts:13-70): build a
+    one-model/one-connection/one-sync project from explicit files.
+
+    ``sync`` is either a path to a sync yaml/json file or a sync id; when it
+    is an id (or omitted), a minimal ``{id, model, destination}`` sync is
+    synthesized exactly like the reference (connector-dev.ts:39-52) — the
+    same entry point the reference's golden-file integration harness drives
+    (__tests__/integration/lib.ts:69-74).
+    """
+    env = env if env is not None else dict(os.environ)
+    model = _parse_model_file(model_file, env)
+    conn = _parse_connection_file(connection_file, env)
+
+    if sync and os.path.exists(sync):
+        content = _read_config_file(sync)
+        if isinstance(content, str):
+            raise ProjectError(f"Sync {sync} should be defined in YAML or JSON format")
+        content = _render_deep(content, env=env, file_name=sync)
+        content.setdefault("id", _file_id(sync))
+    else:
+        content = {"id": sync or "sync", "model": model.id, "destination": conn.id}
+
+    if content.get("model") != model.id:
+        raise ProjectError(
+            f"Sync references model {content.get('model')!r} but the model "
+            f"file defines {model.id!r}"
+        )
+    sync_def = SyncDefinition(
+        id=content["id"],
+        model=model,
+        destination=conn.package,
+        stream=content.get("stream") or _default_stream(conn.package),
+        credentials=conn.credentials,
+        options=content.get("options", {}),
+        enrichments=_compile_enrichments(content),
+    )
+    return Project(
+        models={model.id: model},
+        connections={conn.id: conn},
+        syncs={sync_def.id: sync_def},
     )
