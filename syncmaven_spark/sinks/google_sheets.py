@@ -13,9 +13,11 @@ Reference: ``packages/connectors/google-sheets/src/`` —
   (google-sheets.ts:110-154).
 
 The Sheets API client is injectable (``credentials["_client"]`` with a
-``write_table(spreadsheet_id, sheet_name, header, rows)`` method); the
-googleapis client library is not bundled, so the default transport raises
-with instructions.
+``write_table(spreadsheet_id, sheet_name, header, rows)`` method). When no
+client is injected, ``LiveSheetsClient`` is used: it issues the reference's
+exact two requests (values.clear then values.update with valueInputOption=
+RAW, google-sheets.ts:110-154) through ``googleapiclient`` when installed,
+and raises with instructions otherwise.
 """
 
 from __future__ import annotations
@@ -160,6 +162,62 @@ class GoogleSheetsStream(OutputStream):
         return report
 
 
+class LiveSheetsClient:
+    """Default Sheets transport mirroring ``saveToGoogleSheets``
+    (google-sheets.ts:110-154): clear the sheet range, then one
+    ``values.update`` with ``valueInputOption=RAW`` carrying
+    ``[header, *rows]``.
+
+    ``service`` is injectable (anything shaped like googleapiclient's
+    ``Resource``) so the request payloads are unit-testable without the
+    googleapis library; without it, a real client is built from the
+    ``serviceAccountKey`` credentials via ``googleapiclient`` +
+    ``google.oauth2``, guarded by import.
+    """
+
+    SCOPES = ["https://www.googleapis.com/auth/spreadsheets"]
+
+    def __init__(self, service_account_key: Any = None, service: Any = None):
+        if service is not None:
+            self._service = service
+            return
+        try:
+            from google.oauth2.service_account import Credentials  # type: ignore
+            from googleapiclient.discovery import build  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "google-sheets live API requires googleapiclient + "
+                "google-auth (pip install google-api-python-client "
+                "google-auth); alternatively inject credentials['_client'] "
+                "implementing write_table(spreadsheet_id, sheet_name, "
+                "header, rows)"
+            ) from e
+        if isinstance(service_account_key, str):
+            import json as _json
+
+            service_account_key = _json.loads(service_account_key)
+        creds = Credentials.from_service_account_info(
+            service_account_key, scopes=self.SCOPES
+        )
+        self._service = build("sheets", "v4", credentials=creds)
+
+    def write_table(
+        self,
+        spreadsheet_id: str,
+        sheet_name: str,
+        header: list[str],
+        rows: list[list[Any]],
+    ) -> None:
+        values = self._service.spreadsheets().values()
+        values.clear(spreadsheetId=spreadsheet_id, range=sheet_name).execute()
+        values.update(
+            spreadsheetId=spreadsheet_id,
+            range=sheet_name,
+            valueInputOption="RAW",
+            body={"values": [header, *rows]},
+        ).execute()
+
+
 @register("google-sheets")
 class GoogleSheetsDestination(DestinationProvider):
     name = "google-sheets"
@@ -189,11 +247,9 @@ class GoogleSheetsDestination(DestinationProvider):
         self.stream_spec(stream_name)
         client = credentials.get("_client")
         if client is None:
-            raise NotImplementedError(
-                "google-sheets live API requires the googleapis client which is "
-                "not bundled; inject credentials['_client'] implementing "
-                "write_table(spreadsheet_id, sheet_name, header, rows)"
-            )
+            # import-guarded default: raises NotImplementedError with
+            # instructions when googleapiclient isn't installed
+            client = LiveSheetsClient(credentials.get("serviceAccountKey"))
         key = (sync_id, stream_name)
         if restart and key in self._live:
             # Checkpoint continuation: the sheet write is clear-then-rewrite-

@@ -75,3 +75,59 @@ def test_missing_client_raises_not_implemented():
         GoogleSheetsDestination().create_output_stream(
             "sheet", {"spreadsheetId": "x"}, "s1", InMemoryStore()
         )
+
+
+def test_live_client_request_payloads():
+    """LiveSheetsClient issues the reference's two requests
+    (google-sheets.ts:127-154): values.clear on the sheet range, then one
+    values.update with valueInputOption=RAW and [header, *rows]."""
+    from syncmaven_spark.sinks.google_sheets import LiveSheetsClient
+
+    calls = []
+
+    class FakeCall:
+        def __init__(self, kind, kwargs):
+            self.kind, self.kwargs = kind, kwargs
+
+        def execute(self):
+            calls.append((self.kind, self.kwargs))
+
+    class FakeValues:
+        def clear(self, **kw):
+            return FakeCall("clear", kw)
+
+        def update(self, **kw):
+            return FakeCall("update", kw)
+
+    class FakeService:
+        def spreadsheets(self):
+            return self
+
+        def values(self):
+            return FakeValues()
+
+    client = LiveSheetsClient(service=FakeService())
+    client.write_table("sheet-123", "Sheet1", ["a", "b"], [[1, "x"], [2, "y"]])
+
+    assert calls[0] == ("clear", {"spreadsheetId": "sheet-123", "range": "Sheet1"})
+    kind, kw = calls[1]
+    assert kind == "update"
+    assert kw["spreadsheetId"] == "sheet-123"
+    assert kw["range"] == "Sheet1"
+    assert kw["valueInputOption"] == "RAW"
+    assert kw["body"] == {"values": [["a", "b"], [1, "x"], [2, "y"]]}
+
+
+def test_live_client_missing_library_message():
+    from syncmaven_spark.sinks.google_sheets import LiveSheetsClient
+
+    try:
+        import googleapiclient  # noqa: F401
+
+        return  # library present — the real path would be exercised live
+    except ImportError:
+        pass
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="googleapiclient"):
+        LiveSheetsClient({"client_email": "x"})

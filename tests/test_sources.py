@@ -134,3 +134,88 @@ def test_describe_includes_credentials_schema():
     creds = spec["connectionCredentials"]
     assert "projectToken" in creds["properties"]
     assert "projectToken" in creds.get("required", [])
+
+
+class _RecordingReader:
+    """Fake DataFrameReader capturing format + options, returning a fake DF."""
+
+    def __init__(self, log, columns=("COL_A", "Col_B")):
+        self._log = log
+        self._columns = columns
+
+    def format(self, fmt):
+        self._log["format"] = fmt
+        self._log["options"] = {}
+        return self
+
+    def option(self, k, v):
+        self._log["options"][k] = v
+        return self
+
+    def load(self):
+        log = self._log
+
+        class FakeDF:
+            columns = list(self._columns)
+
+            def toDF(self, *names):
+                log["renamed_to"] = list(names)
+                return self
+
+        return FakeDF()
+
+
+class _RecordingSpark:
+    def __init__(self, log):
+        self.read = _RecordingReader(log)
+
+
+def test_bigquery_option_contract():
+    """A6 wiring without the connector jar: credentials merge into reader
+    options, _-prefixed keys are filtered, query mode enables viewsEnabled
+    (registry credential filtering + bigquery.ts paging is delegated to the
+    connector's storage-API read sessions)."""
+    from syncmaven_spark.sources.registry import BigQuerySource
+
+    src = BigQuerySource(
+        {"type": "bigquery",
+         "credentials": {"parentProject": "p1", "credentialsFile": "/k.json",
+                         "_internal": "hidden"}}
+    )
+    log = {}
+    src.read_table(_RecordingSpark(log), "ds.tbl")
+    assert log["format"] == "bigquery"
+    assert log["options"]["table"] == "ds.tbl"
+    assert log["options"]["parentProject"] == "p1"
+    assert log["options"]["credentialsFile"] == "/k.json"
+    assert "_internal" not in log["options"]
+
+    log = {}
+    src.read_query(_RecordingSpark(log), "select 1")
+    assert log["options"]["query"] == "select 1"
+    assert log["options"]["viewsEnabled"] == "true"
+
+
+def test_snowflake_option_contract_and_lowercase():
+    """A7 wiring: dbtable/query options with credentials merged, and the
+    reference's column lower-casing (snowlake.ts:84-107) applied on BOTH
+    read_table and read_query."""
+    from syncmaven_spark.sources.registry import SnowflakeSource
+
+    src = SnowflakeSource(
+        {"type": "snowflake",
+         "credentials": {"sfUrl": "acct.snowflakecomputing.com", "sfUser": "u",
+                         "_token": "hidden"}}
+    )
+    log = {}
+    src.read_table(_RecordingSpark(log), "SCHEMA.TBL")
+    assert log["format"] == "snowflake"
+    assert log["options"]["dbtable"] == "SCHEMA.TBL"
+    assert log["options"]["sfUrl"] == "acct.snowflakecomputing.com"
+    assert "_token" not in log["options"]
+    assert log["renamed_to"] == ["col_a", "col_b"]  # lower-cased
+
+    log = {}
+    src.read_query(_RecordingSpark(log), "select * from T")
+    assert log["options"]["query"] == "select * from T"
+    assert log["renamed_to"] == ["col_a", "col_b"]
