@@ -1,0 +1,156 @@
+"""Stdio NDJSON connector-protocol adapter tests.
+
+The fake connector in tests/assets is a separate process speaking the
+reference protocol (std.ts:31-186) incl. the state RPC side-channel — so
+these tests cover the full engine ↔ external-connector path: describe /
+describe-streams introspection, start-stream/row/end-stream lifecycle with
+stream-result stats, golden-file output parity with the in-process file
+sink, state RPC roundtrip, and halt propagation.
+"""
+
+import os
+import sys
+
+import pytest
+
+from syncmaven_spark.runner import ModelDefinition, SyncDefinition, run_sync
+from syncmaven_spark.sinks.base import HaltError
+from syncmaven_spark.sinks.stdio import StdioDestination
+from syncmaven_spark.state import InMemoryStore
+
+FAKE_CONNECTOR = os.path.join(
+    os.path.dirname(__file__), "assets", "fake_file_connector.py"
+)
+COMMAND = [sys.executable, FAKE_CONNECTOR]
+
+MODEL_SQL = (
+    "select event_id, ts, event_type from events "
+    "where (:cursor is null or event_id >= :cursor) and event_id < 30 "
+    "order by event_id asc"
+)
+
+
+def _sync(filename: str, destination) -> SyncDefinition:
+    return SyncDefinition(
+        id="stdio_sync",
+        model=ModelDefinition(id="m", query=MODEL_SQL, cursor="event_id"),
+        destination=destination,
+        stream="raw",
+        credentials={"filename": filename},
+    )
+
+
+def test_describe_and_streams():
+    dest = StdioDestination(COMMAND, name="fake-file")
+    spec = dest.describe()
+    assert spec["name"] == "fake-file"
+    assert "filename" in spec["connectionCredentials"]["properties"]
+    streams = dest.streams()
+    assert [s.name for s in streams] == ["raw"]
+
+
+def test_stdio_sync_matches_in_process_file_sink(spark, testdata, tmp_path):
+    """The external connector's NDJSON output is byte-identical to the
+    in-process file sink's (ISO-millis dates included), and the connector's
+    state RPC roundtrip leaves its marker in the engine's store."""
+    store = InMemoryStore()
+    stdio_out = str(tmp_path / "stdio.ndjson")
+    result = run_sync(
+        spark, _sync(stdio_out, StdioDestination(COMMAND)), store
+    )
+    assert result.stats.received == result.stats.success > 0
+
+    ref_store = InMemoryStore()
+    file_out = str(tmp_path / "file.ndjson")
+    run_sync(spark, _sync(file_out, "file"), ref_store)
+
+    with open(stdio_out) as f1, open(file_out) as f2:
+        assert f1.read() == f2.read()
+
+    # the connector wrote through the RPC side-channel into OUR store
+    assert store.get(["syncId=stdio_sync", "fake-connector-marker"]) == {
+        "started": True
+    }
+
+
+def test_stdio_incremental_second_run(spark, testdata, tmp_path):
+    store = InMemoryStore()
+    out1 = str(tmp_path / "p1.ndjson")
+    run_sync(spark, _sync(out1, StdioDestination(COMMAND)), store)
+    out2 = str(tmp_path / "p2.ndjson")
+    result = run_sync(spark, _sync(out2, StdioDestination(COMMAND)), store)
+    # inclusive >= boundary row only
+    assert result.stats.success == 1
+
+
+def test_halt_propagates():
+    halting = [
+        sys.executable,
+        "-c",
+        (
+            "import sys, json\n"
+            "for line in sys.stdin:\n"
+            "    m = json.loads(line)\n"
+            "    if m['type'] == 'start-stream':\n"
+            "        print(json.dumps({'type': 'halt', "
+            "'payload': {'message': 'credentials rejected'}}), flush=True)\n"
+            "        break\n"
+        ),
+    ]
+    dest = StdioDestination(halting)
+    dest._spec_cache = [  # skip describe-streams against the one-trick child
+        __import__(
+            "syncmaven_spark.sinks.base", fromlist=["StreamSpec"]
+        ).StreamSpec(name="raw", row_type={"type": "object"})
+    ]
+    out = dest.create_output_stream(
+        "raw", {}, "s1", InMemoryStore(), options={}
+    )
+    with pytest.raises(HaltError, match="credentials rejected"):
+        out.finish()
+
+
+def test_state_rpc_list_and_size():
+    """state.list streams NDJSON entries with segmented keys; state.size
+    counts (docker-channel.ts:185-207)."""
+    import json as _json
+    import urllib.request
+
+    from syncmaven_spark.sinks.stdio import StateRpcServer
+
+    store = InMemoryStore()
+    store.set(["p", "a"], 1)
+    store.set(["p", "b"], {"x": 2})
+    store.set(["q"], 3)
+    rpc = StateRpcServer(store)
+    try:
+        def post(method, body):
+            req = urllib.request.Request(
+                f"{rpc.url}/{method}",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json",
+                         "Authorization": f"Bearer {rpc.token}"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                return resp.read().decode()
+
+        lines = [l for l in post("state.list", {"prefix": ["p"]}).splitlines() if l]
+        entries = [_json.loads(l) for l in lines]
+        assert entries == [
+            {"key": ["p", "a"], "value": 1},
+            {"key": ["p", "b"], "value": {"x": 2}},
+        ]
+        assert _json.loads(post("state.size", {"prefix": ["p"]}))["size"] == 3
+
+        # wrong token → 401
+        req = urllib.request.Request(
+            f"{rpc.url}/state.get",
+            data=b"{}",
+            headers={"Authorization": "Bearer nope"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req, timeout=5)
+    finally:
+        rpc.close()
