@@ -24,6 +24,23 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 
+# Persisted intermediates (signature / hashed-set tables) from the most
+# recent operator invocation. Each public operator releases the previous
+# invocation's caches on entry: repeated catalog/bench runs would otherwise
+# pin dead cached blocks for the Spark-app lifetime. Unpersisting an earlier
+# invocation's cache is always safe — plans still holding it just recompute.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _release_prior_caches() -> None:
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
 
 def _shingles(text_col, k: int):
     """k-word shingles as a distinct array, JVM-side: normalize → split →
@@ -109,9 +126,12 @@ def minhash_lsh_candidates(
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
+    _release_prior_caches()  # no-op when a caller already released
     # persist the O(n) signature table so the shingle explode+agg lineage is
     # computed once, not once per side of the bucket self-join
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).persist()
+    sig = _persist_scoped(
+        minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    )
 
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -162,6 +182,7 @@ def ngram_jaccard_pairs(
     ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold. The blocking join is
     the scale lever: pair count is bounded per block, not global.
     """
+    _release_prior_caches()
     # hash shingles to longs: jaccard is invariant under the (injective
     # modulo ~2^-64 collisions) mapping, and long arrays shuffle and
     # intersect far cheaper than string arrays
@@ -171,11 +192,13 @@ def ngram_jaccard_pairs(
         )
     )
     # persisted: O(n) hashed-set rows, computed once for both join sides
-    with_sets = _spread(df, id_col).select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col),
-        hashed.alias("_set"),
-    ).persist()
+    with_sets = _persist_scoped(
+        _spread(df, id_col).select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col),
+            hashed.alias("_set"),
+        )
+    )
     a = with_sets.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
     )
@@ -217,6 +240,7 @@ def minhash_verified_pairs(
     ≥-threshold pair set (recall asserted against the unblocked exact pass
     in tests), which is what makes it SQL-oracle-able.
     """
+    _release_prior_caches()
     cands = minhash_lsh_candidates(
         df, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
@@ -227,7 +251,7 @@ def minhash_verified_pairs(
     hashed = F.array_distinct(
         F.transform(_shingles(F.col(text_col), shingle_k), lambda w: F.xxhash64(w))
     )
-    sets = df.select(F.col(id_col), hashed.alias("_set")).persist()
+    sets = _persist_scoped(df.select(F.col(id_col), hashed.alias("_set")))
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
     inter = F.size(F.array_intersect("_set_a", "_set_b"))
@@ -281,10 +305,11 @@ def simhash_near_dups(
     """
     n_chunks = max_hamming + 1
     bits_per = 64 // n_chunks
+    _release_prior_caches()
     # the signature table is O(n) ids+longs — persisting it keeps the
     # expensive explode/64-agg lineage from being recomputed for both sides
     # of the self-join (safe at any corpus size; it's signatures, not text)
-    sig = simhash(df, text_col, id_col).persist()
+    sig = _persist_scoped(simhash(df, text_col, id_col))
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),

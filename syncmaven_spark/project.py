@@ -354,10 +354,20 @@ def project_from_files(
     else:
         content = {"id": sync or "sync", "model": model.id, "destination": conn.id}
 
-    if content.get("model") != model.id:
+    # the sync file may omit model/destination (they're unambiguous here);
+    # when present they must agree with the files provided
+    if "model" in content and content["model"] != model.id:
         raise ProjectError(
-            f"Sync references model {content.get('model')!r} but the model "
+            f"Sync references model {content['model']!r} but the model "
             f"file defines {model.id!r}"
+        )
+    if "destination" in content and content["destination"] not in (
+        conn.id,
+        conn.package,
+    ):
+        raise ProjectError(
+            f"Sync references destination {content['destination']!r} but the "
+            f"connection file defines {conn.id!r} (package {conn.package!r})"
         )
     sync_def = SyncDefinition(
         id=content["id"],

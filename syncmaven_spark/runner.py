@@ -419,12 +419,20 @@ def deliver_partitions(
     sync_id: str,
     options: dict[str, Any],
     restart: bool,
+    stats_acc: dict[str, Any] | None = None,
 ) -> None:
     """One OutputStream per partition, executor-side — the delivery path for
     ``stateless`` sinks (http): rows never materialize on the driver; each
     partition opens its own stream against an executor-local scratch store.
     State-backed sinks (hubspot ID maps, audience last-synced caches) need
-    the driver-local store and belong on the collect path."""
+    the driver-local store and belong on the collect path.
+
+    ``stats_acc`` (optional): accumulators keyed received/success/skipped/
+    failed — the only channel sink-reported stats have back from
+    ``foreachPartition`` (observe() metrics never fire for RDD-backed
+    actions). Task retries can over-count accumulators; with at-least-once
+    delivery the same caveat already applies to the deliveries themselves.
+    """
     credentials = dict(credentials)
     options = dict(options)
 
@@ -441,7 +449,12 @@ def deliver_partitions(
         )
         for row in rows:
             out.handle_row(row.asDict(recursive=True))
-        out.finish()
+        stats = out.finish()
+        if stats_acc is not None:
+            stats_acc["received"].add(stats.received)
+            stats_acc["success"].add(stats.success)
+            stats_acc["skipped"].add(stats.skipped)
+            stats_acc["failed"].add(stats.failed)
 
     df.foreachPartition(deliver)
 

@@ -181,6 +181,12 @@ class LiveSheetsClient:
         if service is not None:
             self._service = service
             return
+        if service_account_key is None:
+            raise NotImplementedError(
+                "google-sheets live API needs credentials: provide "
+                "serviceAccountKey (service-account JSON) or inject "
+                "credentials['_client'] implementing write_table(...)"
+            )
         try:
             from google.oauth2.service_account import Credentials  # type: ignore
             from googleapiclient.discovery import build  # type: ignore

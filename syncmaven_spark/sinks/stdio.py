@@ -107,8 +107,10 @@ class StateRpcServer:
             handler.wfile.write(data)
 
         if path == "/state.get":
-            # reference returns {} for missing keys (docker-channel.ts:186-187)
-            send_json(store.get(body["key"]) or {})
+            # reference returns {} for missing keys (docker-channel.ts:186-187);
+            # `is None`, not falsy — stored 0/false/""/[] must round-trip
+            value = store.get(body["key"])
+            send_json({} if value is None else value)
         elif path == "/state.set":
             store.set(body["key"], body["value"])
             send_json({})
@@ -180,6 +182,9 @@ class _ConnectorProcess:
                 logger.log(level, "[connector] %s", payload.get("message"))
                 continue
             self._replies.put(message)
+        # EOF sentinel: child exited — lets expect() fail fast instead of
+        # burning the full reply timeout on a dead process
+        self._replies.put({"type": "_eof"})
 
     def check_halt(self) -> None:
         """Surface an already-queued halt without blocking (the connector
@@ -190,7 +195,7 @@ class _ConnectorProcess:
             return
         if message.get("type") == "halt":
             raise HaltError(message.get("payload", {}).get("message", "halt"))
-        self._replies.put(message)
+        self._replies.put(message)  # incl. the _eof sentinel — send() reports
 
     def send(self, message: dict) -> None:
         self.send_raw(json.dumps(message))
@@ -216,6 +221,11 @@ class _ConnectorProcess:
                 ) from None
             if message.get("type") == "halt":
                 raise HaltError(message.get("payload", {}).get("message", "halt"))
+            if message.get("type") == "_eof":
+                raise RuntimeError(
+                    f"connector exited (code {self.proc.poll()}) without "
+                    f"replying with {types}"
+                )
             if message.get("type") in types:
                 return message
             logger.warning("unexpected connector message: %s", message.get("type"))
@@ -321,19 +331,28 @@ class StdioDestination(DestinationProvider):
     ) -> OutputStream:
         self.stream_spec(stream_name)
         rpc = StateRpcServer(store)
-        proc = _ConnectorProcess(
-            self.command, env={"RPC_URL": rpc.url, "RPC_TOKEN": rpc.token}
-        )
-        proc.send(
-            {
-                "type": "start-stream",
-                "payload": {
-                    "stream": stream_name,
-                    "connectionCredentials": credentials,
-                    "syncId": sync_id,
-                    "fullRefresh": full_refresh,
-                    "streamOptions": options or {},
-                },
-            }
-        )
+        proc = None
+        try:
+            proc = _ConnectorProcess(
+                self.command, env={"RPC_URL": rpc.url, "RPC_TOKEN": rpc.token}
+            )
+            proc.send(
+                {
+                    "type": "start-stream",
+                    "payload": {
+                        "stream": stream_name,
+                        "connectionCredentials": credentials,
+                        "syncId": sync_id,
+                        "fullRefresh": full_refresh,
+                        "streamOptions": options or {},
+                    },
+                }
+            )
+        except BaseException:
+            # don't leak the RPC server thread/socket or the child handle
+            # when the connector dies at startup
+            if proc is not None:
+                proc.close()
+            rpc.close()
+            raise
         return StdioOutputStream(proc, rpc)

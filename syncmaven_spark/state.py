@@ -43,6 +43,20 @@ def stringify_key(key: KeyLike) -> str:
     return SEPARATOR.join(parts)
 
 
+def _like_prefix(prefix: str) -> str:
+    """LIKE pattern matching exactly ``prefix + '::' + anything``.
+
+    ``%``/``_``/``\\`` in key segments are escaped (pair with ``ESCAPE '\\'``)
+    so prefix scans have plain-startswith semantics like InMemoryStore — the
+    reference's raw ``LIKE 'prefix::%'`` (store.ts:75-88,205-216) treats an
+    underscore in a sync id as a single-char wildcard, which we deliberately
+    do not reproduce."""
+    escaped = (
+        prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    )
+    return escaped + SEPARATOR + "%"
+
+
 class StateStore(ABC):
     """The reference's 8-operation KV store interface."""
 
@@ -153,9 +167,9 @@ class SqliteStore(StateStore):
         p = stringify_key(prefix)
         with self._lock:
             rows = self._conn.execute(
-                "SELECT key, value FROM store WHERE key = ? OR key LIKE ? "
-                "ORDER BY key ASC",
-                (p, p + SEPARATOR + "%"),
+                "SELECT key, value FROM store WHERE key = ? "
+                "OR key LIKE ? ESCAPE '\\' ORDER BY key ASC",
+                (p, _like_prefix(p)),
             ).fetchall()
         for k, v in rows:
             yield k, json.loads(v)
@@ -164,8 +178,8 @@ class SqliteStore(StateStore):
         p = stringify_key(prefix)
         with self._lock:
             self._conn.execute(
-                "DELETE FROM store WHERE key = ? OR key LIKE ?",
-                (p, p + SEPARATOR + "%"),
+                "DELETE FROM store WHERE key = ? OR key LIKE ? ESCAPE '\\'",
+                (p, _like_prefix(p)),
             )
             self._conn.commit()
 
@@ -269,8 +283,8 @@ class PostgresStore(StateStore):
             cur = self._conn.cursor()
             cur.execute(
                 "SELECT key, value FROM syncmaven_store "
-                "WHERE key LIKE %s OR key = %s ORDER BY key ASC",
-                (p + SEPARATOR + "%", p),
+                "WHERE key LIKE %s ESCAPE '\\' OR key = %s ORDER BY key ASC",
+                (_like_prefix(p), p),
             )
             rows = cur.fetchall()
         for k, v in rows:
@@ -281,8 +295,9 @@ class PostgresStore(StateStore):
         with self._lock:
             cur = self._conn.cursor()
             cur.execute(
-                "DELETE FROM syncmaven_store WHERE key LIKE %s OR key = %s",
-                (p + SEPARATOR + "%", p),
+                "DELETE FROM syncmaven_store "
+                "WHERE key LIKE %s ESCAPE '\\' OR key = %s",
+                (_like_prefix(p), p),
             )
             self._conn.commit()
 

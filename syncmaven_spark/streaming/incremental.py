@@ -93,16 +93,24 @@ def run_streaming_sync(
                 if n_total == 0:
                     return
                 valid = tagged.filter(F.col("_valid")).drop("_valid")
+                # sink-reported stats ride accumulators back from the
+                # executors, so both delivery paths report the same way:
+                # received = rows handed to sinks, failed = sink failures,
+                # skipped = validation skips (+ sink-side skips)
+                sc = spark.sparkContext
+                acc = {k: sc.accumulator(0)
+                       for k in ("received", "success", "skipped", "failed")}
                 deliver_partitions(
                     valid, provider, stream, credentials, sync_id,
-                    options or {}, restart=opened["n"] > 0,
+                    options or {}, restart=opened["n"] > 0, stats_acc=acc,
                 )
             finally:
                 tagged.unpersist()
             opened["n"] += 1
-            totals["received"] += n_total
-            totals["success"] += n_valid
-            totals["skipped"] += n_total - n_valid
+            totals["received"] += acc["received"].value
+            totals["success"] += acc["success"].value
+            totals["failed"] += acc["failed"].value
+            totals["skipped"] += (n_total - n_valid) + acc["skipped"].value
             return
 
         rows = [r.asDict(recursive=True) for r in batch_df.collect()]

@@ -150,3 +150,18 @@ def test_postgres_missing_driver_message():
             pass
     with pytest.raises(NotImplementedError, match="DB-API driver"):
         PostgresStore("postgres://u@localhost/db")
+
+
+def test_prefix_scan_is_not_a_like_wildcard(store):
+    """'_' and '%' in key segments are literal characters, not LIKE
+    wildcards: a prefix of 'a_c' must not match 'abc'-keyed entries (the
+    reference's raw LIKE scan gets this wrong; we escape)."""
+    store.set(["a_c", "x"], 1)
+    store.set(["abc", "x"], 2)
+    store.set(["a%c", "x"], 3)
+    assert store.list(["a_c"]) == [("a_c::x", 1)]
+    assert store.list(["a%c"]) == [("a%c::x", 3)]
+    store.delete_by_prefix(["a_c"])
+    assert store.get(["abc", "x"]) == 2
+    assert store.get(["a%c", "x"]) == 3
+    assert store.get(["a_c", "x"]) is None

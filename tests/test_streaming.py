@@ -188,15 +188,24 @@ def test_streaming_executor_side_delivery_for_stateless_sinks(spark, tmp_path):
     ).repartition(4).write.parquet(src)
     schema = spark.read.parquet(src).schema
 
-    real_collect = DataFrame.collect
+    # Patch the CONCRETE DataFrame class (pyspark.sql.classic) — instances
+    # resolve collect from the subclass __dict__, so patching the public
+    # base class is a no-op. The counts aggregate legitimately collects ≤1
+    # row (first() routes through limit(1).collect()); anything larger is a
+    # micro-batch materializing on the driver.
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
 
-    def forbidden_collect(self):
-        raise AssertionError(
+    real_collect = ClassicDataFrame.collect
+
+    def guarded_collect(self):
+        rows = real_collect(self)
+        assert len(rows) <= 1, (
             "micro-batch rows must not materialize on the driver for a "
-            "stateless sink"
+            f"stateless sink (collected {len(rows)} rows)"
         )
+        return rows
 
-    DataFrame.collect = forbidden_collect
+    ClassicDataFrame.collect = guarded_collect
     try:
         totals = run_streaming_sync(
             spark,
@@ -210,7 +219,7 @@ def test_streaming_executor_side_delivery_for_stateless_sinks(spark, tmp_path):
             str(tmp_path / "ckpt"),
         )
     finally:
-        DataFrame.collect = real_collect
+        ClassicDataFrame.collect = real_collect
 
     assert totals["received"] == 100
     assert totals["success"] == 100
