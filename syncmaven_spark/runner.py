@@ -374,26 +374,40 @@ def run_sync_distributed(
                 # the append saw zero rows — keep first_chunk/checkpoint
                 # semantics identical to a skipped chunk
                 continue
+            # the distributed write either commits all valid rows or raises
+            delivered_success, delivered_failed, extra_skipped = n_valid, 0, 0
         else:
             # foreachPartition is RDD-backed: observed metrics never reach
             # the listener (measured — obs.get blocks forever), so this
-            # path pays one persisted pre-count instead
+            # path pays one persisted pre-count instead; sink-reported stats
+            # ride accumulators back so failed deliveries are not silently
+            # folded into success
             tagged = tagged.persist()
+            sc = spark.sparkContext
+            acc = {k: sc.accumulator(0)
+                   for k in ("received", "success", "skipped", "failed")}
             try:
                 counts = tagged.agg(*agg_cols).first()
                 n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
                 if n_total == 0:
                     continue
                 valid = tagged.filter(F.col("_valid")).drop("_valid")
-                _foreach_partition_deliver(valid, provider, sync, first_chunk)
+                deliver_partitions(
+                    valid, provider, sync.stream, sync.credentials, sync.id,
+                    sync.options, restart=not first_chunk, stats_acc=acc,
+                )
             finally:
                 tagged.unpersist()
+            delivered_success = acc["success"].value
+            delivered_failed = acc["failed"].value
+            extra_skipped = acc["skipped"].value
 
         threshold.success(n_valid)
         threshold.fail(n_total - n_valid)
         total_stats.received += n_total
-        total_stats.skipped += n_total - n_valid
-        total_stats.success += n_valid
+        total_stats.skipped += (n_total - n_valid) + extra_skipped
+        total_stats.success += delivered_success
+        total_stats.failed += delivered_failed
 
         if cursor_col and counts["max_cursor"] is not None:
             # `is not None`, not truthiness: 0 / 0.0 are valid cursor values
