@@ -136,7 +136,7 @@ def run_sync(
     provider = (
         sync.destination
         if isinstance(sync.destination, DestinationProvider)
-        else get_destination(sync.destination)
+        else get_destination(sync.destination, sync.credentials)
     )
     spec = provider.stream_spec(sync.stream)
     validator = RowValidator(spec.row_type)
@@ -312,7 +312,7 @@ def run_sync_distributed(
     provider = (
         sync.destination
         if isinstance(sync.destination, DestinationProvider)
-        else get_destination(sync.destination)
+        else get_destination(sync.destination, sync.credentials)
     )
     spec = provider.stream_spec(sync.stream)
     threshold = ErrorThreshold()

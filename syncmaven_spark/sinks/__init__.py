@@ -28,10 +28,37 @@ def register(name: str):
     return deco
 
 
-def get_destination(name: str) -> "DestinationProvider":
-    """Instantiate a registered destination provider by package name
-    (reference dispatches on npm package / docker image — sync.ts:75-106)."""
+def get_destination(
+    name: str, credentials: dict | None = None
+) -> "DestinationProvider":
+    """Instantiate a destination provider by package name (reference
+    dispatches on npm package / docker image — sync.ts:75-106).
+
+    Two external-process forms resolve to the stdio protocol adapter:
+
+    - ``stdio`` — ``credentials["command"]`` is the argv of a connector
+      process speaking the NDJSON protocol;
+    - ``docker://<image>`` — the reference's Docker packaging: runs the
+      image with ``-i`` and the ``host.docker.internal`` host-gateway alias
+      so the container can reach the engine's state RPC
+      (container.ts:104-151,206-208).
+    """
     import importlib
+
+    if name.startswith("docker://"):
+        from syncmaven_spark.sinks.stdio import StdioDestination
+
+        image = name.removeprefix("docker://")
+        return StdioDestination(
+            [
+                "docker", "run", "-i", "--rm",
+                "--add-host=host.docker.internal:host-gateway",
+                image,
+            ],
+            name=image,
+            rpc_bind="0.0.0.0",
+            rpc_advertise="host.docker.internal",
+        )
 
     for mod in (
         "file",
@@ -50,6 +77,16 @@ def get_destination(name: str) -> "DestinationProvider":
             pass
 
     short = name.split("/")[-1].removeprefix("connector-")
+    if short == "stdio":
+        from syncmaven_spark.sinks.stdio import StdioDestination
+
+        command = (credentials or {}).get("command")
+        if not command:
+            raise ValueError(
+                "stdio destination needs credentials['command'] — the argv "
+                "of a connector process speaking the NDJSON protocol"
+            )
+        return StdioDestination(list(command))
     if short not in _REGISTRY:
         raise KeyError(f"unknown destination {name!r}; known: {sorted(_REGISTRY)}")
     return _REGISTRY[short]()

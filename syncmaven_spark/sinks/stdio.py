@@ -59,8 +59,14 @@ class StateRpcServer:
     (docker-channel.ts:170-256): one server per stream lifecycle, bound to
     127.0.0.1 on an ephemeral port, bearer-token checked."""
 
-    def __init__(self, store: StateStore) -> None:
+    def __init__(
+        self,
+        store: StateStore,
+        bind: str = "127.0.0.1",
+        advertise: str | None = None,
+    ) -> None:
         self.token = secrets.token_hex(16)
+        self._advertise = advertise
         rpc = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -83,7 +89,7 @@ class StateRpcServer:
                     self.end_headers()
                     self.wfile.write(json.dumps({"error": str(e)}).encode())
 
-        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._server = ThreadingHTTPServer((bind, 0), Handler)
         self._store = store
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
@@ -93,7 +99,9 @@ class StateRpcServer:
     @property
     def url(self) -> str:
         host, port = self._server.server_address[:2]
-        return f"http://{host}:{port}"
+        # containers reach the engine via the host-gateway alias, not the
+        # loopback/bind address (container.ts:206-208)
+        return f"http://{self._advertise or host}:{port}"
 
     def _dispatch(self, handler: BaseHTTPRequestHandler, path: str, body: dict) -> None:
         store = self._store
@@ -287,10 +295,19 @@ class StdioDestination(DestinationProvider):
     reference's Docker images: ``["docker", "run", "-i", "--rm", image]``
     plus a host-reachable RPC_URL)."""
 
-    def __init__(self, command: list[str], name: str = "stdio") -> None:
+    def __init__(
+        self,
+        command: list[str],
+        name: str = "stdio",
+        rpc_bind: str = "127.0.0.1",
+        rpc_advertise: str | None = None,
+    ) -> None:
         self.name = name
         self.command = list(command)
+        self._rpc_bind = rpc_bind
+        self._rpc_advertise = rpc_advertise
         self._spec_cache: list[StreamSpec] | None = None
+        self._default_stream: str | None = None
 
     def describe(self) -> dict[str, Any]:
         proc = _ConnectorProcess(self.command)
@@ -317,7 +334,25 @@ class StdioDestination(DestinationProvider):
                 StreamSpec(name=s["name"], row_type=s.get("rowType") or {})
                 for s in payload.get("streams", [])
             ]
+            self._default_stream = payload.get("defaultStream")
         return self._spec_cache
+
+    def _resolve_stream(self, stream_name: str) -> str:
+        specs = self.streams()
+        # the project compiler falls back to "default" for unknown packages;
+        # honor the connector's advertised defaultStream (std.ts:92-99)
+        if self._default_stream and stream_name == "default" and not any(
+            s.name == "default" for s in specs
+        ):
+            return self._default_stream
+        return stream_name
+
+    def stream_spec(self, stream_name: str) -> StreamSpec:
+        resolved = self._resolve_stream(stream_name)
+        for s in self.streams():
+            if s.name == resolved:
+                return s
+        raise KeyError(f"{self.name} has no stream {stream_name!r}")
 
     def create_output_stream(
         self,
@@ -329,8 +364,11 @@ class StdioDestination(DestinationProvider):
         restart: bool = False,
         options: dict[str, Any] | None = None,
     ) -> OutputStream:
+        stream_name = self._resolve_stream(stream_name)
         self.stream_spec(stream_name)
-        rpc = StateRpcServer(store)
+        rpc = StateRpcServer(
+            store, bind=self._rpc_bind, advertise=self._rpc_advertise
+        )
         proc = None
         try:
             proc = _ConnectorProcess(

@@ -64,7 +64,7 @@ def run_streaming_sync(
     provider = (
         destination
         if isinstance(destination, DestinationProvider)
-        else get_destination(destination)
+        else get_destination(destination, credentials)
     )
     spec = provider.stream_spec(stream)
     validator = RowValidator(spec.row_type)

@@ -154,3 +154,53 @@ def test_state_rpc_list_and_size():
             urllib.request.urlopen(req, timeout=5)
     finally:
         rpc.close()
+
+
+def test_stdio_as_project_package(spark, testdata, tmp_path):
+    """`package: stdio` + credentials.command makes external connectors
+    first-class project destinations — resolved through the same registry
+    dispatch as built-in sinks, with the connector's advertised
+    defaultStream honored for the compiler's 'default' fallback."""
+    from syncmaven_spark.project import project_from_files
+
+    out = tmp_path / "proj_out.ndjson"
+    model = tmp_path / "m.sql"
+    model.write_text(
+        "select event_id, event_type from events where event_id < 5 "
+        "order by event_id asc"
+    )
+    conn = tmp_path / "c.yml"
+    conn.write_text(
+        "package: stdio\n"
+        "credentials:\n"
+        f"  filename: {out}\n"
+        "  command:\n"
+        f"    - {sys.executable}\n"
+        f"    - {FAKE_CONNECTOR}\n"
+    )
+    project = project_from_files(str(model), str(conn))
+    sync = next(iter(project.syncs.values()))
+    # unknown package → compiler falls back to stream "default"; the
+    # connector advertises defaultStream=raw and the adapter maps it
+    assert sync.stream == "default"
+    result = run_sync(spark, sync, InMemoryStore())
+    assert result.stats.success == 5
+    assert len(out.read_text().splitlines()) == 5
+
+
+def test_get_destination_stdio_requires_command():
+    from syncmaven_spark.sinks import get_destination
+
+    with pytest.raises(ValueError, match="command"):
+        get_destination("stdio", {})
+    dest = get_destination("stdio", {"command": COMMAND})
+    assert [s.name for s in dest.streams()] == ["raw"]
+
+
+def test_get_destination_docker_url_shape():
+    from syncmaven_spark.sinks import get_destination
+
+    dest = get_destination("docker://syncmaven/connector-demo")
+    assert dest.command[:4] == ["docker", "run", "-i", "--rm"]
+    assert dest.command[-1] == "syncmaven/connector-demo"
+    assert dest._rpc_advertise == "host.docker.internal"
