@@ -181,6 +181,47 @@ class PostgresJdbcSource(Datasource):
         return self._reader(spark).option("query", sql).load()
 
 
+@register_source(
+    lambda spec: isinstance(spec, str)
+    and spec.split("://", 1)[0] in ("mysql", "mariadb", "clickhouse", "jdbc")
+)
+class GenericJdbcSource(Datasource):
+    """Generic JDBC reader for warehouses beyond the reference's three.
+
+    The reference docs list MySQL and ClickHouse as "coming soon" (via a
+    pg-wire proxy only, docs/references/sources/{mysql,clickhouse}.mdx);
+    Spark's JDBC source covers them natively — same fetchsize/pushdown/
+    whole-query options as the Postgres reader, with the scheme mapped to
+    the JDBC sub-protocol. Requires the matching driver jar on the
+    classpath.
+    """
+
+    DEFAULT_FETCH_SIZE = 10_000
+
+    def __init__(self, url: str, partition_options: dict[str, Any] | None = None):
+        scheme = url.split("://", 1)[0]
+        self.dialect = "mysql" if scheme == "mariadb" else scheme
+        self.url = url if url.startswith("jdbc:") else f"jdbc:{url}"
+        self.partition_options = partition_options or {}
+
+    def _reader(self, spark: SparkSession):
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("fetchsize", str(self.DEFAULT_FETCH_SIZE))
+            .option("pushDownPredicate", "true")
+        )
+        for k, v in self.partition_options.items():
+            reader = reader.option(k, str(v))
+        return reader
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        return self._reader(spark).option("dbtable", table).load()
+
+    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+        return self._reader(spark).option("query", sql).load()
+
+
 # --- BigQuery / Snowflake (A6/A7) — thin connector-format readers ---------
 
 

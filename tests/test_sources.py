@@ -219,3 +219,19 @@ def test_snowflake_option_contract_and_lowercase():
     src.read_query(_RecordingSpark(log), "select * from T")
     assert log["options"]["query"] == "select * from T"
     assert log["renamed_to"] == ["col_a", "col_b"]
+
+
+def test_generic_jdbc_dispatch_and_url_normalization():
+    from syncmaven_spark.sources import create_datasource
+    from syncmaven_spark.sources.registry import GenericJdbcSource, PostgresJdbcSource
+
+    my = create_datasource("mysql://host:3306/db")
+    assert isinstance(my, GenericJdbcSource)
+    assert my.url == "jdbc:mysql://host:3306/db"
+    assert my.dialect == "mysql"
+    ch = create_datasource("clickhouse://host:8123/db")
+    assert ch.url == "jdbc:clickhouse://host:8123/db"
+    assert ch.dialect == "clickhouse"
+    # mariadb aliases the mysql dialect; postgres stays on its own reader
+    assert create_datasource("mariadb://h/db").dialect == "mysql"
+    assert isinstance(create_datasource("postgres://h/db"), PostgresJdbcSource)
