@@ -96,6 +96,19 @@ def enrich_dataframe(
         ).alias("_row")
     )
 
+    # rows cross the boundary as JSON, so temporal values come back as
+    # ISO-millis strings — coerce them to the schema's Arrow types
+    ltz_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)
+    ]
+    ntz_cols = [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    date_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, T.DateType)
+    ]
+
     def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enrichment = enrichment_factory()
         for pdf in batches:
@@ -106,6 +119,14 @@ def enrich_dataframe(
                         out_rows.append([out.get(name) for name in field_names])
                 except Exception:
                     continue  # enrichment errors drop the row (sync.ts:545-549)
-            yield pd.DataFrame(out_rows, columns=field_names)
+            out = pd.DataFrame(out_rows, columns=field_names)
+            if len(out):
+                for c in ltz_cols:
+                    out[c] = pd.to_datetime(out[c], utc=True)
+                for c in ntz_cols:
+                    out[c] = pd.to_datetime(out[c])
+                for c in date_cols:
+                    out[c] = pd.to_datetime(out[c]).dt.date
+            yield out
 
     return json_df.mapInPandas(apply, schema)

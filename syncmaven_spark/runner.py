@@ -300,6 +300,10 @@ def run_sync_distributed(
       OutputStream per partition via ``foreachPartition`` — appropriate for
       stateless sinks (http); state-backed sinks (hubspot ID maps) belong on
       the parity path where the store is driver-local.
+    - **Executor-side enrichment.** ``sync.enrichments`` run as Arrow-batched
+      ``mapInPandas`` row→0..N stages between validation and delivery, with
+      enriched outputs re-validated (``_enrich_distributed``) — the parity
+      path's driver-side loop, distributed.
 
     At-least-once contract is unchanged: a crash between chunk write and
     cursor commit re-sends that chunk on restart; sink idempotency
@@ -365,6 +369,14 @@ def run_sync_distributed(
             obs = Observation(f"chunk_{chunk_idx}")
             tagged = tagged.observe(obs, *agg_cols)
             valid = tagged.filter(F.col("_valid")).drop("_valid")
+            out_obs = None
+            if sync.enrichments:
+                valid = _enrich_distributed(valid, sync, spec)
+                # enrichment changes cardinality (row → 0..N): count what
+                # was actually written with a second observation on the
+                # enriched plan, still one job
+                out_obs = Observation(f"chunk_{chunk_idx}_out")
+                valid = valid.observe(out_obs, F.count(F.lit(1)).alias("n"))
             write_ndjson_distributed(
                 valid, out_dir, mode="overwrite" if first_chunk else "append"
             )
@@ -375,7 +387,8 @@ def run_sync_distributed(
                 # semantics identical to a skipped chunk
                 continue
             # the distributed write either commits all valid rows or raises
-            delivered_success, delivered_failed, extra_skipped = n_valid, 0, 0
+            written = out_obs.get["n"] if out_obs is not None else n_valid
+            delivered_success, delivered_failed, extra_skipped = written, 0, 0
         else:
             # foreachPartition is RDD-backed: observed metrics never reach
             # the listener (measured — obs.get blocks forever), so this
@@ -392,6 +405,8 @@ def run_sync_distributed(
                 if n_total == 0:
                     continue
                 valid = tagged.filter(F.col("_valid")).drop("_valid")
+                if sync.enrichments:
+                    valid = _enrich_distributed(valid, sync, spec)
                 deliver_partitions(
                     valid, provider, sync.stream, sync.credentials, sync.id,
                     sync.options, restart=not first_chunk, stats_acc=acc,
@@ -422,6 +437,24 @@ def run_sync_distributed(
         stats=total_stats,
         checkpoints=checkpoints,
         last_cursor=final_cursor,
+    )
+
+
+def _enrich_distributed(valid: DataFrame, sync: SyncDefinition, spec) -> DataFrame:
+    """Executor-parallel enrichment chain for the distributed path
+    (reference applies enrichments between validation and delivery,
+    sync.ts:539-554): each stage is an Arrow-batched ``mapInPandas``
+    row→0..N expansion, and enriched outputs are re-validated before
+    delivery exactly like the parity path (sync.ts:556-564)."""
+    from syncmaven_spark.enrich import enrich_dataframe
+    from syncmaven_spark.validate import with_validation_column
+
+    for enrichment in sync.enrichments:
+        valid = enrich_dataframe(valid, lambda e=enrichment: e)
+    return (
+        with_validation_column(valid, spec.row_type)
+        .filter(F.col("_valid"))
+        .drop("_valid")
     )
 
 

@@ -171,3 +171,45 @@ def test_distributed_foreach_partition_http(spark, tmp_path):
         assert got == list(range(20))
     finally:
         srv.shutdown()
+
+
+def test_distributed_enrichment_expands_rows(spark, tmp_path):
+    """Enrichments run executor-parallel on the scale path (row → 0..N via
+    mapInPandas), outputs are re-validated, and success counts what was
+    actually written after expansion."""
+    from syncmaven_spark.enrich import CallableEnrichment
+
+    load_tables(spark, SF_SMOKE)
+    out_dir = str(tmp_path / "enriched_out")
+
+    def fan_out(row):
+        twin = dict(row)
+        twin["event_id"] = row["event_id"] + 1_000_000
+        return [row, twin]
+
+    sync = SyncDefinition(
+        id="dist_enrich",
+        model=ModelDefinition(
+            id="m",
+            query=(
+                "select event_id, ts, user_id, event_type, value from events "
+                "where (:cursor is null or event_id >= :cursor) "
+                "and event_id < 20"
+            ),
+            cursor="event_id",
+        ),
+        destination="file",
+        stream="raw",
+        credentials={"directory": out_dir},
+        enrichments=[CallableEnrichment(fan_out)],
+    )
+    result = run_sync_distributed(spark, sync, InMemoryStore(), num_chunks=3)
+    rows = _read_ndjson_dir(out_dir)
+    assert result.stats.received == 20       # source rows
+    assert result.stats.success == 40        # written after 1→2 expansion
+    assert len(rows) == 40
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids[:20] == list(range(20))
+    assert ids[20:] == [i + 1_000_000 for i in range(20)]
+    # cursor tracks the SOURCE column, not enriched twins
+    assert result.last_cursor == 19
