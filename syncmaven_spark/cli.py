@@ -36,6 +36,15 @@ def _build_parser() -> argparse.ArgumentParser:
     sync.add_argument("project_dir", nargs="?", help="project directory")
     sync.add_argument("--select", help="comma-separated sync ids (default: all)")
     sync.add_argument("--full-refresh", action="store_true")
+    sync.add_argument(
+        "--distributed", action="store_true",
+        help="scale path: cursor-range chunked commits + executor-side "
+        "delivery (run_sync_distributed) instead of ordered parity mode",
+    )
+    sync.add_argument(
+        "--chunks", type=int, default=8,
+        help="checkpoint chunk count for --distributed (default 8)",
+    )
     sync.add_argument("--state", help="state dir/file (default <project>/.state)")
     sync.add_argument("--sf-dir", default=None, help="testdata dir to register as views")
     sync.add_argument("-m", "--model-sql", help="ad-hoc: inline model SQL")
@@ -354,7 +363,17 @@ def _main(argv: list[str] | None = None) -> int:
     for sync_id in sorted(selected):
         sync = project.syncs[sync_id]
         try:
-            result = run_sync(spark, sync, store, full_refresh=args.full_refresh)
+            if args.distributed:
+                from syncmaven_spark.runner import run_sync_distributed
+
+                result = run_sync_distributed(
+                    spark, sync, store,
+                    full_refresh=args.full_refresh, num_chunks=args.chunks,
+                )
+            else:
+                result = run_sync(
+                    spark, sync, store, full_refresh=args.full_refresh
+                )
             print(f"[{sync_id}] {result.stats.as_dict()} cursor={result.last_cursor}")
         except Exception as e:  # per-sync isolation (sync.ts:286-299)
             failures += 1

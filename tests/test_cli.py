@@ -166,3 +166,31 @@ def test_connector_dev_two_phase_incremental(tmp_path, capsys, spark):
     second = [json.loads(line) for line in out2.read_text().splitlines()]
     # inclusive >= cursor: exactly the boundary row comes back
     assert [r["event_id"] for r in second] == [max_id]
+
+
+def test_distributed_sync_via_cli(tmp_path, capsys, spark):
+    import glob
+
+    (tmp_path / "models").mkdir()
+    (tmp_path / "syncs").mkdir()
+    out_dir = tmp_path / "dist_out"
+    (tmp_path / "models" / "ev.sql").write_text(
+        '{{ config "cursor" "event_id" }}\n'
+        "select event_id, event_type from events "
+        "where (:cursor is null or event_id >= :cursor) and event_id < 40"
+    )
+    (tmp_path / "syncs" / "s.yaml").write_text(
+        f"model: ev\ndestination:\n  package: file\n  credentials:\n"
+        f"    directory: {out_dir}\n"
+    )
+    rc = cli.main(
+        ["sync", str(tmp_path), "--sf-dir", "/root/testdata/sf0.001",
+         "--state", "memory://", "--distributed", "--chunks", "4"]
+    )
+    assert rc == 0
+    lines = [
+        line for f in glob.glob(f"{out_dir}/part-*") for line in open(f)
+        if line.strip()
+    ]
+    assert len(lines) == 40
+    assert "success" in capsys.readouterr().out
