@@ -24,21 +24,21 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 
-# Persisted intermediates (signature / hashed-set tables) from the most
-# recent operator invocation. Each public operator releases the previous
-# invocation's caches on entry: repeated catalog/bench runs would otherwise
-# pin dead cached blocks for the Spark-app lifetime. Unpersisting an earlier
-# invocation's cache is always safe — plans still holding it just recompute.
+# Persisted intermediates (signature / hashed-set tables), bounded LRU-ish:
+# repeated catalog/bench runs would otherwise pin dead cached blocks for the
+# Spark-app lifetime. A small pool (not release-on-every-call) is deliberate:
+# Spark's CacheManager matches equivalent plans, so e.g. the cluster
+# pipeline legitimately reuses the signature table the candidates query just
+# cached — evicting eagerly forfeits that and re-pays the explode+agg.
+# Unpersisting an old entry is always safe: plans still holding it recompute.
 _LIVE_CACHES: list[DataFrame] = []
-
-
-def _release_prior_caches() -> None:
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+_MAX_LIVE_CACHES = 16
 
 
 def _persist_scoped(df: DataFrame) -> DataFrame:
     _LIVE_CACHES.append(df.persist())
+    while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
+        _LIVE_CACHES.pop(0).unpersist()
     return df
 
 
@@ -126,7 +126,6 @@ def minhash_lsh_candidates(
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
-    _release_prior_caches()  # no-op when a caller already released
     # persist the O(n) signature table so the shingle explode+agg lineage is
     # computed once, not once per side of the bucket self-join
     sig = _persist_scoped(
@@ -182,7 +181,6 @@ def ngram_jaccard_pairs(
     ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold. The blocking join is
     the scale lever: pair count is bounded per block, not global.
     """
-    _release_prior_caches()
     # hash shingles to longs: jaccard is invariant under the (injective
     # modulo ~2^-64 collisions) mapping, and long arrays shuffle and
     # intersect far cheaper than string arrays
@@ -240,7 +238,6 @@ def minhash_verified_pairs(
     ≥-threshold pair set (recall asserted against the unblocked exact pass
     in tests), which is what makes it SQL-oracle-able.
     """
-    _release_prior_caches()
     cands = minhash_lsh_candidates(
         df, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
@@ -305,7 +302,6 @@ def simhash_near_dups(
     """
     n_chunks = max_hamming + 1
     bits_per = 64 // n_chunks
-    _release_prior_caches()
     # the signature table is O(n) ids+longs — persisting it keeps the
     # expensive explode/64-agg lineage from being recomputed for both sides
     # of the self-join (safe at any corpus size; it's signatures, not text)
