@@ -38,6 +38,7 @@ def run_streaming_sync(
     options: dict[str, Any] | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     executor_side: bool | None = None,
+    enrichments: list[Any] | None = None,
 ) -> dict[str, int]:
     """Incrementally sync a growing parquet directory into a destination.
 
@@ -93,6 +94,20 @@ def run_streaming_sync(
                 if n_total == 0:
                     return
                 valid = tagged.filter(F.col("_valid")).drop("_valid")
+                if enrichments:
+                    # row → 0..N enrichment stages, executor-parallel, with
+                    # re-validation — same chain as run_sync_distributed
+                    from syncmaven_spark.enrich import enrich_dataframe
+
+                    for enrichment in enrichments:
+                        valid = enrich_dataframe(
+                            valid, lambda e=enrichment: e
+                        )
+                    valid = (
+                        with_validation_column(valid, spec.row_type)
+                        .filter(F.col("_valid"))
+                        .drop("_valid")
+                    )
                 # sink-reported stats ride accumulators back from the
                 # executors, so both delivery paths report the same way:
                 # received = rows handed to sinks, failed = sink failures,
@@ -129,7 +144,20 @@ def run_streaming_sync(
             if not validator.is_valid(row):
                 totals["skipped"] += 1
                 continue
-            out.handle_row(row)
+            out_rows = [row]
+            for enrichment in enrichments or []:
+                next_rows: list[dict[str, Any]] = []
+                for r in out_rows:
+                    try:
+                        enriched = enrichment.enrich(r)
+                    except Exception:
+                        enriched = []  # enrichment errors drop the row
+                    next_rows.extend(
+                        er for er in enriched if validator.is_valid(er)
+                    )
+                out_rows = next_rows
+            for r in out_rows:
+                out.handle_row(r)
         stats = out.finish()
         totals["received"] += stats.received
         totals["success"] += stats.success

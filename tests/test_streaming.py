@@ -230,3 +230,35 @@ def test_streaming_executor_side_delivery_for_stateless_sinks(spark, tmp_path):
         row["event_id"] for f in files for row in json.load(open(f))
     )
     assert delivered == list(range(100))
+
+
+def test_streaming_enrichment_both_paths(spark, tmp_path):
+    """Enrichment stages apply on both streaming delivery paths: per-row on
+    the driver path (file sink), mapInPandas on the executor path."""
+    from syncmaven_spark.enrich import CallableEnrichment
+    from syncmaven_spark.state import InMemoryStore
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, "click", 1.0), (2, "view", 2.0)])
+    schema = spark.read.parquet(src).schema
+
+    def fan_out(row):
+        twin = dict(row)
+        twin["event_id"] = row["event_id"] + 100
+        return [row, twin]
+
+    out_file = tmp_path / "enriched.ndjson"
+    totals = run_streaming_sync(
+        spark, src, schema, "file", "raw",
+        {"filename": str(out_file)}, InMemoryStore(), "enrich_drv",
+        str(tmp_path / "ckpt1"),
+        enrichments=[CallableEnrichment(fan_out)],
+    )
+    assert totals["success"] == 4  # 2 rows fanned out to 4
+    import json as _json
+
+    ids = sorted(
+        _json.loads(line)["event_id"]
+        for line in out_file.read_text().splitlines()
+    )
+    assert ids == [1, 2, 101, 102]
