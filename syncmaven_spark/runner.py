@@ -318,6 +318,20 @@ def run_sync_distributed(
         if isinstance(sync.destination, DestinationProvider)
         else get_destination(sync.destination, sync.credentials)
     )
+    is_file = isinstance(provider, FileDestination)
+    if not is_file and not provider.stateless:
+        # State-backed sinks (hubspot ID maps, audience last-synced caches,
+        # sheets clear-then-rewrite) need the driver-local store and a single
+        # stream; foreachPartition would give each partition a throwaway
+        # executor-local scratch store and re-run restart semantics per
+        # partition. Mirror run_streaming_sync's executor_side auto-selection
+        # and fall back to parity delivery.
+        log.info(
+            "sync %s: destination %s is state-backed — using parity delivery",
+            sync.id,
+            getattr(provider, "name", type(provider).__name__),
+        )
+        return run_sync(spark, sync, store, full_refresh=full_refresh)
     spec = provider.stream_spec(sync.stream)
     threshold = ErrorThreshold()
 
@@ -337,7 +351,6 @@ def run_sync_distributed(
     else:
         chunk_iter = iter([(df, None)])
 
-    is_file = isinstance(provider, FileDestination)
     out_dir = sync.credentials.get("directory")
     if is_file and not out_dir:
         raise ValueError(
@@ -370,8 +383,10 @@ def run_sync_distributed(
             tagged = tagged.observe(obs, *agg_cols)
             valid = tagged.filter(F.col("_valid")).drop("_valid")
             out_obs = None
+            drop_acc = None
             if sync.enrichments:
-                valid = _enrich_distributed(valid, sync, spec)
+                drop_acc = spark.sparkContext.accumulator(0)
+                valid = _enrich_distributed(valid, sync, spec, drop_acc)
                 # enrichment changes cardinality (row → 0..N): count what
                 # was actually written with a second observation on the
                 # enriched plan, still one job
@@ -388,7 +403,10 @@ def run_sync_distributed(
                 continue
             # the distributed write either commits all valid rows or raises
             written = out_obs.get["n"] if out_obs is not None else n_valid
-            delivered_success, delivered_failed, extra_skipped = written, 0, 0
+            delivered_success, delivered_failed = written, 0
+            # enriched rows the re-validation dropped never reach the file;
+            # without this they vanish from received/success/skipped/failed
+            extra_skipped = drop_acc.value if drop_acc is not None else 0
         else:
             # foreachPartition is RDD-backed: observed metrics never reach
             # the listener (measured — obs.get blocks forever), so this
@@ -399,6 +417,7 @@ def run_sync_distributed(
             sc = spark.sparkContext
             acc = {k: sc.accumulator(0)
                    for k in ("received", "success", "skipped", "failed")}
+            drop_acc = sc.accumulator(0)
             try:
                 counts = tagged.agg(*agg_cols).first()
                 n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
@@ -406,7 +425,7 @@ def run_sync_distributed(
                     continue
                 valid = tagged.filter(F.col("_valid")).drop("_valid")
                 if sync.enrichments:
-                    valid = _enrich_distributed(valid, sync, spec)
+                    valid = _enrich_distributed(valid, sync, spec, drop_acc)
                 deliver_partitions(
                     valid, provider, sync.stream, sync.credentials, sync.id,
                     sync.options, restart=not first_chunk, stats_acc=acc,
@@ -415,7 +434,7 @@ def run_sync_distributed(
                 tagged.unpersist()
             delivered_success = acc["success"].value
             delivered_failed = acc["failed"].value
-            extra_skipped = acc["skipped"].value
+            extra_skipped = acc["skipped"].value + drop_acc.value
 
         threshold.success(n_valid)
         threshold.fail(n_total - n_valid)
@@ -440,22 +459,51 @@ def run_sync_distributed(
     )
 
 
-def _enrich_distributed(valid: DataFrame, sync: SyncDefinition, spec) -> DataFrame:
+def _enrich_distributed(
+    valid: DataFrame, sync: SyncDefinition, spec, drop_acc=None
+) -> DataFrame:
     """Executor-parallel enrichment chain for the distributed path
     (reference applies enrichments between validation and delivery,
     sync.ts:539-554): each stage is an Arrow-batched ``mapInPandas``
     row→0..N expansion, and enriched outputs are re-validated before
-    delivery exactly like the parity path (sync.ts:556-564)."""
+    delivery exactly like the parity path (sync.ts:556-564).
+
+    ``drop_acc`` (optional accumulator): counts enriched rows dropped by the
+    re-validation so they surface in ``stats.skipped`` — observe() cannot
+    report them on RDD-backed ``foreachPartition`` actions, and the file
+    path's write-side observation only sees survivors. Task retries can
+    over-count, the same caveat the delivery accumulators already carry."""
     from syncmaven_spark.enrich import enrich_dataframe
     from syncmaven_spark.validate import with_validation_column
 
     for enrichment in sync.enrichments:
         valid = enrich_dataframe(valid, lambda e=enrichment: e)
-    return (
-        with_validation_column(valid, spec.row_type)
-        .filter(F.col("_valid"))
-        .drop("_valid")
+    tagged = with_validation_column(valid, spec.row_type)
+    if drop_acc is None:
+        return tagged.filter(F.col("_valid")).drop("_valid")
+    return _filter_valid_counting(tagged, drop_acc)
+
+
+def _filter_valid_counting(tagged: DataFrame, drop_acc) -> DataFrame:
+    """Filter to ``_valid`` rows while adding the dropped-row count to
+    ``drop_acc`` — an Arrow-batched stand-in for ``filter`` when the count
+    must ride an accumulator back from the executors."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [f for f in tagged.schema.fields if f.name != "_valid"]
     )
+    cols = [f.name for f in out_schema.fields]
+
+    def keep_valid(batches):
+        for pdf in batches:
+            mask = pdf["_valid"].fillna(False).astype(bool)
+            dropped = int((~mask).sum())
+            if dropped:
+                drop_acc.add(dropped)
+            yield pdf.loc[mask, cols]
+
+    return tagged.mapInPandas(keep_valid, out_schema)
 
 
 def deliver_partitions(

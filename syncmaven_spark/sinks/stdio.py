@@ -129,7 +129,15 @@ class StateRpcServer:
             store.delete_by_prefix(body["prefix"])
             send_json({})
         elif path == "/state.size":
-            send_json({"size": store.size()})
+            # the reference scopes size to the connector's key prefix
+            # (std.ts:212 sends it; docker-channel.ts:197-199 answers with
+            # store.size(prefix)) — a global count would leak cursors of
+            # every other sync into the connector's number
+            prefix = body.get("prefix")
+            if prefix is None:
+                send_json({"size": store.size()})
+            else:
+                send_json({"size": sum(1 for _ in store.stream(prefix))})
         elif path == "/state.list":
             # NDJSON entry stream, key split back into segments
             # (docker-channel.ts:200-207, std.ts list contract)
@@ -196,14 +204,21 @@ class _ConnectorProcess:
 
     def check_halt(self) -> None:
         """Surface an already-queued halt without blocking (the connector
-        may halt at any time, sync.ts:372-399)."""
-        try:
-            message = self._replies.get_nowait()
-        except queue.Empty:
-            return
-        if message.get("type") == "halt":
-            raise HaltError(message.get("payload", {}).get("message", "halt"))
-        self._replies.put(message)  # incl. the _eof sentinel — send() reports
+        may halt at any time, sync.ts:372-399).
+
+        Only the queue head is examined, and it is consumed only when it IS
+        a halt: a get+put round-trip would rotate a non-halt reply to the
+        tail, so ``[stream-result, _eof]`` could become ``[_eof,
+        stream-result]`` and ``finish()`` would report a dead connector
+        despite having its result. Direct deque access under the queue's
+        own mutex is safe here — the engine is the only consumer."""
+        halt_msg = None
+        with self._replies.mutex:
+            pending = self._replies.queue
+            if pending and pending[0].get("type") == "halt":
+                halt_msg = pending.popleft()
+        if halt_msg is not None:
+            raise HaltError(halt_msg.get("payload", {}).get("message", "halt"))
 
     def send(self, message: dict) -> None:
         self.send_raw(json.dumps(message))

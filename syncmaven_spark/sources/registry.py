@@ -138,7 +138,8 @@ class DelimitedDirSource(Datasource):
 
 @register_source(
     lambda spec: isinstance(spec, str)
-    and spec.split("://", 1)[0] in ("postgres", "postgresql")
+    and spec.split("://", 1)[0]
+    in ("postgres", "postgresql", "jdbc:postgres", "jdbc:postgresql")
 )
 class PostgresJdbcSource(Datasource):
     """Postgres via Spark's JDBC source.
@@ -183,7 +184,12 @@ class PostgresJdbcSource(Datasource):
 
 @register_source(
     lambda spec: isinstance(spec, str)
-    and spec.split("://", 1)[0] in ("mysql", "mariadb", "clickhouse", "jdbc")
+    and (
+        spec.split("://", 1)[0] in ("mysql", "mariadb", "clickhouse")
+        # any real JDBC URL ("jdbc:<subprotocol>://…") that an earlier,
+        # more specific source (postgres above) did not claim
+        or spec.startswith("jdbc:")
+    )
 )
 class GenericJdbcSource(Datasource):
     """Generic JDBC reader for warehouses beyond the reference's three.
@@ -199,9 +205,20 @@ class GenericJdbcSource(Datasource):
     DEFAULT_FETCH_SIZE = 10_000
 
     def __init__(self, url: str, partition_options: dict[str, Any] | None = None):
-        scheme = url.split("://", 1)[0]
+        if url.startswith("jdbc:"):
+            # a real JDBC URL — pass through verbatim; the dialect is the
+            # sub-protocol ("jdbc:mysql://…" → mysql)
+            self.url = url
+            scheme = url[len("jdbc:"):].split(":", 1)[0].split("://", 1)[0]
+            if not scheme or "/" in scheme:
+                raise ValueError(
+                    f"JDBC URL without a sub-protocol: {url!r} (expected "
+                    "jdbc:<subprotocol>://…)"
+                )
+        else:
+            scheme = url.split("://", 1)[0]
+            self.url = f"jdbc:{url}"
         self.dialect = "mysql" if scheme == "mariadb" else scheme
-        self.url = url if url.startswith("jdbc:") else f"jdbc:{url}"
         self.partition_options = partition_options or {}
 
     def _reader(self, spark: SparkSession):

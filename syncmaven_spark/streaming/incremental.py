@@ -94,25 +94,26 @@ def run_streaming_sync(
                 if n_total == 0:
                     return
                 valid = tagged.filter(F.col("_valid")).drop("_valid")
+                sc = spark.sparkContext
+                drop_acc = sc.accumulator(0)
                 if enrichments:
                     # row → 0..N enrichment stages, executor-parallel, with
-                    # re-validation — same chain as run_sync_distributed
+                    # re-validation — same chain as run_sync_distributed;
+                    # re-validation drops ride drop_acc into skipped
                     from syncmaven_spark.enrich import enrich_dataframe
+                    from syncmaven_spark.runner import _filter_valid_counting
 
                     for enrichment in enrichments:
                         valid = enrich_dataframe(
                             valid, lambda e=enrichment: e
                         )
-                    valid = (
-                        with_validation_column(valid, spec.row_type)
-                        .filter(F.col("_valid"))
-                        .drop("_valid")
+                    valid = _filter_valid_counting(
+                        with_validation_column(valid, spec.row_type), drop_acc
                     )
                 # sink-reported stats ride accumulators back from the
                 # executors, so both delivery paths report the same way:
                 # received = rows handed to sinks, failed = sink failures,
                 # skipped = validation skips (+ sink-side skips)
-                sc = spark.sparkContext
                 acc = {k: sc.accumulator(0)
                        for k in ("received", "success", "skipped", "failed")}
                 deliver_partitions(
@@ -125,7 +126,9 @@ def run_streaming_sync(
             totals["received"] += acc["received"].value
             totals["success"] += acc["success"].value
             totals["failed"] += acc["failed"].value
-            totals["skipped"] += (n_total - n_valid) + acc["skipped"].value
+            totals["skipped"] += (
+                (n_total - n_valid) + acc["skipped"].value + drop_acc.value
+            )
             return
 
         rows = [r.asDict(recursive=True) for r in batch_df.collect()]
@@ -152,9 +155,13 @@ def run_streaming_sync(
                         enriched = enrichment.enrich(r)
                     except Exception:
                         enriched = []  # enrichment errors drop the row
-                    next_rows.extend(
-                        er for er in enriched if validator.is_valid(er)
-                    )
+                    for er in enriched:
+                        if validator.is_valid(er):
+                            next_rows.append(er)
+                        else:
+                            # re-validation drops count as skipped, same as
+                            # pre-enrichment validation failures
+                            totals["skipped"] += 1
                 out_rows = next_rows
             for r in out_rows:
                 out.handle_row(r)

@@ -213,3 +213,164 @@ def test_distributed_enrichment_expands_rows(spark, tmp_path):
     assert ids[20:] == [i + 1_000_000 for i in range(20)]
     # cursor tracks the SOURCE column, not enriched twins
     assert result.last_cursor == 19
+
+
+def test_distributed_stateful_sink_falls_back_to_parity(spark):
+    """A state-backed (non-stateless) sink must not take the foreachPartition
+    path: per-partition scratch stores would discard ID-map state and re-run
+    restart semantics once per partition. The scale path auto-falls-back to
+    parity delivery against the driver-local store."""
+    from syncmaven_spark.sinks.base import (
+        DestinationProvider,
+        OutputStream,
+        StreamSpec,
+    )
+
+    stores_seen = []
+
+    class StatefulStream(OutputStream):
+        def __init__(self, store):
+            super().__init__()
+            self._store = store
+
+        def handle_row(self, row):
+            self.stats.received += 1
+            self._store.set(["ids", str(row["id"])], True)
+            self.stats.success += 1
+
+        def finish(self):
+            return self.stats
+
+    class StatefulDestination(DestinationProvider):
+        name = "stateful"  # stateless defaults to False
+
+        def streams(self):
+            return [StreamSpec(name="s", row_type={"type": "object"})]
+
+        def create_output_stream(
+            self, stream_name, credentials, sync_id, store,
+            full_refresh=False, restart=False, options=None,
+        ):
+            stores_seen.append(store)
+            return StatefulStream(store)
+
+    store = InMemoryStore()
+    spark.sql("select id from range(10)").createOrReplaceTempView("stateful_src")
+    sync = SyncDefinition(
+        id="dist_stateful",
+        model=ModelDefinition(id="m", query="select * from stateful_src"),
+        destination=StatefulDestination(),
+        stream="s",
+        credentials={},
+    )
+    result = run_sync_distributed(spark, sync, store)
+    assert result.stats.success == 10
+    # parity delivery: exactly one stream, against the DRIVER store
+    assert stores_seen == [store]
+    assert sum(1 for _ in store.stream(["ids"])) == 10
+
+
+STRICT_EVENT_SCHEMA = {
+    "type": "object",
+    "properties": {"event_id": {"type": "integer"}},
+    "required": ["event_id"],
+}
+
+
+def _make_invalid_twin_enrichment():
+    """1 → 2 expansion where the twin fails the stream schema. Built inside
+    a factory so cloudpickle serializes the function by value (a module-level
+    test function would pickle by reference and fail to import on workers)."""
+    from syncmaven_spark.enrich import CallableEnrichment
+
+    def fan_out(row):
+        twin = dict(row)
+        twin["event_id"] = None
+        return [row, twin]
+
+    return CallableEnrichment(fan_out)
+
+
+def test_distributed_file_revalidation_drops_counted(spark, tmp_path):
+    """Enriched rows dropped by re-validation surface in stats.skipped on
+    the distributed FILE path (they never reach the written output, but
+    must not vanish from the received/success/skipped/failed ledger)."""
+    from syncmaven_spark.sinks.base import StreamSpec
+    from syncmaven_spark.sinks.file import FileDestination
+
+    class StrictFileDestination(FileDestination):
+        def streams(self):
+            return [StreamSpec(name="raw", row_type=STRICT_EVENT_SCHEMA)]
+
+    load_tables(spark, SF_SMOKE)
+    out_dir = str(tmp_path / "drop_out")
+    sync = SyncDefinition(
+        id="dist_drops_file",
+        model=ModelDefinition(
+            id="m",
+            query=(
+                "select event_id from events where "
+                "(:cursor is null or event_id >= :cursor) and event_id < 20"
+            ),
+            cursor="event_id",
+        ),
+        destination=StrictFileDestination(),
+        stream="raw",
+        credentials={"directory": out_dir},
+        enrichments=[_make_invalid_twin_enrichment()],
+    )
+    result = run_sync_distributed(spark, sync, InMemoryStore(), num_chunks=2)
+    assert len(_read_ndjson_dir(out_dir)) == 20  # valid originals only
+    assert result.stats.received == 20
+    assert result.stats.success == 20
+    assert result.stats.skipped == 20  # the dropped twins
+
+
+def test_distributed_foreach_revalidation_drops_counted(spark, tmp_path):
+    """Same ledger contract on the foreachPartition (stateless sink) path."""
+    from syncmaven_spark.sinks.base import (
+        DestinationProvider,
+        OutputStream,
+        StreamSpec,
+    )
+
+    class CountingStream(OutputStream):
+        def handle_row(self, row):
+            self.stats.received += 1
+            self.stats.success += 1
+
+        def finish(self):
+            return self.stats
+
+    class CountingDestination(DestinationProvider):
+        name = "counting"
+        stateless = True
+
+        def streams(self):
+            return [StreamSpec(name="s", row_type=STRICT_EVENT_SCHEMA)]
+
+        def create_output_stream(
+            self, stream_name, credentials, sync_id, store,
+            full_refresh=False, restart=False, options=None,
+        ):
+            return CountingStream()
+
+    load_tables(spark, SF_SMOKE)
+    sync = SyncDefinition(
+        id="dist_drops_foreach",
+        model=ModelDefinition(
+            id="m",
+            query=(
+                "select event_id from events where "
+                "(:cursor is null or event_id >= :cursor) and event_id < 20"
+            ),
+            cursor="event_id",
+        ),
+        destination=CountingDestination(),
+        stream="s",
+        credentials={},
+        enrichments=[_make_invalid_twin_enrichment()],
+    )
+    result = run_sync_distributed(spark, sync, InMemoryStore(), num_chunks=2)
+    assert result.stats.success == 20
+    assert result.stats.skipped == 20

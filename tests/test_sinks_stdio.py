@@ -141,7 +141,10 @@ def test_state_rpc_list_and_size():
             {"key": ["p", "a"], "value": 1},
             {"key": ["p", "b"], "value": {"x": 2}},
         ]
-        assert _json.loads(post("state.size", {"prefix": ["p"]}))["size"] == 3
+        # size is scoped to the requested prefix (docker-channel.ts:197-199),
+        # not the engine's global store
+        assert _json.loads(post("state.size", {"prefix": ["p"]}))["size"] == 2
+        assert _json.loads(post("state.size", {}))["size"] == 3
 
         # wrong token → 401
         req = urllib.request.Request(
@@ -204,3 +207,56 @@ def test_get_destination_docker_url_shape():
     assert dest.command[:4] == ["docker", "run", "-i", "--rm"]
     assert dest.command[-1] == "syncmaven/connector-demo"
     assert dest._rpc_advertise == "host.docker.internal"
+
+
+def test_check_halt_preserves_reply_order():
+    """check_halt must not rotate a queued non-halt reply to the queue tail:
+    a connector that emits stream-result and exits leaves [stream-result,
+    _eof]; a get+put peek would turn that into [_eof, stream-result] and
+    finish() would report a dead connector despite having its result."""
+    from syncmaven_spark.sinks.stdio import _ConnectorProcess
+
+    proc = _ConnectorProcess(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import json\n"
+                "print(json.dumps({'type': 'stream-result', "
+                "'payload': {'received': 3, 'success': 3}}), flush=True)\n"
+            ),
+        ]
+    )
+    try:
+        proc.proc.wait(timeout=10)
+        proc._reader.join(timeout=10)  # queue now holds [stream-result, _eof]
+        proc.check_halt()  # no halt queued → must not reorder
+        proc.check_halt()
+        reply = proc.expect("stream-result")
+        assert reply["payload"]["success"] == 3
+    finally:
+        proc.close()
+
+
+def test_check_halt_consumes_queued_halt():
+    from syncmaven_spark.sinks.stdio import _ConnectorProcess
+
+    proc = _ConnectorProcess(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import json\n"
+                "print(json.dumps({'type': 'halt', "
+                "'payload': {'message': 'quota exceeded'}}), flush=True)\n"
+            ),
+        ]
+    )
+    try:
+        proc.proc.wait(timeout=10)
+        proc._reader.join(timeout=10)
+        with pytest.raises(HaltError, match="quota exceeded"):
+            proc.check_halt()
+        proc.check_halt()  # halt consumed; _eof head must not raise here
+    finally:
+        proc.close()

@@ -235,3 +235,18 @@ def test_generic_jdbc_dispatch_and_url_normalization():
     # mariadb aliases the mysql dialect; postgres stays on its own reader
     assert create_datasource("mariadb://h/db").dialect == "mysql"
     assert isinstance(create_datasource("postgres://h/db"), PostgresJdbcSource)
+
+    # real JDBC URLs dispatch too and pass through verbatim
+    jm = create_datasource("jdbc:mysql://host:3306/db")
+    assert isinstance(jm, GenericJdbcSource)
+    assert jm.url == "jdbc:mysql://host:3306/db"
+    assert jm.dialect == "mysql"
+    jp = create_datasource("jdbc:postgresql://h:5432/db")
+    assert isinstance(jp, PostgresJdbcSource)
+    assert jp.url == "jdbc:postgresql://h:5432/db"
+    jo = create_datasource("jdbc:sqlserver://h;databaseName=db")
+    assert isinstance(jo, GenericJdbcSource)
+    assert jo.dialect == "sqlserver"
+    # a bare jdbc:// URL has no sub-protocol — fail fast, not at read time
+    with pytest.raises(ValueError, match="sub-protocol"):
+        create_datasource("jdbc://h/db")

@@ -262,3 +262,64 @@ def test_streaming_enrichment_both_paths(spark, tmp_path):
         for line in out_file.read_text().splitlines()
     )
     assert ids == [1, 2, 101, 102]
+
+
+def test_streaming_revalidation_drops_counted_both_paths(spark, tmp_path):
+    """Enriched rows dropped by re-validation count as skipped on BOTH
+    streaming delivery paths, so received/success/skipped/failed reconcile
+    with the source row count."""
+    from syncmaven_spark.enrich import CallableEnrichment
+    from syncmaven_spark.sinks.base import (
+        DestinationProvider,
+        OutputStream,
+        StreamSpec,
+    )
+    from syncmaven_spark.state import InMemoryStore
+
+    strict = {
+        "type": "object",
+        "properties": {"event_id": {"type": "integer"}},
+        "required": ["event_id"],
+    }
+
+    class CountingStream(OutputStream):
+        def handle_row(self, row):
+            self.stats.received += 1
+            self.stats.success += 1
+
+        def finish(self):
+            return self.stats
+
+    class CountingDestination(DestinationProvider):
+        name = "counting"
+
+        def __init__(self, stateless):
+            self.stateless = stateless
+
+        def streams(self):
+            return [StreamSpec(name="s", row_type=strict)]
+
+        def create_output_stream(
+            self, stream_name, credentials, sync_id, store,
+            full_refresh=False, restart=False, options=None,
+        ):
+            return CountingStream()
+
+    def fan_out(row):
+        twin = dict(row)
+        twin["event_id"] = None  # fails the strict schema on re-validation
+        return [row, twin]
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, "click", 1.0), (2, "view", 2.0)])
+    schema = spark.read.parquet(src).schema
+
+    for label, stateless in (("driver", False), ("executor", True)):
+        totals = run_streaming_sync(
+            spark, src, schema, CountingDestination(stateless), "s", {},
+            InMemoryStore(), f"drops_{label}",
+            str(tmp_path / f"ckpt_{label}"),
+            enrichments=[CallableEnrichment(fan_out)],
+        )
+        assert totals["success"] == 2, label   # valid originals delivered
+        assert totals["skipped"] == 2, label   # dropped twins accounted for
