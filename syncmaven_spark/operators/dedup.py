@@ -24,22 +24,9 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 16
 
-# Persisted intermediates (signature / hashed-set tables), bounded LRU-ish:
-# repeated catalog/bench runs would otherwise pin dead cached blocks for the
-# Spark-app lifetime. A small pool (not release-on-every-call) is deliberate:
-# Spark's CacheManager matches equivalent plans, so e.g. the cluster
-# pipeline legitimately reuses the signature table the candidates query just
-# cached — evicting eagerly forfeits that and re-pays the explode+agg.
-# Unpersisting an old entry is always safe: plans still holding it recompute.
-_LIVE_CACHES: list[DataFrame] = []
-_MAX_LIVE_CACHES = 16
-
-
-def _persist_scoped(df: DataFrame) -> DataFrame:
-    _LIVE_CACHES.append(df.persist())
-    while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
-        _LIVE_CACHES.pop(0).unpersist()
-    return df
+# Persisted intermediates go through the shared count- and byte-bounded
+# pool — see operators/cache.py for the policy and rationale.
+from syncmaven_spark.operators.cache import persist_scoped as _persist_scoped
 
 
 def _shingles(text_col, k: int):
@@ -237,6 +224,31 @@ def minhash_verified_pairs(
     j=0.8 — so at thresholds ≥ 0.6 the verified output is the complete
     ≥-threshold pair set (recall asserted against the unblocked exact pass
     in tests), which is what makes it SQL-oracle-able.
+
+    ``max_bucket_size`` picks between two modes:
+
+    - **oracle-exact** (default here, 100_000 ≈ uncapped): complete recall,
+      but a degenerate bucket of b docs emits O(b²) pairs — 100k boilerplate
+      copies would produce ~5×10⁹. Use only when the corpus is known
+      boilerplate-light or completeness is required (derived oracles).
+    - **production** (``max_bucket_size=200``, the
+      ``minhash_lsh_candidates`` default): bounds any bucket's pair blow-up
+      to ~2×10⁴. With discriminative shingles (``shingle_k>=3``, the
+      production choice) this loses nothing on natural corpora (recall 1.0
+      vs the exact pair set is asserted on testdata in
+      ``tests/test_operators_dedup.py``). Word-SET shingles (``k=1``) are
+      far less discriminative — template-generated corpora collide into
+      huge buckets even when every text is distinct (the driver testdata
+      measures recall ≈0.53 under the cap) — which is exactly why the
+      oracle catalog entry pairs k=1 with the uncapped mode. On
+      boilerplate-heavy input the
+      cap keeps the lowest-id ``max_bucket_size`` docs per bucket
+      (deterministic) and drops the rest from that bucket, so an n-doc
+      identical cluster yields C(cap,2) of its C(n,2) pairs and docs past
+      the cap in every band go unpaired. That is the deliberate trade;
+      if full boilerplate clustering matters, route an exact-hash dedup
+      (``exact_dedup``) first — identical docs collapse there for free and
+      never reach LSH.
     """
     cands = minhash_lsh_candidates(
         df, text_col, id_col,

@@ -1398,17 +1398,68 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     tags=("similarity", "knn", "ivf"),
 )
 def knn_cosine_ivf(spark, sf_dir):
-    from syncmaven_spark.operators import cosine_topk_bruteforce, cosine_topk_ivf
-    from syncmaven_spark.operators.similarity import train_centroids
+    from syncmaven_spark.operators.cache import persist_scoped
+    from syncmaven_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        assign_cells,
+        train_centroids,
+    )
 
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    q = emb.filter(F.col("vec_id") < 8)
     centroids = train_centroids(emb, n_centroids=8, order_col="vec_id")
-    ivf = cosine_topk_ivf(emb, q, k=5, centroids=centroids, n_probe=4).select(
-        "q_id", "n_id"
+    # Score each (query, neighbor) pair ONCE: the exact ranking and the
+    # IVF-restricted ranking both derive from the same persisted scored
+    # table. Mathematically identical to running cosine_topk_bruteforce and
+    # cosine_topk_ivf separately — same rounding, same (desc sim, asc id)
+    # tie-break, and the IVF candidate set is exactly the pairs whose corpus
+    # cell is among the query's probed cells — but the dot products (the
+    # dominant cost) are paid once, not twice.
+    corpus = (
+        assign_cells(emb, centroids, n_probe=1, out_col="_cells")
+        .select(
+            F.col("vec_id").alias("n_id"),
+            _as_double(F.col("embedding")).alias("n_vec"),
+            F.col("_cells")[0].alias("n_cell"),
+        )
+        .withColumn("n_norm", F.sqrt(_dot(F.col("n_vec"), F.col("n_vec"))))
     )
-    bf = cosine_topk_bruteforce(emb, q, k=5).select("q_id", "n_id")
+    q_set = (
+        assign_cells(
+            emb.filter(F.col("vec_id") < 8), centroids, n_probe=4, out_col="_cells"
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            _as_double(F.col("embedding")).alias("q_vec"),
+            F.col("_cells").alias("q_cells"),
+        )
+        .withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    scored = persist_scoped(
+        corpus.join(F.broadcast(q_set), F.col("q_id") != F.col("n_id")).select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cos_sim"),
+            F.array_contains(F.col("q_cells"), F.col("n_cell")).alias("_in_probe"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    bf = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id")
+    )
+    ivf = (
+        scored.filter(F.col("_in_probe"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id")
+    )
     hits = (
         ivf.join(bf, ["q_id", "n_id"])
         .groupBy("q_id")

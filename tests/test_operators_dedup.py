@@ -99,6 +99,88 @@ def test_ngram_jaccard_with_blocking(docs):
     assert (4, 5) not in pairs
 
 
+def _exact_pairs(docs, threshold, shingle_k):
+    from pyspark.sql import functions as F
+
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs.withColumn("_all", F.lit(1)),
+            "text",
+            "doc_id",
+            ["_all"],
+            threshold=threshold,
+            shingle_k=shingle_k,
+        ).collect()
+    }
+
+
+def test_capped_lsh_production_recipe_full_recall(testdata):
+    """The production recipe — 3-word shingles, max_bucket_size=200 — has
+    recall 1.0 on the real documents table: shingle sets at k=3 are
+    discriminative, buckets stay far under the cap, and the verified output
+    equals the unblocked exact ≥0.8 Jaccard pair set."""
+    from syncmaven_spark.operators.dedup import minhash_verified_pairs
+
+    docs = testdata["documents"].select("doc_id", "text")
+    exact = _exact_pairs(docs, threshold=0.8, shingle_k=3)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_verified_pairs(
+            docs, "text", "doc_id", threshold=0.8, shingle_k=3,
+            max_bucket_size=200,
+        ).collect()
+    }
+    assert exact, "testdata must contain near-duplicate documents at k=3"
+    assert capped == exact
+
+
+def test_capped_lsh_wordset_config_documents_recall_loss(testdata):
+    """Why the ORACLE entry runs uncapped: at shingle_k=1 (word sets — what
+    the SQL oracle can express) the driver testdata is the degenerate case —
+    500 distinct texts whose word SETS nearly coincide, so LSH buckets reach
+    ~340 docs and the 200 cap drops real pairs (recall ≈ 0.53 measured).
+    Precision stays 1.0 (capped ⊆ exact: survivors are exact-verified).
+    This is the boilerplate-heavy regime the docstring warns about."""
+    from syncmaven_spark.operators.dedup import minhash_verified_pairs
+
+    docs = testdata["documents"].select("doc_id", "text")
+    exact = _exact_pairs(docs, threshold=0.8, shingle_k=1)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_verified_pairs(
+            docs, "text", "doc_id", threshold=0.8, shingle_k=1,
+            max_bucket_size=200,
+        ).collect()
+    }
+    assert capped <= exact  # never a false positive
+    recall = len(capped) / len(exact)
+    assert 0.4 <= recall < 1.0  # the cap bites here, by design
+
+
+def test_capped_lsh_loses_pairs_only_past_the_cap(spark):
+    """What the cap costs on degenerate input: n identical docs all share
+    every band bucket, so only the cap-lowest ids pair up — recall drops to
+    C(cap,2)/C(n,2). This is the deliberate scale trade (a 100k-doc
+    boilerplate bucket would otherwise emit ~5e9 pairs); raise
+    max_bucket_size only when the corpus is known boilerplate-light or for
+    oracle-exact runs."""
+    from syncmaven_spark.operators.dedup import minhash_verified_pairs
+
+    n, cap = 30, 20
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_verified_pairs(
+        df, "text", "doc_id", threshold=0.8, max_bucket_size=cap
+    ).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    # the survivors are exactly the cap lowest ids (deterministic order-by-id cap)
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == set(range(cap))
+
+
 def test_minhash_empty_and_short_docs(spark):
     df = spark.createDataFrame(
         [(1, "short"), (2, ""), (3, "one two")], ["doc_id", "text"]
