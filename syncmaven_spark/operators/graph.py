@@ -23,6 +23,15 @@ construction a *local minimum* whose own label improves only when plain
 relaxation crawls into it — measured: 76 rounds on the sf0.1 document
 graph vs 6 for star rewriting.
 
+Execution is **hybrid**: star-rewriting rounds run distributed while the
+edge count exceeds ``local_finish_edges`` (default 1M); at or below it the
+remaining graph is collected and solved driver-side with union-find — one
+scheduling-bound distributed round (~6 stages) costs more wall-clock than
+collecting a ≤1M-edge list (≤16 MB) outright. This mirrors the bounded
+driver steps elsewhere in the engine (IVF centroid sample): deliberate,
+size-gated, and O(bound) memory. ``local_finish_edges=0`` forces the pure
+distributed loop.
+
 Scale notes:
 - **Rounds are carried via a parquet round-trip, not
   ``localCheckpoint``/``checkpoint``.** Measured on pyspark 4.1.2 (local
@@ -47,6 +56,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import types as T
 
 
 def _roundtrip(df: DataFrame, path: str) -> DataFrame:
@@ -151,6 +161,56 @@ class _LoopConfs:
         self._overridden = False
 
 
+def _local_components(cur: DataFrame) -> DataFrame:
+    """Driver-local union-find over a SMALL edge list → ``(v, component)``.
+
+    Union-by-min with path compression: the root of every tree is the
+    minimum id of its component by invariant (a union always keeps the
+    smaller of the two roots), so labels fall out of one final find() pass.
+    Pure Python handles ~1M edges in ≈1 s; callers gate on the exact edge
+    count before calling. Returns a LocalRelation — no files, no lineage.
+    """
+    pdf = cur.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+        if x not in parent:
+            parent[x] = x
+        if y not in parent:
+            parent[y] = y
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+
+    id_type = cur.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("v", id_type), T.StructField("component", id_type)]
+    )
+    labels = [(x, find(x)) for x in parent]
+    return cur.sparkSession.createDataFrame(labels, schema)
+
+
+# Collecting fewer edges than this and finishing with driver-side union-find
+# is cheaper than even ONE more distributed round (a round is ~6
+# scheduling-bound stages; 1M edges collect+union-find ≈ 1 s driver-side,
+# 16 MB of longs). The distributed loop remains the only path above the
+# bound — at 100 TB the active edge set is far past it until the final
+# contraction, and if it never shrinks below the bound the loop simply runs
+# to fixpoint as before.
+_LOCAL_FINISH_EDGES = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -158,6 +218,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iter: int = 30,
     work_dir: str | None = None,
+    local_finish_edges: int = _LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """Label every node with the minimum node id of its component.
 
@@ -171,6 +232,15 @@ def connected_components(
     edge rewriting has not reached fixpoint within ``max_iter`` rounds —
     a non-fixpoint edge list is not a union of stars, so label extraction
     would silently under-merge components.
+
+    Hybrid execution: star-rewriting rounds run distributed while the
+    exact edge count (free — it rides each round's fingerprint) exceeds
+    ``local_finish_edges``; at or below it the remaining graph is solved
+    driver-side with union-find (``_local_components``) — a bounded,
+    deliberate driver step like the IVF centroid sample, because a
+    scheduling-bound distributed round costs more than collecting the
+    whole small edge list. ``local_finish_edges=0`` forces the pure
+    distributed loop (used by tests and available to callers).
     """
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="cc_")
@@ -197,7 +267,7 @@ def connected_components(
     converged = prev_fp[0] == 0  # no edges → already a (trivial) fixpoint
     try:
         for it in range(1, max_iter + 1):
-            if converged:
+            if converged or prev_fp[0] <= local_finish_edges:
                 break
             confs.tune_for(prev_fp[0])
             nxt = _star_iteration(cur)
@@ -209,24 +279,30 @@ def connected_components(
                 converged = True
             prev_fp = fp
 
-        if not converged:
+        local_finish = not converged and prev_fp[0] <= local_finish_edges
+        if not converged and not local_finish:
             raise RuntimeError(
                 f"connected_components did not reach fixpoint in {max_iter} "
                 "rounds; labels would be wrong (under-merged). Raise max_iter."
             )
 
-        # at fixpoint ``cur`` is a union of stars: label(a) = b, centers and
-        # isolated vertices label themselves
-        labels = cur.groupBy(F.col("a").alias("v")).agg(
-            F.min("b").alias("component")
-        )
-        centers = (
-            cur.select(F.col("b").alias("v"))
-            .distinct()
-            .join(labels, "v", "left_anti")
-            .select("v", F.col("v").alias("component"))
-        )
-        out = labels.union(centers)
+        if local_finish:
+            # small remainder: solved eagerly driver-side (materialized
+            # before the it_* files are removed below)
+            out = _local_components(cur)
+        else:
+            # at fixpoint ``cur`` is a union of stars: label(a) = b, centers
+            # and isolated vertices label themselves
+            labels = cur.groupBy(F.col("a").alias("v")).agg(
+                F.min("b").alias("component")
+            )
+            centers = (
+                cur.select(F.col("b").alias("v"))
+                .distinct()
+                .join(labels, "v", "left_anti")
+                .select("v", F.col("v").alias("component"))
+            )
+            out = labels.union(centers)
         if nodes is not None:
             vcol = nodes.columns[0]
             isolated = (
@@ -236,7 +312,8 @@ def connected_components(
                 .select("v", F.col("v").alias("component"))
             )
             out = out.union(isolated)
-        out = _roundtrip(out, f"{work_dir}/labels")
+        if not local_finish:
+            out = _roundtrip(out, f"{work_dir}/labels")
     finally:
         confs.restore()
     shutil.rmtree(f"{work_dir}/it_0", ignore_errors=True)

@@ -2134,16 +2134,20 @@ def text_tfidf_topterms(spark, sf_dir):
     "JOIN islands i ON d.lang = i.lang AND d.n_chars = i.n_chars) "
     "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, island) AS component "
     "FROM comp",
-    doc="Distributed connected components (the dedup CLUSTERING step after "
-    "LSH pair generation): alternating large-star/small-star edge "
-    "rewriting (Kiveris et al.), O(log^2 V) rounds — label propagation "
-    "variants degenerate to O(diameter) on chains. The test graph links "
-    "documents of "
+    doc="Connected components (the dedup CLUSTERING step after LSH pair "
+    "generation), hybrid execution: alternating large-star/small-star edge "
+    "rewriting (Kiveris et al., O(log^2 V) rounds — label propagation "
+    "degenerates to O(diameter) on chains) while the exact edge count "
+    "exceeds 1M, then a bounded driver-side union-find finish below it — "
+    "a scheduling-bound distributed round costs more than collecting a "
+    "small edge list outright. At bench scale (4.6k edges) the local finish "
+    "runs; the distributed loop is forced and verified in "
+    "tests/test_operators_graph.py (deep chains, fixpoint guard, "
+    "local-vs-distributed agreement). The test graph links documents of "
     "the same lang with equal-or-adjacent n_chars, whose components have a "
-    "closed form (gaps-and-islands) — so a genuinely iterative distributed "
-    "algorithm is hash-checked against an analytic SQL oracle. Star edges "
-    "to a per-(lang,n_chars) representative keep the edge list O(V), not "
-    "O(V^2) per group.",
+    "closed form (gaps-and-islands), so either path is hash-checked "
+    "against an analytic SQL oracle. Star edges to a per-(lang,n_chars) "
+    "representative keep the edge list O(V), not O(V^2) per group.",
     tags=("graph", "dedup", "iterative", "llm"),
 )
 def graph_connected_components(spark, sf_dir):

@@ -31,12 +31,12 @@ def _union_find(n_nodes, edges):
     return {v: min(ms) for ms in members.values() for v in ms}
 
 
-def _cc_dict(spark, edges, n_nodes):
+def _cc_dict(spark, edges, n_nodes, **kw):
     edges_df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
     if not edges:
         edges_df = edges_df.filter("id_a < 0")
     nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "v long")
-    out = connected_components(edges_df, nodes=nodes_df)
+    out = connected_components(edges_df, nodes=nodes_df, **kw)
     return {r["v"]: r["component"] for r in out.collect()}
 
 
@@ -47,16 +47,21 @@ def test_matches_union_find_on_random_graph(spark):
         (rng.randrange(n), rng.randrange(n))
         for _ in range(150)  # sparse → many nontrivial components
     ]
-    assert _cc_dict(spark, edges, n) == _union_find(n, edges)
+    expected = _union_find(n, edges)
+    # small graph → the driver-local union-find finish (default path)
+    assert _cc_dict(spark, edges, n) == expected
+    # local_finish_edges=0 forces the distributed star-rewriting loop;
+    # both modes must agree exactly
+    assert _cc_dict(spark, edges, n, local_finish_edges=0) == expected
 
 
 def test_deep_chain_converges(spark):
     # a 300-node path has diameter 299: naive min-label propagation would
-    # need ~300 rounds; star rewriting must finish within the default
-    # max_iter=30 (measured: ~6 rounds)
+    # need ~300 rounds; star rewriting (forced distributed here) must finish
+    # within the default max_iter=30 (measured: ~6 rounds)
     n = 300
     edges = [(i, i + 1) for i in range(n - 1)]
-    got = _cc_dict(spark, edges, n)
+    got = _cc_dict(spark, edges, n, local_finish_edges=0)
     assert got == {v: 0 for v in range(n)}
 
 
@@ -67,7 +72,20 @@ def test_raises_when_max_iter_too_small(spark):
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, local_finish_edges=0)
+
+
+def test_local_finish_handles_string_ids(spark):
+    # the local union-find must preserve the id type and the min-label
+    # contract for non-numeric ids too
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    out = {
+        r["v"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_isolated_nodes_label_themselves(spark):
