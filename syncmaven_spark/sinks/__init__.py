@@ -53,6 +53,12 @@ def get_destination(
             [
                 "docker", "run", "-i", "--rm",
                 "--add-host=host.docker.internal:host-gateway",
+                # name-only -e: docker forwards the values from the client
+                # process env (which _ConnectorProcess sets per stream) into
+                # the container — the reference passes the same pair via the
+                # container Env config (container.ts:206-211); the name-only
+                # form keeps the bearer token off the host argv/ps output
+                "-e", "RPC_URL", "-e", "RPC_TOKEN",
                 image,
             ],
             name=image,

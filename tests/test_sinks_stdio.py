@@ -207,6 +207,116 @@ def test_get_destination_docker_url_shape():
     assert dest.command[:4] == ["docker", "run", "-i", "--rm"]
     assert dest.command[-1] == "syncmaven/connector-demo"
     assert dest._rpc_advertise == "host.docker.internal"
+    # env crosses into the container only through -e (container.ts:206-211);
+    # name-only form so the bearer token never appears on the host argv
+    assert "RPC_URL" in dest.command and "RPC_TOKEN" in dest.command
+
+
+_FAKE_DOCKER = '''#!{python}
+"""Fake `docker` CLI for the docker:// end-to-end test.
+
+Emulates the three behaviors of the real runtime the engine depends on,
+and FAILS (exit 125) if the engine's argv contract is violated:
+
+- env isolation: ONLY variables named by -e flags cross into the
+  "container" process (a docker run without -e RPC_URL/-e RPC_TOKEN
+  would leave the connector without its state channel);
+- the host-gateway alias: host.docker.internal in forwarded values is
+  rewritten to 127.0.0.1, exactly what --add-host=...:host-gateway
+  resolves to from inside a container on the host network;
+- -i keeps stdin open for the NDJSON protocol.
+"""
+import os, sys
+
+args = sys.argv[1:]
+
+
+def fail(msg):
+    sys.stderr.write("fake-docker: " + msg + chr(10))
+    sys.exit(125)
+
+
+if not args or args[0] != "run":
+    fail("expected `docker run ...`, got " + repr(args))
+flags, image = args[1:-1], args[-1]
+for required in ("-i", "--rm", "--add-host=host.docker.internal:host-gateway"):
+    if required not in flags:
+        fail("missing required flag " + required)
+if image != "syncmaven/fake-file":
+    fail("unknown image " + image)
+
+container_env = {{"PATH": os.environ.get("PATH", "")}}
+for i, flag in enumerate(flags):
+    if flag == "-e":
+        name = flags[i + 1]
+        if name in os.environ:
+            container_env[name] = os.environ[name].replace(
+                "host.docker.internal", "127.0.0.1"
+            )
+if "RPC_TOKEN" in os.environ and "RPC_TOKEN" not in container_env:
+    fail("RPC_TOKEN set on the client but not forwarded via -e")
+
+os.execve({python!r}, [{python!r}, {connector!r}], container_env)
+'''
+
+
+@pytest.fixture()
+def fake_docker_path(tmp_path):
+    """A PATH dir whose `docker` validates the engine's argv and execs the
+    fake connector with docker-faithful env semantics."""
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    script = bin_dir / "docker"
+    script.write_text(
+        _FAKE_DOCKER.format(python=sys.executable, connector=FAKE_CONNECTOR)
+    )
+    script.chmod(0o755)
+    old = os.environ["PATH"]
+    os.environ["PATH"] = f"{bin_dir}:{old}"
+    yield str(bin_dir)
+    os.environ["PATH"] = old
+
+
+def test_docker_destination_golden_two_phase(
+    spark, testdata, tmp_path, fake_docker_path
+):
+    """The FULL docker:// path — argv construction, RPC env injection via
+    -e, 0.0.0.0 bind + host-gateway advertise, NDJSON protocol loop, state
+    RPC through the rewritten gateway address — executed end-to-end with
+    docker mocked at the subprocess boundary (no docker installed). Output
+    must be byte-identical to the in-process file sink and the second run
+    must emit only the inclusive cursor-boundary row."""
+    from syncmaven_spark.sinks import get_destination
+
+    store = InMemoryStore()
+    out1 = str(tmp_path / "docker1.ndjson")
+    result = run_sync(
+        spark,
+        _sync(out1, get_destination("docker://syncmaven/fake-file")),
+        store,
+    )
+    assert result.stats.received == result.stats.success > 0
+
+    # marker written by the connector through the RPC side-channel reached
+    # OUR store via the rewritten host-gateway URL
+    assert store.get(["syncId=stdio_sync", "fake-connector-marker"]) == {
+        "started": True
+    }
+
+    ref_store = InMemoryStore()
+    file_out = str(tmp_path / "file.ndjson")
+    run_sync(spark, _sync(file_out, "file"), ref_store)
+    with open(out1) as f1, open(file_out) as f2:
+        assert f1.read() == f2.read()
+
+    # two-phase: second run sees the cursor in the shared store
+    out2 = str(tmp_path / "docker2.ndjson")
+    second = run_sync(
+        spark,
+        _sync(out2, get_destination("docker://syncmaven/fake-file")),
+        store,
+    )
+    assert second.stats.success == 1
 
 
 def test_check_halt_preserves_reply_order():

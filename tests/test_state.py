@@ -1,5 +1,6 @@
 """State store tests (reference: packages/core/src/lib/store.ts semantics)."""
 
+import re
 import sqlite3
 
 import pytest
@@ -18,12 +19,35 @@ class _PgShimCursor:
     ``%s`` placeholders become ``?``; the two Postgres-only schema statements
     (SET search_path / CREATE SCHEMA) are no-ops. Everything else —
     CREATE TABLE, upsert ON CONFLICT, LIKE-prefix scans, count — runs
-    verbatim, so the statements themselves are what's under test."""
+    verbatim, so the statements themselves are what's under test.
+
+    Before executing, the cursor ENFORCES the ``format`` paramstyle contract
+    shared by every real Postgres DB-API driver (psycopg, psycopg2, pg8000):
+    only ``%s`` placeholders, exactly one per parameter, and no stray ``%``
+    (psycopg-family drivers %-interpolate, so a bare ``%`` must be ``%%``).
+    Without this, a blind ``%s → ?`` rewrite would happily accept sqlite-only
+    ``?`` / ``:name`` / ``$1`` placeholders the real drivers reject — the
+    shim would mask exactly the paramstyle bug it exists to catch."""
 
     def __init__(self, conn: sqlite3.Connection) -> None:
         self._cur = conn.cursor()
 
+    @staticmethod
+    def _enforce_format_paramstyle(sql: str, params: tuple) -> None:
+        assert "?" not in sql, f"qmark placeholder in pg SQL: {sql!r}"
+        assert not re.search(r"\$\d", sql), f"numeric placeholder: {sql!r}"
+        assert not re.search(r"(?<!:):[a-zA-Z]\w*", sql), (
+            f"named placeholder in pg SQL: {sql!r}"
+        )
+        n_placeholders = sql.count("%s")
+        assert n_placeholders == len(params), (
+            f"{n_placeholders} %s placeholders for {len(params)} params: {sql!r}"
+        )
+        stray = sql.replace("%s", "").replace("%%", "")
+        assert "%" not in stray, f"unescaped %% literal in pg SQL: {sql!r}"
+
     def execute(self, sql: str, params: tuple = ()) -> None:
+        self._enforce_format_paramstyle(sql, params)
         if sql.startswith(("SET search_path", "CREATE SCHEMA")):
             return
         self._cur.execute(sql.replace("%s", "?"), params)
@@ -150,6 +174,26 @@ def test_postgres_missing_driver_message():
             pass
     with pytest.raises(NotImplementedError, match="DB-API driver"):
         PostgresStore("postgres://u@localhost/db")
+
+
+def test_pg_shim_rejects_non_format_paramstyles():
+    """Meta-test: the shim's enforcement actually fires. pg8000, psycopg and
+    psycopg2 all speak paramstyle 'format' — a ``?``/``:name``/``$1``
+    placeholder or a bare ``%`` would raise (or silently misbind) on the
+    real driver, so the shim must reject them instead of executing."""
+    enforce = _PgShimCursor._enforce_format_paramstyle
+    enforce("SELECT value FROM syncmaven_store WHERE key = %s", ("k",))
+    enforce("SELECT 1 WHERE 'a' LIKE '%%b'", ())  # doubled literal % is fine
+    enforce("SELECT 'x'::text", ())  # a pg cast is not a named placeholder
+    for sql, params in [
+        ("SELECT * FROM t WHERE k = ?", ("x",)),
+        ("SELECT * FROM t WHERE k = $1", ("x",)),
+        ("SELECT * FROM t WHERE k = :key", ("x",)),
+        ("SELECT 1 WHERE 'a' LIKE 'b%'", ()),  # unescaped literal %
+        ("SELECT * FROM t WHERE k = %s AND v = %s", ("only-one",)),
+    ]:
+        with pytest.raises(AssertionError):
+            enforce(sql, params)
 
 
 def test_prefix_scan_is_not_a_like_wildcard(store):
