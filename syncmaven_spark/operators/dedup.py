@@ -265,7 +265,13 @@ def minhash_verified_pairs(
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
     inter = F.size(F.array_intersect("_set_a", "_set_b"))
     union = F.size(F.array_union("_set_a", "_set_b"))
-    return (
+    # the verified pair table is itself persisted through the pool: it is
+    # O(near-dup pairs) — far smaller than the corpus — and downstream
+    # consumers (connected-components clustering, canonical assignment)
+    # issue the identical sub-plan, so CacheManager plan-matching lets a
+    # pipeline reuse the pairs the candidates query already verified
+    # instead of re-running the band join + verification.
+    return _persist_scoped(
         cands.join(a, "id_a").join(b, "id_b")
         .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= threshold)

@@ -1,5 +1,17 @@
 """Every catalog query with an oracle must match DuckDB exactly —
-this test predicts the driver's CORRECTNESS gate."""
+this test predicts the driver's CORRECTNESS gate.
+
+Two passes share the parametrization:
+
+- the default pass at ``SF_CORRECTNESS`` (sf0.001, env-overridable) runs in
+  every ``pytest tests/`` invocation;
+- the scale pass at sf0.1 is opt-in (``SPARK_GRAFT_SCALE_PARITY=1``) and run
+  once per round before handoff — density/rounding/timestamp drift has
+  historically appeared only at sf0.1 (word-set Jaccard candidate blow-up,
+  entropy rounding), which the driver's sf0.01 gate cannot catch.
+"""
+
+import os
 
 import pytest
 
@@ -10,10 +22,20 @@ from tests.conftest import SF_CORRECTNESS
 
 ORACLED = [name for name, qd in CATALOG.items() if qd.oracle]
 
+SF_SCALE = os.environ.get("SPARK_GRAFT_SCALE_SF_DIR", "/root/testdata/sf0.1")
+RUN_SCALE = os.environ.get("SPARK_GRAFT_SCALE_PARITY") == "1"
+
 
 @pytest.fixture(scope="module")
 def con():
     c = duckdb_connection(SF_CORRECTNESS)
+    yield c
+    c.close()
+
+
+@pytest.fixture(scope="module")
+def scale_con():
+    c = duckdb_connection(SF_SCALE)
     yield c
     c.close()
 
@@ -23,6 +45,17 @@ def test_query_matches_oracle(spark, con, name):
     qd = CATALOG[name]
     df = qd.spark_fn(spark, SF_CORRECTNESS)
     result = compare(name, df, con, qd.oracle)
+    assert result.ok, result.detail
+
+
+@pytest.mark.skipif(
+    not RUN_SCALE, reason="scale parity pass: set SPARK_GRAFT_SCALE_PARITY=1"
+)
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle_at_scale(spark, scale_con, name):
+    qd = CATALOG[name]
+    df = qd.spark_fn(spark, SF_SCALE)
+    result = compare(name, df, scale_con, qd.oracle)
     assert result.ok, result.detail
 
 
