@@ -46,9 +46,37 @@ def _cached_bytes(spark) -> int:
     return sum(i.memSize() + i.diskSize() for i in infos)
 
 
+def _semantic_key(df: DataFrame):
+    """Semantic hash of the analyzed plan — two DataFrames with equivalent
+    plans share one CacheManager entry, so the pool must treat them as ONE
+    pool entry. Returns None where plan introspection is unavailable
+    (Spark Connect); callers fall back to identity (append)."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
 def persist_scoped(df: DataFrame) -> DataFrame:
-    """Persist ``df`` into the bounded pool (count- and byte-bounded LRU)."""
-    _LIVE_CACHES.append(df.persist())
+    """Persist ``df`` into the bounded pool (count- and byte-bounded LRU).
+
+    Re-persisting an equivalent plan (e.g. the same catalog query executed
+    again) REFRESHES the existing entry's LRU position instead of appending
+    a duplicate: Spark's CacheManager keys the cache by canonicalized plan,
+    so a duplicate pool entry would alias the same cache — and evicting the
+    older alias under count pressure would unpersist the cache out from
+    under the newer one. (Observed: the 3rd execution of the cluster
+    pipeline recomputed everything because its own run-1 aliases were
+    evicted mid-run.)
+    """
+    df = df.persist()
+    key = _semantic_key(df)
+    if key is not None:
+        for i, old in enumerate(_LIVE_CACHES):
+            if _semantic_key(old) == key:
+                _LIVE_CACHES.pop(i)
+                break
+    _LIVE_CACHES.append(df)
     while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
         _LIVE_CACHES.pop(0).unpersist()
     try:

@@ -58,6 +58,22 @@ def test_newest_entry_survives_even_over_budget(spark):
     assert newest.storageLevel.useMemory or newest.storageLevel.useDisk
 
 
+def test_equivalent_plan_refreshes_entry_instead_of_duplicating(spark):
+    """Re-executing the same query must not append an alias entry: both
+    aliases share one CacheManager cache (keyed by canonicalized plan), so
+    evicting the older alias under count pressure would unpersist the cache
+    out from under the newer one — the bug that made the 3rd bench execution
+    of the cluster pipeline recompute from scratch."""
+    cache.persist_scoped(_table(spark, 10, "hot")).count()
+    a2 = cache.persist_scoped(_table(spark, 10, "hot"))  # same plan, new object
+    assert len(cache._LIVE_CACHES) == 1  # refreshed, not duplicated
+    for i in range(cache._MAX_LIVE_CACHES - 1):
+        cache.persist_scoped(_table(spark, 10, f"cold{i}"))
+    # pool is now exactly at the bound; with a duplicate alias the first
+    # eviction would have dropped the shared 'hot' cache
+    assert a2.storageLevel.useMemory or a2.storageLevel.useDisk
+
+
 def test_results_identical_after_eviction(spark):
     spark.conf.set(cache._BUDGET_CONF, "1")
     a = cache.persist_scoped(_table(spark, 1000, "x"))
