@@ -58,6 +58,13 @@ def test_no_accidental_product_joins(spark, name):
             f"{name}: BroadcastNestedLoopJoin outside the scalar-broadcast "
             f"allowlist — at scale this is an O(n*m) join\n{plan[:2000]}"
         )
+    # Python may appear ONLY Arrow-batched (MapInPandas / ArrowEvalPython /
+    # grouped-map) — BatchEvalPython is the row-at-a-time serializer, 10-100x
+    # slower, and means a scalar expression silently fell off the JVM path.
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan — use built-in functions "
+        f"or an Arrow-batched pandas UDF"
+    )
 
 
 def test_pushdown_reaches_scan(spark):
