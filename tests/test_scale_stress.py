@@ -1,0 +1,133 @@
+"""Opt-in 10× scale stress (SPARK_GRAFT_SCALE_STRESS=1): the dedup/graph
+operators run against a 500k-word-scale corpus — 10 replicas of the sf0.1
+documents table with disjoint id ranges (50k docs) — to exercise the
+behaviors that only appear past bench scale:
+
+- LSH bucket blowup: every replicated doc shares ALL band buckets with its 9
+  copies, so bucket sizes grow 10×; the production bucket cap must keep the
+  pair stage bounded while still finding every within-group pair.
+- Connected components on diameter-heavy graphs: replica chains (doc →
+  copy1 → … → copy9) are the O(diameter) worst case for label propagation;
+  star rewriting must converge in O(log² 10) rounds on the pure distributed
+  path (``local_finish_edges=0`` — no driver union-find shortcut).
+- Exact dedup grouping at 10× multiplicity.
+
+Ground truth is construction-provable (identical texts, known chain
+topology) — no quadratic oracle needed at this scale. Run once per round:
+
+    SPARK_GRAFT_SCALE_STRESS=1 python -m pytest tests/test_scale_stress.py -q
+"""
+
+import os
+from functools import reduce
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+RUN = os.environ.get("SPARK_GRAFT_SCALE_STRESS") == "1"
+SF_DIR = os.environ.get("SPARK_GRAFT_SCALE_SF_DIR", "/root/testdata/sf0.1")
+N_REPLICAS = 10
+OFFSET = 1_000_000
+
+pytestmark = pytest.mark.skipif(
+    not RUN, reason="scale stress: set SPARK_GRAFT_SCALE_STRESS=1"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from syncmaven_spark.session import load_tables
+
+    return load_tables(spark, SF_DIR, register_views=False)["documents"]
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark, docs):
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * OFFSET)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+        for i in range(N_REPLICAS)
+    ]
+    return reduce(DataFrame.union, replicas)
+
+
+def test_exact_dedup_collapses_replica_groups(spark, docs, big_docs):
+    from syncmaven_spark.operators.dedup import exact_dedup
+
+    n_texts = docs.select("text").distinct().count()
+    kept = exact_dedup(big_docs, ["text"], "doc_id")
+    assert kept.count() == n_texts
+    # every kept row is the true minimum id of its group (replica 0's id,
+    # except when distinct base docs share a text — then the group min)
+    assert kept.filter(~F.col("is_duplicate_group")).count() == 0
+    assert kept.filter(F.col("doc_id") >= OFFSET).count() == 0
+
+
+def test_capped_lsh_finds_all_replica_pairs_at_10x(spark, docs, big_docs):
+    """Production recipe (3-word shingles, bucket cap 200) at 50k docs:
+    identical replicas agree on every band, so each group concentrates in
+    one bucket per band — the cap must bound the join while keeping all
+    C(10,2)=45 within-group pairs for groups under the cap."""
+    from syncmaven_spark.operators.dedup import minhash_lsh_candidates
+
+    cands = minhash_lsh_candidates(
+        big_docs, "text", "doc_id",
+        num_perm=64, bands=32, shingle_k=3, max_bucket_size=200,
+    ).persist()
+    try:
+        n_cands = cands.count()
+        assert n_cands > 0
+        # structural sanity: ordered ids, no self-pairs, band count bounded
+        assert cands.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+        assert cands.filter(F.col("n_shared_bands") > 32).count() == 0
+
+        # sample 20 base docs whose text is unique in the base corpus →
+        # their replica group is exactly 10 docs; all 45 pairs must appear
+        unique_texts = (
+            docs.groupBy("text")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("doc_id"))
+            .filter(F.col("n") == 1)
+            .select("doc_id")
+            .limit(20)
+        )
+        base_ids = [r.doc_id for r in unique_texts.collect()]
+        assert base_ids, "no unique-text docs in base corpus?"
+        pair_counts = {
+            base: cands.filter(
+                (F.col("id_a") % OFFSET == base) & (F.col("id_b") % OFFSET == base)
+            ).count()
+            for base in base_ids
+        }
+        missing = {b: n for b, n in pair_counts.items() if n != 45}
+        assert not missing, f"replica groups missing pairs: {missing}"
+    finally:
+        cands.unpersist()
+
+
+def test_distributed_cc_on_replica_chains(spark, docs):
+    """Chains doc→copy1→…→copy9 (length-10 paths, 45k edges, diameter 9):
+    the distributed star-rewriting loop (driver union-find disabled) must
+    label every copy with the base doc id in ≤ max_iter rounds."""
+    from syncmaven_spark.operators.graph import connected_components
+
+    base = docs.select("doc_id")
+    chain_edges = reduce(
+        DataFrame.union,
+        [
+            base.select(
+                (F.col("doc_id") + F.lit(i * OFFSET)).alias("id_a"),
+                (F.col("doc_id") + F.lit((i + 1) * OFFSET)).alias("id_b"),
+            )
+            for i in range(N_REPLICAS - 1)
+        ],
+    )
+    labels = connected_components(
+        chain_edges, "id_a", "id_b", local_finish_edges=0
+    )
+    bad = labels.filter(F.col("component") != F.col("v") % OFFSET).count()
+    assert bad == 0
+    assert labels.count() == docs.count() * N_REPLICAS
