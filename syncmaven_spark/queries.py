@@ -1294,18 +1294,25 @@ def dedup_simhash_pairs(spark, sf_dir):
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
     cand = simhash_near_dups(mirrored, "text", "doc_id", max_hamming=8)
-    toks = F.sort_array(
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\w\s]+", " ")),
-            r"\s+",
+    # verification joins carry a 64-bit hash of the sorted token array, not
+    # the array itself (equality is preserved modulo ~2^-64 xxhash64
+    # collisions — the same trade ngram_jaccard_pairs documents for shingle
+    # sets), so the two candidate joins shuffle longs instead of full token
+    # arrays.
+    tok_hash = F.xxhash64(
+        F.sort_array(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\w\s]+", " ")),
+                r"\s+",
+            )
         )
     )
-    with_toks = mirrored.select("doc_id", toks.alias("_toks"))
-    a = with_toks.select(F.col("doc_id").alias("id_a"), F.col("_toks").alias("_ta"))
-    b = with_toks.select(F.col("doc_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    with_toks = mirrored.select("doc_id", tok_hash.alias("_th"))
+    a = with_toks.select(F.col("doc_id").alias("id_a"), F.col("_th").alias("_ha"))
+    b = with_toks.select(F.col("doc_id").alias("id_b"), F.col("_th").alias("_hb"))
     return (
         cand.join(a, "id_a").join(b, "id_b")
-        .filter(F.col("_ta") == F.col("_tb"))
+        .filter(F.col("_ha") == F.col("_hb"))
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
