@@ -28,7 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_LIVE_CACHES: list[DataFrame] = []
+# (semantic_key, df) pairs, oldest first. The key is computed ONCE at insert
+# (a py4j round-trip) so the refresh scan below is a pure-Python comparison.
+_LIVE_CACHES: list[tuple[object, DataFrame]] = []
 _MAX_LIVE_CACHES = 16
 _DEFAULT_MAX_BYTES = 4 << 30  # 4 GiB
 
@@ -57,6 +59,21 @@ def _semantic_key(df: DataFrame):
         return None
 
 
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """Exact plan-equivalence check (``sameResult``), used to confirm a
+    semanticHash match: the hash is 32-bit, and treating a collision as an
+    alias would pop an unrelated entry without unpersisting it — a pinned
+    cache the pool could never evict."""
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
 def persist_scoped(df: DataFrame) -> DataFrame:
     """Persist ``df`` into the bounded pool (count- and byte-bounded LRU).
 
@@ -72,18 +89,18 @@ def persist_scoped(df: DataFrame) -> DataFrame:
     df = df.persist()
     key = _semantic_key(df)
     if key is not None:
-        for i, old in enumerate(_LIVE_CACHES):
-            if _semantic_key(old) == key:
+        for i, (old_key, old_df) in enumerate(_LIVE_CACHES):
+            if old_key == key and _same_plan(old_df, df):
                 _LIVE_CACHES.pop(i)
                 break
-    _LIVE_CACHES.append(df)
+    _LIVE_CACHES.append((key, df))
     while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
-        _LIVE_CACHES.pop(0).unpersist()
+        _LIVE_CACHES.pop(0)[1].unpersist()
     try:
         spark = df.sparkSession
         budget = int(spark.conf.get(_BUDGET_CONF, None) or _DEFAULT_MAX_BYTES)
         while len(_LIVE_CACHES) > 1 and _cached_bytes(spark) > budget:
-            _LIVE_CACHES.pop(0).unpersist(blocking=True)
+            _LIVE_CACHES.pop(0)[1].unpersist(blocking=True)
     except Exception:
         # storage introspection is best-effort (e.g. Spark Connect has no
         # _jsc); the count bound above still applies

@@ -1226,6 +1226,12 @@ def fn_scalar_array_coercion(spark, sf_dir):
 # =========================================================================
 
 
+# One recipe, three consumers that MUST agree: this candidates entry, the
+# cluster pipeline (which clusters exactly these pairs), and the sf0.1 scale
+# tests that re-derive the pipeline's edge list (tests/test_oracle_parity.py).
+MINHASH_ORACLE_RECIPE = dict(threshold=0.8, num_perm=64, bands=32, shingle_k=3)
+
+
 @q(
     "dedup_minhash_candidates",
     "WITH w AS (SELECT doc_id, regexp_split_to_array(trim("
@@ -1259,8 +1265,7 @@ def dedup_minhash_candidates(spark, sf_dir):
 
     t = _t(spark, sf_dir)
     return minhash_verified_pairs(
-        t["documents"], "text", "doc_id",
-        threshold=0.8, num_perm=64, bands=32, shingle_k=3,
+        t["documents"], "text", "doc_id", **MINHASH_ORACLE_RECIPE
     )
 
 
@@ -2440,8 +2445,7 @@ def dedup_cluster_pipeline(spark, sf_dir):
     t = _t(spark, sf_dir)
     docs = t["documents"]
     pairs = minhash_verified_pairs(
-        docs, "text", "doc_id", threshold=0.8, num_perm=64, bands=32,
-        shingle_k=3,
+        docs, "text", "doc_id", **MINHASH_ORACLE_RECIPE
     )
     assigned = dedup_cluster_assignments(pairs, docs.select("doc_id"))
     return (

@@ -11,7 +11,7 @@ def _drain_pool(spark):
     yield
     # leave no persisted test tables behind for other test modules
     while cache._LIVE_CACHES:
-        cache._LIVE_CACHES.pop().unpersist(blocking=True)
+        cache._LIVE_CACHES.pop()[1].unpersist(blocking=True)
     spark.conf.unset(cache._BUDGET_CONF)
 
 
@@ -42,7 +42,7 @@ def test_byte_budget_evicts_oldest_when_over(spark):
     b = cache.persist_scoped(_table(spark, 10, "b"))
     # inserting b polled storage, saw the budget blown, evicted a
     assert a.storageLevel.useMemory is False
-    assert cache._LIVE_CACHES == [b]
+    assert [e[1] for e in cache._LIVE_CACHES] == [b]
 
 
 def test_newest_entry_survives_even_over_budget(spark):
@@ -54,7 +54,7 @@ def test_newest_entry_survives_even_over_budget(spark):
     cache.persist_scoped(_table(spark, 10, "tiny"))
     # older over-budget entries go; the newest always stays usable
     assert len(cache._LIVE_CACHES) >= 1
-    newest = cache._LIVE_CACHES[-1]
+    newest = cache._LIVE_CACHES[-1][1]
     assert newest.storageLevel.useMemory or newest.storageLevel.useDisk
 
 

@@ -104,10 +104,11 @@ def test_minhash_pairs_scale_precision_and_sampled_recall(spark, scale_con):
     from syncmaven_spark.operators import minhash_verified_pairs
     from syncmaven_spark.session import load_tables
 
+    from syncmaven_spark.queries import MINHASH_ORACLE_RECIPE
+
     t = load_tables(spark, SF_SCALE)
     pairs = minhash_verified_pairs(
-        t["documents"], "text", "doc_id",
-        threshold=0.8, num_perm=64, bands=32, shingle_k=3,
+        t["documents"], "text", "doc_id", **MINHASH_ORACLE_RECIPE
     )
     pairs_pdf = pairs.toPandas()
     assert len(pairs_pdf) > 0, "no near-dup pairs at sf0.1 — corpus drifted?"
@@ -155,14 +156,13 @@ def test_cluster_pipeline_scale_labels_match_edge_oracle(spark, scale_con):
     above), DuckDB recomputes component labels with a recursive min-label
     CTE over the *exported* edges — cheap, O(edges) — and the full
     assignment (label + canonical flag for every doc) must match exactly."""
-    from syncmaven_spark.queries import CATALOG as CAT
+    from syncmaven_spark.queries import CATALOG as CAT, MINHASH_ORACLE_RECIPE
     from syncmaven_spark.operators import minhash_verified_pairs
     from syncmaven_spark.session import load_tables
 
     t = load_tables(spark, SF_SCALE)
     edges_pdf = minhash_verified_pairs(
-        t["documents"], "text", "doc_id",
-        threshold=0.8, num_perm=64, bands=32, shingle_k=3,
+        t["documents"], "text", "doc_id", **MINHASH_ORACLE_RECIPE
     ).select("id_a", "id_b").toPandas()
     scale_con.register("spark_edges", edges_pdf)
 

@@ -92,6 +92,7 @@ def test_capped_lsh_finds_all_replica_pairs_at_10x(spark, docs, big_docs):
             .agg(F.count("*").alias("n"), F.min("doc_id").alias("doc_id"))
             .filter(F.col("n") == 1)
             .select("doc_id")
+            .orderBy("doc_id")  # deterministic sample, not limit()'s arbitrary pick
             .limit(20)
         )
         base_ids = [r.doc_id for r in unique_texts.collect()]
