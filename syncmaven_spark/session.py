@@ -100,11 +100,32 @@ def read_parquet(spark: SparkSession, path: str):
     )
 
 
-def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
+# DataFrame catalog per (session, directory): building the table DataFrames
+# costs ~1 s of driver time per call (a plan-analysis round-trip per table
+# plus the footer probes) and the plans are immutable once built — a real
+# catalog resolves a table once, not once per query. Weak-keyed so a
+# garbage-collected session releases its entry.
+from weakref import WeakKeyDictionary
+
+_TABLES_CACHE: "WeakKeyDictionary[SparkSession, dict[str, dict]]" = (
+    WeakKeyDictionary()
+)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    register_views: bool = True,
+    refresh: bool = False,
+):
     """Load the driver testdata parquet tables and register them as temp views.
 
     Returns ``{name: DataFrame}``. Scans stay lazy — Catalyst prunes columns
-    and pushes filters into the parquet reader per consuming query.
+    and pushes filters into the parquet reader per consuming query. The
+    DataFrames are cached per (session, directory) — the testdata files are
+    immutable; pass ``refresh=True`` if the directory's contents changed.
+    Views are (re-)registered on every call — cheap on repeat, and it heals
+    any view another caller replaced under the same name.
     """
     # The engine's timestamp semantics are UTC (golden files, DuckDB oracle
     # parity). The round driver may hand us a session with a different zone —
@@ -117,15 +138,22 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True):
     # semantics the catalog + golden files assume. Under a UTC session the
     # LTZ reading is value-identical to the naive wall clock DuckDB sees.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    tables = {}
-    for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = read_parquet(spark, path)
-        tables[name] = df
-        if register_views:
+    per_session = _TABLES_CACHE.setdefault(spark, {})
+    cache_key = os.path.abspath(sf_dir)
+    tables = None if refresh else per_session.get(cache_key)
+    if tables is None:
+        tables = {}
+        for name in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            tables[name] = read_parquet(spark, path)
+        if not tables:
+            raise FileNotFoundError(
+                f"no testdata parquet tables found in {sf_dir!r}"
+            )
+        per_session[cache_key] = tables
+    if register_views:
+        for name, df in tables.items():
             df.createOrReplaceTempView(name)
-    if not tables:
-        raise FileNotFoundError(f"no testdata parquet tables found in {sf_dir!r}")
-    return tables
+    return dict(tables)
