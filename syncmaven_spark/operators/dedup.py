@@ -89,9 +89,12 @@ def minhash_signatures(
     exploded = _spread(df, id_col).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
     )
+    # SQL-string aggregates: one py4j round-trip per permutation instead of
+    # several Column-API calls — the 64-agg plan otherwise costs ~1 s of
+    # driver time per construction. xxhash64(shingle, i) hashes the
+    # (shingle, constant) pair, identical to the Column form.
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
-        for i in range(num_perm)
+        F.expr(f"min(xxhash64(shingle, {i})) AS mh{i}") for i in range(num_perm)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
 
@@ -120,18 +123,25 @@ def minhash_lsh_candidates(
     )
 
     band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-        .alias(f"band{b}")
+        F.expr(
+            "xxhash64("
+            + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f") AS band{b}"
+        )
         for b in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)
     melted = banded.select(
         F.col(id_col),
         F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct(CAST({b} AS INT) AS band_id, band{b} AS band_hash)"
+                    for b in range(bands)
+                )
+                + ")"
+            )
         ).alias("b"),
     ).select(id_col, "b.band_id", "b.band_hash")
 
@@ -289,23 +299,25 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]+", " ")), r"\s+"
     )
     tokens = _spread(df, id_col).select(F.col(id_col), F.explode(words).alias("tok"))
-    h = F.xxhash64("tok")
+    # expressions are built as SQL strings: a Column-API construction of 64
+    # aggregates costs ~6 py4j round-trips per bit (~1.5 s of driver time
+    # per plan build, dominating warm runs); one parsed expression per
+    # aggregate is a single round-trip and yields the identical plan
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{bit}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(xxhash64(tok), {bit}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{bit}"
+        )
         for bit in range(64)
     ]
     counts = tokens.groupBy(id_col).agg(*aggs)
-    sim = None
-    for bit in range(64):
-        contrib = F.when(F.col(f"b{bit}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << bit).cast("long") if bit < 63 else F.when(
-            F.col(f"b{bit}") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = contrib if sim is None else sim + contrib
-    return counts.select(F.col(id_col), sim.alias("simhash"))
+    # shiftleft(1L, 63) wraps to Long.MIN_VALUE — the sign-bit contribution
+    sim = " + ".join(
+        f"(CASE WHEN b{bit} > 0 THEN shiftleft(CAST(1 AS BIGINT), {bit}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(64)
+    )
+    return counts.select(F.col(id_col), F.expr(sim).alias("simhash"))
 
 
 def simhash_near_dups(

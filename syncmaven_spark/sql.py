@@ -163,5 +163,11 @@ def encode_literal(val: Any) -> str:
             val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return f"CAST('{val.isoformat(sep=' ') if isinstance(val, _dt.datetime) else val.isoformat()}' AS TIMESTAMP)"
     if isinstance(val, str):
-        return "'" + val.replace("'", "''") + "'"
+        # Spark SQL (escapedStringLiterals=false, the default) treats
+        # backslash as an escape character inside string literals, so
+        # backslashes must be doubled along with quotes — a value ending in
+        # a lone backslash would otherwise swallow the closing quote and
+        # produce an unterminated literal (found by the hypothesis
+        # round-trip property).
+        return "'" + val.replace("\\", "\\\\").replace("'", "''") + "'"
     raise SqlError(f"cannot encode literal of type {type(val).__name__}")
