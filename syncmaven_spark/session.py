@@ -103,13 +103,12 @@ def read_parquet(spark: SparkSession, path: str):
 # DataFrame catalog per (session, directory): building the table DataFrames
 # costs ~1 s of driver time per call (a plan-analysis round-trip per table
 # plus the footer probes) and the plans are immutable once built — a real
-# catalog resolves a table once, not once per query. Weak-keyed so a
-# garbage-collected session releases its entry.
-from weakref import WeakKeyDictionary
-
-_TABLES_CACHE: "WeakKeyDictionary[SparkSession, dict[str, dict]]" = (
-    WeakKeyDictionary()
-)
+# catalog resolves a table once, not once per query. The cache lives as an
+# attribute ON the session object (not a module global): every cached
+# DataFrame holds a strong reference back to its session, so a weak-keyed
+# global could never evict — an attribute's lifetime is exactly the
+# session's.
+_TABLES_CACHE_ATTR = "_syncmaven_table_cache"
 
 
 def load_tables(
@@ -138,9 +137,12 @@ def load_tables(
     # semantics the catalog + golden files assume. Under a UTC session the
     # LTZ reading is value-identical to the naive wall clock DuckDB sees.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    per_session = _TABLES_CACHE.setdefault(spark, {})
+    per_session = spark.__dict__.setdefault(_TABLES_CACHE_ATTR, {})
     cache_key = os.path.abspath(sf_dir)
-    tables = None if refresh else per_session.get(cache_key)
+    if refresh:
+        # drop first so a failed re-read can't leave the stale entry behind
+        per_session.pop(cache_key, None)
+    tables = per_session.get(cache_key)
     if tables is None:
         tables = {}
         for name in TABLE_NAMES:

@@ -139,13 +139,21 @@ class SqlQuery:
             ):
                 continue
             out.append(self.query[last : start])
-            out.append(encode_literal(params.get(m.group(1))))
+            out.append(encode_literal(params.get(m.group(1)), self.dialect))
             last = m.end()
         out.append(self.query[last:])
         return "".join(out)
 
 
-def encode_literal(val: Any) -> str:
+# Dialects where backslash inside a single-quoted literal is a LITERAL
+# character (Postgres with standard_conforming_strings=on, the default since
+# 9.1). Everywhere else we target — Spark (escapedStringLiterals=false),
+# MySQL, BigQuery, Snowflake — backslash starts an escape sequence and must
+# be doubled.
+_BACKSLASH_IS_LITERAL = {"postgres", "postgresql"}
+
+
+def encode_literal(val: Any, dialect: str = "spark") -> str:
     """Typed SQL literal encoding (``datasources/index.ts:40-67``).
 
     Timestamps use ``CAST('<ISO>' AS TIMESTAMP)`` — the Spark-dialect
@@ -163,11 +171,15 @@ def encode_literal(val: Any) -> str:
             val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return f"CAST('{val.isoformat(sep=' ') if isinstance(val, _dt.datetime) else val.isoformat()}' AS TIMESTAMP)"
     if isinstance(val, str):
-        # Spark SQL (escapedStringLiterals=false, the default) treats
-        # backslash as an escape character inside string literals, so
-        # backslashes must be doubled along with quotes — a value ending in
-        # a lone backslash would otherwise swallow the closing quote and
-        # produce an unterminated literal (found by the hypothesis
-        # round-trip property).
-        return "'" + val.replace("\\", "\\\\").replace("'", "''") + "'"
+        # Quote-doubling everywhere; backslash-doubling only where the
+        # target dialect treats backslash as an escape (Spark's default —
+        # a value ending in a lone backslash would otherwise swallow the
+        # closing quote and produce an unterminated literal; found by the
+        # hypothesis round-trip property). Compiled SQL pushed down whole
+        # to Postgres keeps backslashes literal, per
+        # standard_conforming_strings.
+        s = val.replace("'", "''")
+        if dialect not in _BACKSLASH_IS_LITERAL:
+            s = val.replace("\\", "\\\\").replace("'", "''")
+        return "'" + s + "'"
     raise SqlError(f"cannot encode literal of type {type(val).__name__}")

@@ -87,9 +87,25 @@ def test_encode_literal_types():
         encode_literal(object())
 
 
+def test_encode_literal_backslash_is_dialect_aware():
+    # Spark (escapedStringLiterals=false) parses backslash escapes in
+    # literals — backslashes must double; Postgres
+    # (standard_conforming_strings=on) keeps them literal — doubling there
+    # would silently change the pushed-down value.
+    assert encode_literal("C:\\data") == "'C:\\\\data'"
+    assert encode_literal("C:\\data", "postgres") == "'C:\\data'"
+    assert encode_literal("it's", "postgres") == "'it''s'"
+    # compile routes the model's dialect through to the encoder
+    q = SqlQuery("select * from t where a >= :cursor", "postgres")
+    assert q.compile({"cursor": "C:\\x"}) == "select * from t where a >= 'C:\\x'"
+
+
 def test_compile_runs_on_spark(spark):
     q = SqlQuery(
         "select * from range(10) where :cursor is null or id >= :cursor order by id"
     )
     assert spark.sql(q.compile({"cursor": 7})).count() == 3
     assert spark.sql(q.compile({"cursor": None})).count() == 10
+    # backslash-terminated string values survive the Spark round trip
+    q2 = SqlQuery("select :v as v")
+    assert spark.sql(q2.compile({"v": ";\\"})).collect()[0].v == ";\\"
