@@ -170,7 +170,12 @@ def _local_components(cur: DataFrame) -> DataFrame:
     Pure Python handles ~1M edges in ≈1 s; callers gate on the exact edge
     count before calling. Returns a LocalRelation — no files, no lineage.
     """
-    pdf = cur.toPandas()
+    return _components_from_pdf(cur, cur.toPandas())
+
+
+def _components_from_pdf(cur: DataFrame, pdf) -> DataFrame:
+    """Union-find over an already-collected canonical edge list (columns
+    ``a``/``b``); ``cur`` supplies the session and id type."""
     parent: dict = {}
 
     def find(x):
@@ -242,10 +247,6 @@ def connected_components(
     whole small edge list. ``local_finish_edges=0`` forces the pure
     distributed loop (used by tests and available to callers).
     """
-    if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="cc_")
-        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
-
     # canonical undirected form (a > b), self-loops dropped
     cur = (
         edges.select(
@@ -255,6 +256,26 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+    if local_finish_edges:
+        # Small-graph fast path: ONE bounded job. CollectLimit executes
+        # partitions incrementally, so probing costs at most ~bound rows of
+        # collection on a big graph; if the whole canonical edge list fit,
+        # the graph is solved driver-side with no parquet round-trips, no
+        # fingerprint job, and no work_dir at all (measured: 3.6 s → ~1 s
+        # on the 256-edge sf0.1 document graph).
+        probe = cur.limit(local_finish_edges + 1).toPandas()
+        if len(probe) <= local_finish_edges:
+            out = _components_from_pdf(cur, probe)
+            if nodes is not None:
+                out = _with_isolated(out, nodes)
+            return out
+        del probe
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="cc_")
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+
     cur, prev_fp = _roundtrip_with_fingerprint(cur, f"{work_dir}/it_0")
 
     # Small rounds are scheduling-bound: once the edge count (known exactly
@@ -304,14 +325,7 @@ def connected_components(
             )
             out = labels.union(centers)
         if nodes is not None:
-            vcol = nodes.columns[0]
-            isolated = (
-                nodes.select(F.col(vcol).alias("v"))
-                .distinct()
-                .join(out.select("v"), "v", "left_anti")
-                .select("v", F.col("v").alias("component"))
-            )
-            out = out.union(isolated)
+            out = _with_isolated(out, nodes)
         if not local_finish:
             out = _roundtrip(out, f"{work_dir}/labels")
     finally:
@@ -321,6 +335,19 @@ def connected_components(
         shutil.rmtree(f"{work_dir}/it_{final_it - 1}", ignore_errors=True)
     shutil.rmtree(f"{work_dir}/it_{final_it}", ignore_errors=True)
     return out
+
+
+def _with_isolated(out: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Union in self-labeled rows for vertices that appear in ``nodes`` but
+    in no edge."""
+    vcol = nodes.columns[0]
+    isolated = (
+        nodes.select(F.col(vcol).alias("v"))
+        .distinct()
+        .join(out.select("v"), "v", "left_anti")
+        .select("v", F.col("v").alias("component"))
+    )
+    return out.union(isolated)
 
 
 def dedup_cluster_assignments(
