@@ -120,8 +120,12 @@ def model_dataframe(
     if model.datasource:
         from syncmaven_spark.sources import create_datasource
 
+        # pushed down VERBATIM — the warehouse parses its own dialect
         return create_datasource(model.datasource).read_query(spark, sql_text)
-    return spark.sql(sql_text)
+    from syncmaven_spark.sql import to_spark_sql
+
+    # Spark executes this one: translate ANSI double-quoted identifiers
+    return spark.sql(to_spark_sql(sql_text, model.dialect))
 
 
 def run_sync(

@@ -152,6 +152,74 @@ class SqlQuery:
 # be doubled.
 _BACKSLASH_IS_LITERAL = {"postgres", "postgresql"}
 
+# Dialects whose double-quoted tokens are IDENTIFIERS (ANSI quoting). Not
+# BigQuery: there double quotes delimit strings — which Spark's default
+# (doubleQuotedIdentifiers off) happens to agree with, so BigQuery models
+# pass through unchanged.
+_DOUBLEQUOTE_IDENT_DIALECTS = {"postgres", "postgresql", "snowflake"}
+
+
+def to_spark_sql(query: str, dialect: str = "spark") -> str:
+    """Minimal dialect shim for models Spark itself executes.
+
+    The reference's contract is "the warehouse executes the model SQL"
+    (``sql.ts:40-42``) — models routed to a JDBC/BigQuery/Snowflake
+    datasource are pushed down VERBATIM and never rewritten. This shim
+    covers the remaining case: a model written in a warehouse dialect but
+    executed by Spark over registered views. Spark ≥3.4 already accepts the
+    frequent cross-dialect constructs (``expr::type`` casts, ``ILIKE``,
+    ``now()``); the one lexical incompatibility worth translating is ANSI
+    double-quoted identifiers → backticks. Strings, comments, and
+    everything else pass through byte-identical.
+    """
+    if dialect not in _DOUBLEQUOTE_IDENT_DIALECTS:
+        return query
+    out: list[str] = []
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch == "-" and query[i : i + 2] == "--":
+            end = query.find("\n", i)
+            end = n if end == -1 else end
+            out.append(query[i:end])
+            i = end
+        elif ch == "/" and query[i : i + 2] == "/*":
+            end = query.find("*/", i + 2)
+            end = n if end == -1 else end + 2
+            out.append(query[i:end])
+            i = end
+        elif ch == "'":
+            # standard-conforming string scan ('' escape; these dialects
+            # treat backslash literally)
+            j = i + 1
+            while j < n:
+                if query[j] == "'":
+                    if query[j : j + 2] == "''":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(query[i : j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            ident: list[str] = []
+            while j < n:
+                if query[j] == '"':
+                    if query[j : j + 2] == '""':  # escaped quote in ident
+                        ident.append('"')
+                        j += 2
+                        continue
+                    break
+                ident.append(query[j])
+                j += 1
+            out.append("`" + "".join(ident).replace("`", "``") + "`")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
 
 def encode_literal(val: Any, dialect: str = "spark") -> str:
     """Typed SQL literal encoding (``datasources/index.ts:40-67``).

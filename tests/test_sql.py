@@ -100,6 +100,31 @@ def test_encode_literal_backslash_is_dialect_aware():
     assert q.compile({"cursor": "C:\\x"}) == "select * from t where a >= 'C:\\x'"
 
 
+def test_to_spark_sql_translates_ansi_identifiers(spark):
+    from syncmaven_spark.sql import to_spark_sql
+
+    # postgres/snowflake double-quoted identifiers become backticks
+    assert (
+        to_spark_sql('select "a b", x from "T" where y = \'"\'', "postgres")
+        == "select `a b`, x from `T` where y = '\"'"
+    )
+    # escaped quote inside the identifier
+    assert to_spark_sql('select "a""b" from t', "snowflake") == "select `a\"b` from t"
+    # comments and strings pass through byte-identical
+    assert (
+        to_spark_sql("select 1 -- \"not an ident\"\nfrom t", "postgres")
+        == "select 1 -- \"not an ident\"\nfrom t"
+    )
+    # bigquery double quotes are strings — untouched (Spark agrees by default)
+    assert to_spark_sql('select "s" from t', "bigquery") == 'select "s" from t'
+    # spark dialect is a no-op
+    assert to_spark_sql('select "s"', "spark") == 'select "s"'
+    # end-to-end: a postgres-dialect model column reference runs on Spark
+    spark.sql("select 1 as id, 'x' as `nm v`").createOrReplaceTempView("tq")
+    got = spark.sql(to_spark_sql('select "nm v" from tq', "postgres")).collect()
+    assert got[0][0] == "x"
+
+
 def test_compile_runs_on_spark(spark):
     q = SqlQuery(
         "select * from range(10) where :cursor is null or id >= :cursor order by id"
