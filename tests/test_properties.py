@@ -155,3 +155,31 @@ def test_prefix_scan_exactness(keys, prefix):
         if "::".join(k) == p or "::".join(k).startswith(p + "::")
     }
     assert got == expected
+
+
+# --- to_spark_sql dialect shim ------------------------------------------
+
+_ident_chars = string.ascii_letters + string.digits + " _`\"'"
+_lit_chars = string.ascii_letters + " ;:'\"`-"
+
+
+@given(
+    ident_name=st.text(alphabet=_ident_chars, min_size=1, max_size=12),
+    lit=st.text(alphabet=_lit_chars, min_size=0, max_size=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_to_spark_sql_roundtrips_idents_and_strings(ident_name, lit):
+    """Any ANSI-quoted identifier (incl. embedded quotes/backticks) and any
+    standard-conforming string survive translation: the string stays
+    byte-identical, the identifier becomes an equivalent backtick form."""
+    from syncmaven_spark.sql import to_spark_sql
+
+    q_ident = ident_name.replace('"', '""')
+    q_lit = lit.replace("'", "''")
+    sql = f'select \'{q_lit}\' as s, "{q_ident}" from t'
+    out = to_spark_sql(sql, "postgres")
+    expected_ident = "`" + ident_name.replace("`", "``") + "`"
+    assert out == f"select '{q_lit}' as s, {expected_ident} from t"
+    # spark / bigquery pass through untouched
+    assert to_spark_sql(sql, "spark") == sql
+    assert to_spark_sql(sql, "bigquery") == sql
