@@ -262,7 +262,22 @@ def connected_components(
         # canonical form) with no distinct, no parquet round-trips, no
         # fingerprint job, and no work_dir at all (measured: 3.6 s → ~1 s
         # on the 256-edge sf0.1 document graph).
-        raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        # Nulls are filtered server-side (the distributed path drops them
+        # via greatest/least + self-loop filter; and a null would coerce the
+        # pandas column to float64/NaN and crash createDataFrame). Both
+        # endpoints are cast to the canonical-path type — greatest(src, dst)
+        # — so mixed src/dst numeric types label identically on both paths.
+        common_type = (
+            edges.select(F.greatest(F.col(src), F.col(dst)).alias("a"))
+            .schema["a"]
+            .dataType
+        )
+        raw = edges.filter(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+        ).select(
+            F.col(src).cast(common_type).alias("a"),
+            F.col(dst).cast(common_type).alias("b"),
+        )
         probe = raw.limit(local_finish_edges + 1).toPandas()
         if len(probe) <= local_finish_edges:
             out = _components_from_pdf(raw, probe[probe["a"] != probe["b"]])

@@ -92,9 +92,20 @@ class SyncResult:
 
 
 def compile_model(
-    model: ModelDefinition, cursor_value: Any | None
+    model: ModelDefinition, cursor_value: Any | None, for_spark: bool | None = None
 ) -> str:
-    """Cursor guard + parameter substitution (sync.ts:455-459,490-492)."""
+    """Cursor guard + parameter substitution (sync.ts:455-459,490-492).
+
+    ``for_spark`` states which engine will PARSE the compiled text (default:
+    Spark iff the model has no datasource). A warehouse-dialect model that
+    Spark executes is transpiled first (``to_spark_sql``) and its literals
+    are then escaped under Spark lexing; a model pushed down to its
+    warehouse compiles under the warehouse's own rules and ships verbatim.
+    """
+    from syncmaven_spark.sql import to_spark_sql
+
+    if for_spark is None:
+        for_spark = not model.datasource
     q = SqlQuery(model.query, model.dialect)
     params = q.named_parameters()
     if model.cursor and "cursor" not in params:
@@ -102,6 +113,10 @@ def compile_model(
             f"model {model.id!r} declares cursor column {model.cursor!r} but "
             "its SQL does not reference :cursor"
         )
+    if for_spark and model.dialect != "spark":
+        # re-lex the transpiled text under Spark rules; the parameter set is
+        # unchanged (the shim rewrites only string/identifier spans)
+        q = SqlQuery(to_spark_sql(model.query, model.dialect), "spark")
     return q.compile({"cursor": cursor_value} if "cursor" in params else {})
 
 
@@ -120,12 +135,12 @@ def model_dataframe(
     if model.datasource:
         from syncmaven_spark.sources import create_datasource
 
-        # pushed down VERBATIM — the warehouse parses its own dialect
+        # pushed down VERBATIM — the warehouse parses its own dialect;
+        # compile_model escaped literals under that dialect's rules
         return create_datasource(model.datasource).read_query(spark, sql_text)
-    from syncmaven_spark.sql import to_spark_sql
-
-    # Spark executes this one: translate ANSI double-quoted identifiers
-    return spark.sql(to_spark_sql(sql_text, model.dialect))
+    # Spark executes this one — compile_model already transpiled the model
+    # text and escaped literals under Spark lexing
+    return spark.sql(sql_text)
 
 
 def run_sync(

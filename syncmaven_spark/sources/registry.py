@@ -87,7 +87,12 @@ class ParquetDirSource(Datasource):
         from syncmaven_spark.session import load_tables
 
         if not self._registered:
-            load_tables(spark, self.directory)
+            # refresh: a live source directory GROWS between sync runs; a
+            # cached DataFrame's file index is frozen at first analysis, so
+            # the production datasource path must re-list the directory
+            # (the per-session cache still serves the immutable-testdata
+            # catalog/bench callers, who call load_tables directly)
+            load_tables(spark, self.directory, refresh=True)
             self._registered = True
         return spark.sql(sql)
 

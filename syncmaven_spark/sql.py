@@ -12,7 +12,15 @@ markers via ``spark.sql(query, args=...)``; ``SqlQuery.compile`` additionally
 produces the fully-substituted SQL string so plans are reproducible,
 loggable, and byte-comparable in tests, exactly like the reference. Catalyst
 then performs all optimization — there is no engine-side AST rewriting beyond
-parameter substitution, mirroring the reference (SURVEY §4).
+parameter substitution and the lexical dialect shim (``to_spark_sql``),
+mirroring the reference (SURVEY §4).
+
+All lexical scans here share one dialect-aware tokenizer (``_scan_spans``):
+string/identifier/comment spans are lexed under the MODEL's dialect rules
+(postgres: literal backslashes, ``E'...'`` escape-strings, ``$tag$...$tag$``
+dollar quoting; snowflake/bigquery/mysql/spark: backslash escapes), so
+validation, parameter discovery, and transpilation cannot disagree about
+where a literal ends.
 """
 
 from __future__ import annotations
@@ -23,67 +31,144 @@ from typing import Any
 
 _PARAM_RE = re.compile(r"[:@]([A-Za-z_][A-Za-z0-9_]*)")
 
+# Dialects where backslash inside a plain single-quoted literal is a LITERAL
+# character (Postgres with standard_conforming_strings=on, the default since
+# 9.1; its escape-strings are opt-in via the E'' prefix). Everywhere else we
+# target — Spark (escapedStringLiterals=false), MySQL, BigQuery, Snowflake —
+# backslash starts an escape sequence.
+_BACKSLASH_IS_LITERAL = {"postgres", "postgresql"}
+
+# Dialects whose double-quoted tokens are IDENTIFIERS (ANSI quoting). Not
+# BigQuery/MySQL/Spark: there double quotes delimit strings — which Spark's
+# default (doubleQuotedIdentifiers off) happens to agree with.
+_DOUBLEQUOTE_IDENT_DIALECTS = {"postgres", "postgresql", "snowflake"}
+
+_DOLLAR_TAG = re.compile(r"\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$")
+
+_IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
 
 class SqlError(ValueError):
     """Model SQL failed validation (multi-statement / non-SELECT / bad param)."""
 
 
-def _mask_strings_and_comments(sql: str) -> str:
-    """Replace string literals, quoted identifiers, and comments with spaces
-    so lexical scans (parameter discovery, statement splitting) can't be
-    fooled by ``':notaparam'`` inside a literal. Preserves offsets."""
-    out = list(sql)
+def _scan_quoted(sql: str, start: int, quote: str, backslash: bool) -> int:
+    """From the opening quote at ``start``, return the index one past the
+    closing quote (clamped to len). Doubled-quote escapes always; backslash
+    escapes only when ``backslash``."""
+    j, n = start + 1, len(sql)
+    while j < n:
+        if sql[j] == quote:
+            if sql[j : j + 2] == quote * 2:
+                j += 2
+                continue
+            return j + 1
+        if backslash and sql[j] == "\\":
+            j += 2
+            continue
+        j += 1
+    return n
+
+
+def _scan_spans(sql: str, dialect: str = "spark") -> list[tuple[str, int, int]]:
+    """Tokenize non-code spans of ``sql`` under ``dialect`` lexing rules.
+
+    Returns ``(kind, lo, hi)`` with ``hi`` exclusive; kinds: ``comment``,
+    ``string`` (plain single-quoted, or double-quoted where that means a
+    string), ``estring`` (postgres ``E'...'``), ``dollar`` (postgres
+    ``$tag$...$tag$``), ``ident`` (double-quoted ANSI identifier),
+    ``ident_bt`` (backtick identifier). Everything between spans is code.
+    """
+    bs = dialect not in _BACKSLASH_IS_LITERAL
+    pg = dialect in _BACKSLASH_IS_LITERAL
+    dq_ident = dialect in _DOUBLEQUOTE_IDENT_DIALECTS
+    spans: list[tuple[str, int, int]] = []
     i, n = 0, len(sql)
-
-    def blank(lo: int, hi: int) -> None:
-        for j in range(lo, min(hi, n)):
-            if out[j] not in "\n":
-                out[j] = " "
-
     while i < n:
         ch = sql[i]
         if ch == "-" and sql[i : i + 2] == "--":
             end = sql.find("\n", i)
             end = n if end == -1 else end
-            blank(i, end)
+            spans.append(("comment", i, end))
             i = end
         elif ch == "/" and sql[i : i + 2] == "/*":
             end = sql.find("*/", i + 2)
             end = n if end == -1 else end + 2
-            blank(i, end)
+            spans.append(("comment", i, end))
             i = end
-        elif ch in ("'", '"', "`"):
-            quote = ch
-            j = i + 1
-            while j < n:
-                if sql[j] == quote:
-                    if sql[j : j + 2] == quote * 2:  # doubled-quote escape
-                        j += 2
-                        continue
-                    break
-                if sql[j] == "\\" and quote == "'":
-                    j += 2
-                    continue
-                j += 1
-            blank(i + 1, j)
-            i = j + 1
+        elif pg and ch == "$" and _DOLLAR_TAG.match(sql, i):
+            tag = _DOLLAR_TAG.match(sql, i).group(0)
+            close = sql.find(tag, i + len(tag))
+            end = n if close == -1 else close + len(tag)
+            spans.append(("dollar", i, end))
+            i = end
+        elif (
+            pg
+            and ch in "eE"
+            and sql[i + 1 : i + 2] == "'"
+            and (i == 0 or sql[i - 1] not in _IDENT_CHARS)
+        ):
+            # postgres escape-string: always backslash-escaped
+            j = _scan_quoted(sql, i + 1, "'", True)
+            spans.append(("estring", i, j))
+            i = j
+        elif ch == "'":
+            j = _scan_quoted(sql, i, "'", bs)
+            spans.append(("string", i, j))
+            i = j
+        elif ch == '"':
+            if dq_ident:
+                j = _scan_quoted(sql, i, '"', False)
+                spans.append(("ident", i, j))
+            else:
+                # a string in spark/bigquery/mysql — backslash-escaped
+                j = _scan_quoted(sql, i, '"', True)
+                spans.append(("string", i, j))
+            i = j
+        elif ch == "`":
+            j = _scan_quoted(sql, i, "`", False)
+            spans.append(("ident_bt", i, j))
+            i = j
         else:
             i += 1
+    return spans
+
+
+def _mask_strings_and_comments(sql: str, dialect: str = "spark") -> str:
+    """Replace string literals, quoted identifiers, and comments with spaces
+    so lexical scans (parameter discovery, statement splitting) can't be
+    fooled by ``':notaparam'`` inside a literal. Preserves offsets and
+    newlines; lexes under the model's dialect rules."""
+    out = list(sql)
+
+    def blank(lo: int, hi: int) -> None:
+        for j in range(lo, min(hi, len(sql))):
+            if out[j] != "\n":
+                out[j] = " "
+
+    for kind, lo, hi in _scan_spans(sql, dialect):
+        if kind == "comment":
+            blank(lo, hi)
+        elif kind in ("string", "ident", "ident_bt"):
+            blank(lo + 1, hi - 1)  # keep the delimiters
+        else:  # estring / dollar: multi-char delimiters — blank everything
+            blank(lo, hi)
     return "".join(out)
 
 
 class SqlQuery:
     """A validated, parameterized single-SELECT model query.
 
-    ``dialect`` is informational (the reference parses postgres / bigquery /
-    snowflake grammars; we target Spark SQL). ``@name`` parameters are
-    accepted alongside ``:name`` for BigQuery-model compatibility.
+    ``dialect`` selects the LEXING rules for the model's own text (the
+    reference parses postgres / bigquery / snowflake grammars) and the
+    escaping of substituted literals. ``@name`` parameters are accepted
+    alongside ``:name`` for BigQuery-model compatibility.
     """
 
     def __init__(self, query: str, dialect: str = "spark") -> None:
         self.query = query
         self.dialect = dialect
-        self._masked = _mask_strings_and_comments(query)
+        self._masked = _mask_strings_and_comments(query, dialect)
         self._validate()
 
     def _validate(self) -> None:
@@ -122,7 +207,10 @@ class SqlQuery:
 
         Unknown parameters raise; parameters present in the query but missing
         from ``params`` compile to NULL (the reference passes ``cursor: null``
-        explicitly on first run — ``sync.ts:490-492``).
+        explicitly on first run — ``sync.ts:490-492``). Literals are escaped
+        for THIS query's dialect — i.e. for whichever engine will parse the
+        compiled text; callers executing a warehouse-dialect model on Spark
+        transpile first (``to_spark_sql``) and compile under ``spark``.
         """
         params = dict(params or {})
         names = self.named_parameters()
@@ -145,22 +233,13 @@ class SqlQuery:
         return "".join(out)
 
 
-# Dialects where backslash inside a single-quoted literal is a LITERAL
-# character (Postgres with standard_conforming_strings=on, the default since
-# 9.1). Everywhere else we target — Spark (escapedStringLiterals=false),
-# MySQL, BigQuery, Snowflake — backslash starts an escape sequence and must
-# be doubled.
-_BACKSLASH_IS_LITERAL = {"postgres", "postgresql"}
-
-# Dialects whose double-quoted tokens are IDENTIFIERS (ANSI quoting). Not
-# BigQuery: there double quotes delimit strings — which Spark's default
-# (doubleQuotedIdentifiers off) happens to agree with, so BigQuery models
-# pass through unchanged.
-_DOUBLEQUOTE_IDENT_DIALECTS = {"postgres", "postgresql", "snowflake"}
+def _spark_string(body: str) -> str:
+    """A Spark string literal holding ``body`` verbatim (raw characters)."""
+    return "'" + body.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def to_spark_sql(query: str, dialect: str = "spark") -> str:
-    """Minimal dialect shim for models Spark itself executes.
+    """Lexical dialect shim for models Spark itself executes.
 
     The reference's contract is "the warehouse executes the model SQL"
     (``sql.ts:40-42``) — models routed to a JDBC/BigQuery/Snowflake
@@ -168,61 +247,56 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
     covers the remaining case: a model written in a warehouse dialect but
     executed by Spark over registered views. Spark ≥3.4 already accepts the
     frequent cross-dialect constructs (``expr::type`` casts, ``ILIKE``,
-    ``now()``); the one lexical incompatibility worth translating is ANSI
-    double-quoted identifiers → backticks. Strings, comments, and
-    everything else pass through byte-identical.
+    ``now()``); translated here are the lexical incompatibilities:
+
+    - ANSI double-quoted identifiers → backticks (postgres/snowflake);
+    - postgres plain strings: literal backslashes doubled for Spark;
+    - postgres ``E'...'``: prefix dropped (the body's backslash escapes
+      parse identically in Spark);
+    - postgres ``$tag$...$tag$``: re-quoted as a Spark string literal.
+
+    BigQuery/MySQL models pass through unchanged — their string lexing
+    (double-quoted strings, backslash escapes) matches Spark's defaults.
     """
-    if dialect not in _DOUBLEQUOTE_IDENT_DIALECTS:
+    if dialect == "spark" or dialect not in (
+        _DOUBLEQUOTE_IDENT_DIALECTS | _BACKSLASH_IS_LITERAL
+    ):
         return query
     out: list[str] = []
-    i, n = 0, len(query)
-    while i < n:
-        ch = query[i]
-        if ch == "-" and query[i : i + 2] == "--":
-            end = query.find("\n", i)
-            end = n if end == -1 else end
-            out.append(query[i:end])
-            i = end
-        elif ch == "/" and query[i : i + 2] == "/*":
-            end = query.find("*/", i + 2)
-            end = n if end == -1 else end + 2
-            out.append(query[i:end])
-            i = end
-        elif ch == "'":
-            # standard-conforming string scan ('' escape; these dialects
-            # treat backslash literally)
-            j = i + 1
-            while j < n:
-                if query[j] == "'":
-                    if query[j : j + 2] == "''":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(query[i : j + 1])
-            i = j + 1
-        elif ch == '"':
-            j = i + 1
-            ident: list[str] = []
-            while j < n:
-                if query[j] == '"':
-                    if query[j : j + 2] == '""':  # escaped quote in ident
-                        ident.append('"')
-                        j += 2
-                        continue
-                    break
-                ident.append(query[j])
-                j += 1
-            out.append("`" + "".join(ident).replace("`", "``") + "`")
-            i = j + 1
-        else:
-            out.append(ch)
-            i += 1
+    last = 0
+    for kind, lo, hi in _scan_spans(query, dialect):
+        out.append(query[last:lo])
+        seg = query[lo:hi]
+        closed = hi <= len(query)
+        if kind == "ident":
+            body = seg[1:-1] if closed and seg.endswith('"') else seg[1:]
+            name = body.replace('""', '"')
+            out.append("`" + name.replace("`", "``") + "`")
+        elif kind == "string" and dialect in _BACKSLASH_IS_LITERAL:
+            # postgres: backslashes are literal — double them for Spark;
+            # '' doubling carries over unchanged
+            body = seg[1:-1] if closed and seg.endswith("'") else seg[1:]
+            out.append("'" + body.replace("\\", "\\\\") + "'")
+        elif kind == "estring":
+            out.append(seg[1:])  # drop the E; escapes parse the same in Spark
+        elif kind == "dollar":
+            tag = _DOLLAR_TAG.match(seg).group(0)
+            body = (
+                seg[len(tag) : -len(tag)]
+                if closed and len(seg) >= 2 * len(tag) and seg.endswith(tag)
+                else seg[len(tag) :]
+            )
+            out.append(_spark_string(body))
+        else:  # comments, spark-compatible strings, backtick idents
+            out.append(seg)
+        last = hi
+    out.append(query[last:])
     return "".join(out)
 
 
 def encode_literal(val: Any, dialect: str = "spark") -> str:
-    """Typed SQL literal encoding (``datasources/index.ts:40-67``).
+    """Typed SQL literal encoding (``datasources/index.ts:40-67``), escaped
+    for the engine that will parse the compiled text (= ``dialect``).
 
     Timestamps use ``CAST('<ISO>' AS TIMESTAMP)`` — the Spark-dialect
     equivalent of the reference's per-dialect ``CAST(... AS TIMESTAMP WITH
@@ -240,14 +314,11 @@ def encode_literal(val: Any, dialect: str = "spark") -> str:
         return f"CAST('{val.isoformat(sep=' ') if isinstance(val, _dt.datetime) else val.isoformat()}' AS TIMESTAMP)"
     if isinstance(val, str):
         # Quote-doubling everywhere; backslash-doubling only where the
-        # target dialect treats backslash as an escape (Spark's default —
-        # a value ending in a lone backslash would otherwise swallow the
-        # closing quote and produce an unterminated literal; found by the
-        # hypothesis round-trip property). Compiled SQL pushed down whole
-        # to Postgres keeps backslashes literal, per
-        # standard_conforming_strings.
-        s = val.replace("'", "''")
-        if dialect not in _BACKSLASH_IS_LITERAL:
-            s = val.replace("\\", "\\\\").replace("'", "''")
-        return "'" + s + "'"
+        # parsing engine treats backslash as an escape (Spark's default — a
+        # value ending in a lone backslash would otherwise swallow the
+        # closing quote; found by the hypothesis round-trip property).
+        # Postgres (standard_conforming_strings) keeps backslashes literal.
+        if dialect in _BACKSLASH_IS_LITERAL:
+            return "'" + val.replace("'", "''") + "'"
+        return "'" + val.replace("\\", "\\\\").replace("'", "''") + "'"
     raise SqlError(f"cannot encode literal of type {type(val).__name__}")

@@ -125,6 +125,68 @@ def test_to_spark_sql_translates_ansi_identifiers(spark):
     assert got[0][0] == "x"
 
 
+def test_to_spark_sql_postgres_string_forms(spark):
+    from syncmaven_spark.sql import to_spark_sql
+
+    # plain postgres strings keep backslashes literal — doubled for Spark
+    out = to_spark_sql("select 'C:\\x' as v", "postgres")
+    assert out == "select 'C:\\\\x' as v"
+    assert spark.sql(out).collect()[0].v == "C:\\x"
+    # a postgres string ENDING in a backslash no longer breaks the scan
+    out = to_spark_sql("select '\\' as v, \"c\" from t", "postgres")
+    assert out == "select '\\\\' as v, `c` from t"
+    # E'...' escape-strings: prefix dropped, escapes parse the same in Spark
+    out = to_spark_sql("select E'it\\'s' as v", "postgres")
+    assert out == "select 'it\\'s' as v"
+    assert spark.sql(out).collect()[0].v == "it's"
+    # dollar-quoted strings become ordinary Spark literals
+    out = to_spark_sql('select $$he said "hi"$$ as v', "postgres")
+    assert spark.sql(out).collect()[0].v == 'he said "hi"'
+    out = to_spark_sql("select $q$a'b\\c$q$ as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "a'b\\c"
+    # snowflake strings use backslash escapes — the scan must honor them
+    out = to_spark_sql("select 'it\\'s' as v, \"col\" from t", "snowflake")
+    assert out == "select 'it\\'s' as v, `col` from t"
+
+
+def test_postgres_masking_finds_params_after_backslash_string():
+    # under standard_conforming_strings, '\' is a complete literal and
+    # :cursor after it IS a parameter (the spark-rules masker used to eat it)
+    q = SqlQuery("select '\\' as x from t where y >= :cursor", "postgres")
+    assert q.named_parameters() == ["cursor"]
+    # and inside a $$ body, a :name is NOT a parameter
+    q2 = SqlQuery("select $$ :fake $$ as x from t where y >= :real", "postgres")
+    assert q2.named_parameters() == ["real"]
+
+
+def test_compile_model_escapes_for_the_executing_engine(spark):
+    from syncmaven_spark.runner import ModelDefinition, compile_model
+
+    # postgres-dialect model, NO datasource → Spark executes → Spark escaping
+    m = ModelDefinition(
+        id="m",
+        query='select "v" from t where "v" >= :cursor',
+        cursor="v",
+        dialect="postgres",
+    )
+    compiled = compile_model(m, "C:\\x")
+    assert compiled == "select `v` from t where `v` >= 'C:\\\\x'"
+    spark.sql("select 'C:\\\\z' as v").createOrReplaceTempView("t")
+    assert spark.sql(compiled).collect()[0][0] == "C:\\z"
+    # same model routed to a warehouse → verbatim text, postgres escaping
+    m2 = ModelDefinition(
+        id="m2",
+        query='select "v" from t where "v" >= :cursor',
+        cursor="v",
+        dialect="postgres",
+        datasource="postgres://h/db",
+    )
+    assert (
+        compile_model(m2, "C:\\x")
+        == 'select "v" from t where "v" >= \'C:\\x\''
+    )
+
+
 def test_compile_runs_on_spark(spark):
     q = SqlQuery(
         "select * from range(10) where :cursor is null or id >= :cursor order by id"
