@@ -314,9 +314,13 @@ def _main(argv: list[str] | None = None) -> int:
             if args.model not in project.models:
                 print(f"unknown model {args.model!r}; known: {sorted(project.models)}")
                 return 1
-            from syncmaven_spark.runner import compile_model
+            from syncmaven_spark.runner import model_dataframe
 
-            df = spark.sql(compile_model(project.models[args.model], None))
+            # model_dataframe routes datasource models through their source
+            # (warehouse-escaped pushdown) and transpiles warehouse-dialect
+            # text for Spark-executed ones — spark.sql on the raw compile
+            # would mis-lex either
+            df = model_dataframe(spark, project.models[args.model], None)
         df.explain("formatted")
         return 0
 
@@ -325,9 +329,9 @@ def _main(argv: list[str] | None = None) -> int:
         if args.model not in project.models:
             print(f"unknown model {args.model!r}; known: {sorted(project.models)}")
             return 1
-        from syncmaven_spark.runner import compile_model
+        from syncmaven_spark.runner import model_dataframe
 
-        df = spark.sql(compile_model(project.models[args.model], None))
+        df = model_dataframe(spark, project.models[args.model], None)
         df.show(10, truncate=False)  # preview.ts:20 maxRows=10
         return 0
 

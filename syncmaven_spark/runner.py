@@ -106,17 +106,25 @@ def compile_model(
 
     if for_spark is None:
         for_spark = not model.datasource
-    q = SqlQuery(model.query, model.dialect)
+    dialect = model.dialect
+    if dialect == "spark" and model.datasource:
+        # the author didn't state a dialect but the model ships to a
+        # warehouse — its grammar (Datasource.dialect) is the authoring
+        # reality, and pushdown escaping must match it
+        from syncmaven_spark.sources import create_datasource
+
+        dialect = create_datasource(model.datasource).dialect
+    q = SqlQuery(model.query, dialect)
     params = q.named_parameters()
     if model.cursor and "cursor" not in params:
         raise SqlError(
             f"model {model.id!r} declares cursor column {model.cursor!r} but "
             "its SQL does not reference :cursor"
         )
-    if for_spark and model.dialect != "spark":
+    if for_spark and dialect != "spark":
         # re-lex the transpiled text under Spark rules; the parameter set is
-        # unchanged (the shim rewrites only string/identifier spans)
-        q = SqlQuery(to_spark_sql(model.query, model.dialect), "spark")
+        # unchanged (the shim rewrites only string/identifier/comment spans)
+        q = SqlQuery(to_spark_sql(model.query, dialect), "spark")
     return q.compile({"cursor": cursor_value} if "cursor" in params else {})
 
 

@@ -71,7 +71,6 @@ class ParquetDirSource(Datasource):
 
     def __init__(self, spec: str) -> None:
         self.directory = spec.removeprefix("parquet://")
-        self._registered = False
 
     def read_table(self, spark: SparkSession, table: str) -> DataFrame:
         import os
@@ -86,14 +85,13 @@ class ParquetDirSource(Datasource):
     def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
         from syncmaven_spark.session import load_tables
 
-        if not self._registered:
-            # refresh: a live source directory GROWS between sync runs; a
-            # cached DataFrame's file index is frozen at first analysis, so
-            # the production datasource path must re-list the directory
-            # (the per-session cache still serves the immutable-testdata
-            # catalog/bench callers, who call load_tables directly)
-            load_tables(spark, self.directory, refresh=True)
-            self._registered = True
+        # refresh on EVERY query, not once per instance: a live source
+        # directory GROWS between sync runs and a cached DataFrame's file
+        # index is frozen at first analysis — an instance-level guard would
+        # reintroduce the staleness for any caller that reuses the source.
+        # (The per-session cache still serves the immutable-testdata
+        # catalog/bench callers, who call load_tables directly.)
+        load_tables(spark, self.directory, refresh=True)
         return spark.sql(sql)
 
 

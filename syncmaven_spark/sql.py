@@ -52,55 +52,79 @@ class SqlError(ValueError):
     """Model SQL failed validation (multi-statement / non-SELECT / bad param)."""
 
 
-def _scan_quoted(sql: str, start: int, quote: str, backslash: bool) -> int:
-    """From the opening quote at ``start``, return the index one past the
-    closing quote (clamped to len). Doubled-quote escapes always; backslash
-    escapes only when ``backslash``."""
+def _scan_quoted(
+    sql: str, start: int, quote: str, backslash: bool
+) -> tuple[int, bool]:
+    """From the opening quote at ``start``, return ``(end, terminated)`` —
+    the index one past the closing quote (clamped to len) and whether the
+    closing quote was actually found. Doubled-quote escapes always;
+    backslash escapes only when ``backslash``."""
     j, n = start + 1, len(sql)
     while j < n:
         if sql[j] == quote:
             if sql[j : j + 2] == quote * 2:
                 j += 2
                 continue
-            return j + 1
+            return j + 1, True
         if backslash and sql[j] == "\\":
             j += 2
             continue
         j += 1
-    return n
+    return n, False
 
 
-def _scan_spans(sql: str, dialect: str = "spark") -> list[tuple[str, int, int]]:
+def _scan_spans(
+    sql: str, dialect: str = "spark"
+) -> list[tuple[str, int, int, bool]]:
     """Tokenize non-code spans of ``sql`` under ``dialect`` lexing rules.
 
-    Returns ``(kind, lo, hi)`` with ``hi`` exclusive; kinds: ``comment``,
-    ``string`` (plain single-quoted, or double-quoted where that means a
-    string), ``estring`` (postgres ``E'...'``), ``dollar`` (postgres
-    ``$tag$...$tag$``), ``ident`` (double-quoted ANSI identifier),
-    ``ident_bt`` (backtick identifier). Everything between spans is code.
+    Returns ``(kind, lo, hi, terminated)`` with ``hi`` exclusive; kinds:
+    ``comment``, ``string`` (plain single-quoted, or double-quoted where
+    that means a string), ``estring`` (postgres ``E'...'``), ``dollar``
+    (``$tag$...$tag$``; postgres, bare ``$$`` also snowflake), ``ident``
+    (double-quoted ANSI identifier), ``ident_bt`` (backtick identifier).
+    Everything between spans is code.
     """
     bs = dialect not in _BACKSLASH_IS_LITERAL
     pg = dialect in _BACKSLASH_IS_LITERAL
     dq_ident = dialect in _DOUBLEQUOTE_IDENT_DIALECTS
-    spans: list[tuple[str, int, int]] = []
+    hash_comments = dialect in ("mysql", "mariadb")
+    spans: list[tuple[str, int, int, bool]] = []
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
+        dollar_m = (
+            _DOLLAR_TAG.match(sql, i)
+            if ch == "$"
+            # tagged form is postgres; snowflake has bare $$ only. '$' is
+            # legal INSIDE postgres identifiers — only an opener when not
+            # preceded by an identifier character.
+            and (pg or (dialect == "snowflake" and sql[i : i + 2] == "$$"))
+            and (i == 0 or sql[i - 1] not in _IDENT_CHARS)
+            else None
+        )
         if ch == "-" and sql[i : i + 2] == "--":
             end = sql.find("\n", i)
             end = n if end == -1 else end
-            spans.append(("comment", i, end))
+            spans.append(("comment", i, end, True))
+            i = end
+        elif hash_comments and ch == "#":
+            end = sql.find("\n", i)
+            end = n if end == -1 else end
+            spans.append(("comment", i, end, True))
             i = end
         elif ch == "/" and sql[i : i + 2] == "/*":
             end = sql.find("*/", i + 2)
+            terminated = end != -1
             end = n if end == -1 else end + 2
-            spans.append(("comment", i, end))
+            spans.append(("comment", i, end, terminated))
             i = end
-        elif pg and ch == "$" and _DOLLAR_TAG.match(sql, i):
-            tag = _DOLLAR_TAG.match(sql, i).group(0)
+        elif dollar_m:
+            tag = dollar_m.group(0)
             close = sql.find(tag, i + len(tag))
+            terminated = close != -1
             end = n if close == -1 else close + len(tag)
-            spans.append(("dollar", i, end))
+            spans.append(("dollar", i, end, terminated))
             i = end
         elif (
             pg
@@ -109,25 +133,25 @@ def _scan_spans(sql: str, dialect: str = "spark") -> list[tuple[str, int, int]]:
             and (i == 0 or sql[i - 1] not in _IDENT_CHARS)
         ):
             # postgres escape-string: always backslash-escaped
-            j = _scan_quoted(sql, i + 1, "'", True)
-            spans.append(("estring", i, j))
+            j, term = _scan_quoted(sql, i + 1, "'", True)
+            spans.append(("estring", i, j, term))
             i = j
         elif ch == "'":
-            j = _scan_quoted(sql, i, "'", bs)
-            spans.append(("string", i, j))
+            j, term = _scan_quoted(sql, i, "'", bs)
+            spans.append(("string", i, j, term))
             i = j
         elif ch == '"':
             if dq_ident:
-                j = _scan_quoted(sql, i, '"', False)
-                spans.append(("ident", i, j))
+                j, term = _scan_quoted(sql, i, '"', False)
+                spans.append(("ident", i, j, term))
             else:
                 # a string in spark/bigquery/mysql — backslash-escaped
-                j = _scan_quoted(sql, i, '"', True)
-                spans.append(("string", i, j))
+                j, term = _scan_quoted(sql, i, '"', True)
+                spans.append(("string", i, j, term))
             i = j
         elif ch == "`":
-            j = _scan_quoted(sql, i, "`", False)
-            spans.append(("ident_bt", i, j))
+            j, term = _scan_quoted(sql, i, "`", False)
+            spans.append(("ident_bt", i, j, term))
             i = j
         else:
             i += 1
@@ -146,7 +170,7 @@ def _mask_strings_and_comments(sql: str, dialect: str = "spark") -> str:
             if out[j] != "\n":
                 out[j] = " "
 
-    for kind, lo, hi in _scan_spans(sql, dialect):
+    for kind, lo, hi, _term in _scan_spans(sql, dialect):
         if kind == "comment":
             blank(lo, hi)
         elif kind in ("string", "ident", "ident_bt"):
@@ -238,6 +262,63 @@ def _spark_string(body: str) -> str:
     return "'" + body.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+_PG_SIMPLE_ESCAPES = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _decode_pg_escape_body(body: str) -> str:
+    """Decode the body of a postgres ``E'...'`` escape-string to its raw
+    characters (PostgreSQL lexer rules: ``\\b \\f \\n \\r \\t``, 1-3 digit
+    octal, ``\\x`` 1-2 hex digits, ``\\uXXXX``, ``\\UXXXXXXXX``, and
+    ``\\<other>`` → ``<other>``; ``''`` doubling also applies). Spark's
+    string lexer differs (no ``\\x``/octal/8-digit ``\\U``), so the shim
+    decodes here and re-encodes with ``_spark_string`` instead of passing
+    escape text through."""
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "'" and body[i : i + 2] == "''":
+            out.append("'")
+            i += 2
+            continue
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            out.append("\\")
+            break
+        e = body[i]
+        if e in "01234567":
+            j = i
+            while j < min(i + 3, n) and body[j] in "01234567":
+                j += 1
+            out.append(chr(int(body[i:j], 8) & 0xFF))
+            i = j
+        elif e in "xX":
+            j = i + 1
+            while j < min(i + 3, n) and body[j] in _HEX:
+                j += 1
+            if j > i + 1:
+                out.append(chr(int(body[i + 1 : j], 16)))
+                i = j
+            else:
+                out.append(e)
+                i += 1
+        elif e == "u" and len(body) >= i + 5 and set(body[i + 1 : i + 5]) <= _HEX:
+            out.append(chr(int(body[i + 1 : i + 5], 16)))
+            i += 5
+        elif e == "U" and len(body) >= i + 9 and set(body[i + 1 : i + 9]) <= _HEX:
+            out.append(chr(int(body[i + 1 : i + 9], 16)))
+            i += 9
+        else:
+            out.append(_PG_SIMPLE_ESCAPES.get(e, e))
+            i += 1
+    return "".join(out)
+
+
 def to_spark_sql(query: str, dialect: str = "spark") -> str:
     """Lexical dialect shim for models Spark itself executes.
 
@@ -255,38 +336,39 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
       parse identically in Spark);
     - postgres ``$tag$...$tag$``: re-quoted as a Spark string literal.
 
-    BigQuery/MySQL models pass through unchanged — their string lexing
+    BigQuery models pass through unchanged — their string lexing
     (double-quoted strings, backslash escapes) matches Spark's defaults.
+    MySQL models only need ``#`` line comments rewritten to ``--``.
     """
     if dialect == "spark" or dialect not in (
-        _DOUBLEQUOTE_IDENT_DIALECTS | _BACKSLASH_IS_LITERAL
+        _DOUBLEQUOTE_IDENT_DIALECTS | _BACKSLASH_IS_LITERAL | {"mysql", "mariadb"}
     ):
         return query
     out: list[str] = []
     last = 0
-    for kind, lo, hi in _scan_spans(query, dialect):
+    for kind, lo, hi, terminated in _scan_spans(query, dialect):
         out.append(query[last:lo])
         seg = query[lo:hi]
-        closed = hi <= len(query)
         if kind == "ident":
-            body = seg[1:-1] if closed and seg.endswith('"') else seg[1:]
+            body = seg[1:-1] if terminated else seg[1:]
             name = body.replace('""', '"')
             out.append("`" + name.replace("`", "``") + "`")
         elif kind == "string" and dialect in _BACKSLASH_IS_LITERAL:
             # postgres: backslashes are literal — double them for Spark;
             # '' doubling carries over unchanged
-            body = seg[1:-1] if closed and seg.endswith("'") else seg[1:]
+            body = seg[1:-1] if terminated else seg[1:]
             out.append("'" + body.replace("\\", "\\\\") + "'")
         elif kind == "estring":
-            out.append(seg[1:])  # drop the E; escapes parse the same in Spark
+            # decode postgres escapes (\x, octal, \UXXXXXXXX have no Spark
+            # equivalent), then re-encode as a Spark literal
+            body = seg[2:-1] if terminated else seg[2:]
+            out.append(_spark_string(_decode_pg_escape_body(body)))
         elif kind == "dollar":
             tag = _DOLLAR_TAG.match(seg).group(0)
-            body = (
-                seg[len(tag) : -len(tag)]
-                if closed and len(seg) >= 2 * len(tag) and seg.endswith(tag)
-                else seg[len(tag) :]
-            )
+            body = seg[len(tag) : -len(tag)] if terminated else seg[len(tag) :]
             out.append(_spark_string(body))
+        elif kind == "comment" and seg.startswith("#"):
+            out.append("--" + seg[1:])  # mysql '#' comment → Spark '--'
         else:  # comments, spark-compatible strings, backtick idents
             out.append(seg)
         last = hi

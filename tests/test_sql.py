@@ -135,10 +135,12 @@ def test_to_spark_sql_postgres_string_forms(spark):
     # a postgres string ENDING in a backslash no longer breaks the scan
     out = to_spark_sql("select '\\' as v, \"c\" from t", "postgres")
     assert out == "select '\\\\' as v, `c` from t"
-    # E'...' escape-strings: prefix dropped, escapes parse the same in Spark
+    # E'...' escape-strings are DECODED then re-encoded for Spark (postgres
+    # \x / octal / \UXXXXXXXX escapes have no Spark equivalent)
     out = to_spark_sql("select E'it\\'s' as v", "postgres")
-    assert out == "select 'it\\'s' as v"
     assert spark.sql(out).collect()[0].v == "it's"
+    out = to_spark_sql("select E'\\x41\\101\\u0042\\n' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "AAB\n"
     # dollar-quoted strings become ordinary Spark literals
     out = to_spark_sql('select $$he said "hi"$$ as v', "postgres")
     assert spark.sql(out).collect()[0].v == 'he said "hi"'
@@ -157,6 +159,25 @@ def test_postgres_masking_finds_params_after_backslash_string():
     # and inside a $$ body, a :name is NOT a parameter
     q2 = SqlQuery("select $$ :fake $$ as x from t where y >= :real", "postgres")
     assert q2.named_parameters() == ["real"]
+
+
+def test_scanner_dialect_edges(spark):
+    from syncmaven_spark.sql import to_spark_sql
+
+    # snowflake bare $$ strings are lexed: no ident rewriting inside, and
+    # params inside the body are not parameters
+    out = to_spark_sql('select $$he said "hi"$$ as v', "snowflake")
+    assert spark.sql(out).collect()[0].v == 'he said "hi"'
+    q = SqlQuery("select $$ :fake $$ as x from t where y >= :real", "snowflake")
+    assert q.named_parameters() == ["real"]
+    # '$' inside a postgres identifier does not open a dollar quote
+    q2 = SqlQuery("select col$q$x from t where y >= :cursor", "postgres")
+    assert q2.named_parameters() == ["cursor"]
+    # mysql '#' comments: masked for discovery, rewritten to -- for Spark
+    q3 = SqlQuery("select c from t where c >= :cursor # :fake\n", "mysql")
+    assert q3.named_parameters() == ["cursor"]
+    out = to_spark_sql("select 1 as v # trailing note", "mysql")
+    assert spark.sql(out).collect()[0].v == 1
 
 
 def test_compile_model_escapes_for_the_executing_engine(spark):
@@ -183,6 +204,18 @@ def test_compile_model_escapes_for_the_executing_engine(spark):
     )
     assert (
         compile_model(m2, "C:\\x")
+        == 'select "v" from t where "v" >= \'C:\\x\''
+    )
+    # dialect left unset on a datasource model: derived from the
+    # datasource's grammar, so pushdown escaping is still postgres
+    m3 = ModelDefinition(
+        id="m3",
+        query='select "v" from t where "v" >= :cursor',
+        cursor="v",
+        datasource="postgres://h/db",
+    )
+    assert (
+        compile_model(m3, "C:\\x")
         == 'select "v" from t where "v" >= \'C:\\x\''
     )
 
