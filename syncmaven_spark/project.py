@@ -171,7 +171,7 @@ def _parse_model_file(path: str, env: dict[str, str]) -> ModelDefinition:
             query=query,
             cursor=fields.get("cursor"),
             datasource=fields.get("datasource"),
-            dialect=fields.get("dialect", "spark"),
+            dialect=fields.get("dialect"),
         )
     content = _render_deep(content, env=env, file_name=path)
     return ModelDefinition(
@@ -179,7 +179,7 @@ def _parse_model_file(path: str, env: dict[str, str]) -> ModelDefinition:
         query=content["query"],
         cursor=content.get("cursor"),
         datasource=content.get("datasource"),
-        dialect=content.get("dialect", "spark"),
+        dialect=content.get("dialect"),
     )
 
 

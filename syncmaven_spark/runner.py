@@ -62,7 +62,10 @@ class ModelDefinition:
     query: str
     cursor: str | None = None
     datasource: str | None = None
-    dialect: str = "spark"
+    # None = unset (inferred: the datasource's grammar, else spark). An
+    # explicit "spark" is respected even with a datasource — e.g. a pg-wire
+    # proxy fronting a Spark-SQL engine.
+    dialect: str | None = None
 
 
 @dataclass
@@ -92,7 +95,10 @@ class SyncResult:
 
 
 def compile_model(
-    model: ModelDefinition, cursor_value: Any | None, for_spark: bool | None = None
+    model: ModelDefinition,
+    cursor_value: Any | None,
+    for_spark: bool | None = None,
+    source_dialect: str | None = None,
 ) -> str:
     """Cursor guard + parameter substitution (sync.ts:455-459,490-492).
 
@@ -101,19 +107,25 @@ def compile_model(
     Spark executes is transpiled first (``to_spark_sql``) and its literals
     are then escaped under Spark lexing; a model pushed down to its
     warehouse compiles under the warehouse's own rules and ships verbatim.
+
+    The model's dialect: explicit ``model.dialect`` wins (an explicit
+    ``spark`` is honored even with a datasource); unset → the datasource's
+    grammar (``source_dialect`` when the caller already resolved the
+    Datasource, else resolved here), else ``spark``.
     """
     from syncmaven_spark.sql import to_spark_sql
 
     if for_spark is None:
         for_spark = not model.datasource
     dialect = model.dialect
-    if dialect == "spark" and model.datasource:
-        # the author didn't state a dialect but the model ships to a
-        # warehouse — its grammar (Datasource.dialect) is the authoring
-        # reality, and pushdown escaping must match it
-        from syncmaven_spark.sources import create_datasource
+    if dialect is None and model.datasource:
+        if source_dialect is not None:
+            dialect = source_dialect
+        else:
+            from syncmaven_spark.sources import create_datasource
 
-        dialect = create_datasource(model.datasource).dialect
+            dialect = create_datasource(model.datasource).dialect
+    dialect = dialect or "spark"
     q = SqlQuery(model.query, dialect)
     params = q.named_parameters()
     if model.cursor and "cursor" not in params:
@@ -139,16 +151,20 @@ def model_dataframe(
     'warehouse executes the model SQL' contract, with Catalyst as the
     warehouse).
     """
-    sql_text = compile_model(model, cursor_value)
     if model.datasource:
         from syncmaven_spark.sources import create_datasource
 
+        # resolved ONCE: compile borrows its dialect, read_query executes
+        ds = create_datasource(model.datasource)
+        sql_text = compile_model(
+            model, cursor_value, for_spark=False, source_dialect=ds.dialect
+        )
         # pushed down VERBATIM — the warehouse parses its own dialect;
         # compile_model escaped literals under that dialect's rules
-        return create_datasource(model.datasource).read_query(spark, sql_text)
-    # Spark executes this one — compile_model already transpiled the model
-    # text and escaped literals under Spark lexing
-    return spark.sql(sql_text)
+        return ds.read_query(spark, sql_text)
+    # Spark executes this one — compile_model transpiles the model text and
+    # escapes literals under Spark lexing
+    return spark.sql(compile_model(model, cursor_value))
 
 
 def run_sync(

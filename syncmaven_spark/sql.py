@@ -103,7 +103,21 @@ def _scan_spans(
             and (i == 0 or sql[i - 1] not in _IDENT_CHARS)
             else None
         )
-        if ch == "-" and sql[i : i + 2] == "--":
+        if (
+            ch == "-"
+            and sql[i : i + 2] == "--"
+            # MySQL's '--' starts a comment only when followed by
+            # whitespace/EOL ('a--:x' is arithmetic there)
+            and (
+                not hash_comments
+                or sql[i + 2 : i + 3] in ("", " ", "\t", "\n", "\r")
+            )
+        ):
+            end = sql.find("\n", i)
+            end = n if end == -1 else end
+            spans.append(("comment", i, end, True))
+            i = end
+        elif dialect == "snowflake" and ch == "/" and sql[i : i + 2] == "//":
             end = sql.find("\n", i)
             end = n if end == -1 else end
             spans.append(("comment", i, end, True))
@@ -268,55 +282,88 @@ _HEX = set("0123456789abcdefABCDEF")
 
 def _decode_pg_escape_body(body: str) -> str:
     """Decode the body of a postgres ``E'...'`` escape-string to its raw
-    characters (PostgreSQL lexer rules: ``\\b \\f \\n \\r \\t``, 1-3 digit
-    octal, ``\\x`` 1-2 hex digits, ``\\uXXXX``, ``\\UXXXXXXXX``, and
-    ``\\<other>`` → ``<other>``; ``''`` doubling also applies). Spark's
+    characters, matching PostgreSQL-on-UTF-8 lexer semantics: ``\\b \\f \\n
+    \\r \\t``, 1-3 digit octal and ``\\x`` 1-2 hex digits (raw BYTES in the
+    server encoding — composed then validated as UTF-8, so ``\\xc3\\xa9`` is
+    'é', not mojibake), ``\\uXXXX``/``\\UXXXXXXXX`` codepoints with UTF-16
+    surrogate pairs combined (lone surrogates are an error, as in PG), and
+    ``\\<other>`` → ``<other>``; ``''`` doubling also applies. Spark's
     string lexer differs (no ``\\x``/octal/8-digit ``\\U``), so the shim
     decodes here and re-encodes with ``_spark_string`` instead of passing
-    escape text through."""
-    out: list[str] = []
+    escape text through. Raises SqlError where PG itself would reject the
+    literal (invalid surrogate pair / invalid UTF-8 byte sequence)."""
+    out = bytearray()
     i, n = 0, len(body)
+
+    def _read_unicode_escape(pos: int) -> tuple[int | None, int]:
+        """Codepoint of a ``\\uXXXX``/``\\UXXXXXXXX`` escape whose backslash
+        is at ``pos``, plus the index one past it; (None, pos) if not one."""
+        if body[pos : pos + 1] != "\\":
+            return None, pos
+        e2 = body[pos + 1 : pos + 2]
+        if e2 == "u" and set(body[pos + 2 : pos + 6]) <= _HEX and len(
+            body[pos + 2 : pos + 6]
+        ) == 4:
+            return int(body[pos + 2 : pos + 6], 16), pos + 6
+        if e2 == "U" and set(body[pos + 2 : pos + 10]) <= _HEX and len(
+            body[pos + 2 : pos + 10]
+        ) == 8:
+            return int(body[pos + 2 : pos + 10], 16), pos + 10
+        return None, pos
+
     while i < n:
         c = body[i]
         if c == "'" and body[i : i + 2] == "''":
-            out.append("'")
+            out += b"'"
             i += 2
             continue
         if c != "\\":
-            out.append(c)
+            out += c.encode("utf-8")
             i += 1
+            continue
+        cp, after = _read_unicode_escape(i)
+        if cp is not None:
+            if 0xD800 <= cp <= 0xDBFF:
+                lo, after2 = _read_unicode_escape(after)
+                if lo is None or not 0xDC00 <= lo <= 0xDFFF:
+                    raise SqlError("invalid Unicode surrogate pair in E'' string")
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                after = after2
+            elif 0xDC00 <= cp <= 0xDFFF:
+                raise SqlError("invalid Unicode surrogate pair in E'' string")
+            out += chr(cp).encode("utf-8")
+            i = after
             continue
         i += 1
         if i >= n:
-            out.append("\\")
+            out += b"\\"
             break
         e = body[i]
         if e in "01234567":
             j = i
             while j < min(i + 3, n) and body[j] in "01234567":
                 j += 1
-            out.append(chr(int(body[i:j], 8) & 0xFF))
+            out.append(int(body[i:j], 8) & 0xFF)
             i = j
-        elif e in "xX":
+        elif e == "x":  # PG recognizes lowercase \x only; \X is literal 'X'
             j = i + 1
             while j < min(i + 3, n) and body[j] in _HEX:
                 j += 1
             if j > i + 1:
-                out.append(chr(int(body[i + 1 : j], 16)))
+                out.append(int(body[i + 1 : j], 16))
                 i = j
             else:
-                out.append(e)
+                out += b"x"
                 i += 1
-        elif e == "u" and len(body) >= i + 5 and set(body[i + 1 : i + 5]) <= _HEX:
-            out.append(chr(int(body[i + 1 : i + 5], 16)))
-            i += 5
-        elif e == "U" and len(body) >= i + 9 and set(body[i + 1 : i + 9]) <= _HEX:
-            out.append(chr(int(body[i + 1 : i + 9], 16)))
-            i += 9
         else:
-            out.append(_PG_SIMPLE_ESCAPES.get(e, e))
+            out += _PG_SIMPLE_ESCAPES.get(e, e).encode("utf-8")
             i += 1
-    return "".join(out)
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise SqlError(
+            "invalid byte sequence for encoding UTF8 in E'' string"
+        ) from exc
 
 
 def to_spark_sql(query: str, dialect: str = "spark") -> str:

@@ -178,6 +178,36 @@ def test_scanner_dialect_edges(spark):
     assert q3.named_parameters() == ["cursor"]
     out = to_spark_sql("select 1 as v # trailing note", "mysql")
     assert spark.sql(out).collect()[0].v == 1
+    # mysql '--' needs trailing whitespace: 'a--:x' is arithmetic, not a
+    # comment, so the parameter IS discovered (other dialects: comment)
+    q4 = SqlQuery("select a--:cursor\nfrom t", "mysql")
+    assert q4.named_parameters() == ["cursor"]
+    assert SqlQuery("select a--:hidden\nfrom t", "spark").named_parameters() == []
+    # snowflake '//' line comments are lexed (an apostrophe inside can't
+    # swallow the rest of the query)
+    q5 = SqlQuery(
+        "select 1 as n // it's a note\nfrom t where c >= :cursor", "snowflake"
+    )
+    assert q5.named_parameters() == ["cursor"]
+
+
+def test_pg_escape_string_byte_semantics(spark):
+    from syncmaven_spark.sql import _decode_pg_escape_body, to_spark_sql
+
+    # \x/octal escapes are BYTES composed then decoded as UTF-8 (é, not Ã©)
+    assert _decode_pg_escape_body("\\xc3\\xa9") == "é"
+    assert _decode_pg_escape_body("\\303\\251") == "é"
+    # surrogate pairs combine to one codepoint
+    assert _decode_pg_escape_body("\\ud83d\\ude04") == "\U0001f604"
+    out = to_spark_sql("select E'\\ud83d\\ude04' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "\U0001f604"
+    # PG-invalid inputs raise instead of emitting broken text
+    with pytest.raises(SqlError):
+        _decode_pg_escape_body("\\ud83d x")  # lone high surrogate
+    with pytest.raises(SqlError):
+        _decode_pg_escape_body("\\xc3 x")  # invalid UTF-8 byte sequence
+    # uppercase \X is literal (PG recognizes lowercase \x only)
+    assert _decode_pg_escape_body("\\X41") == "X41"
 
 
 def test_compile_model_escapes_for_the_executing_engine(spark):
