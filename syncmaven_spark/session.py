@@ -111,6 +111,21 @@ def read_parquet(spark: SparkSession, path: str):
 _TABLES_CACHE_ATTR = "_syncmaven_table_cache"
 
 
+def _dir_fingerprint(sf_dir: str) -> tuple:
+    """Cheap staleness key for a table directory: (name, mtime_ns, size)
+    per ``<table>.parquet`` entry. A handful of stat calls, vs the ~1s a
+    cold ``read_parquet`` spends probing footers and analyzing plans."""
+    parts = []
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(path)
+        except OSError:
+            continue
+        parts.append((name, st.st_mtime_ns, st.st_size))
+    return tuple(parts)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -121,10 +136,19 @@ def load_tables(
 
     Returns ``{name: DataFrame}``. Scans stay lazy — Catalyst prunes columns
     and pushes filters into the parquet reader per consuming query. The
-    DataFrames are cached per (session, directory) — the testdata files are
-    immutable; pass ``refresh=True`` if the directory's contents changed.
+    DataFrames are cached per (session, directory), keyed by a stat
+    fingerprint (per-table path, mtime, size): a grown/replaced source
+    directory invalidates the entry automatically, while unchanged
+    directories skip the ~1s of parquet footer probing + plan analysis a
+    cold load costs. ``refresh=True`` force-drops the entry regardless.
     Views are (re-)registered on every call — cheap on repeat, and it heals
     any view another caller replaced under the same name.
+
+    A file OVERWRITTEN in place inside a directory-shaped ``.parquet``
+    (same name, same size, same mtime resolution) can evade the
+    fingerprint — Spark's own writers always create new part files, so
+    this only matters for exotic manual edits; those callers pass
+    ``refresh=True``.
     """
     # The engine's timestamp semantics are UTC (golden files, DuckDB oracle
     # parity). The round driver may hand us a session with a different zone —
@@ -139,10 +163,12 @@ def load_tables(
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     per_session = spark.__dict__.setdefault(_TABLES_CACHE_ATTR, {})
     cache_key = os.path.abspath(sf_dir)
+    fingerprint = _dir_fingerprint(sf_dir)
     if refresh:
         # drop first so a failed re-read can't leave the stale entry behind
         per_session.pop(cache_key, None)
-    tables = per_session.get(cache_key)
+    cached = per_session.get(cache_key)
+    tables = cached[1] if cached is not None and cached[0] == fingerprint else None
     if tables is None:
         tables = {}
         for name in TABLE_NAMES:
@@ -154,7 +180,7 @@ def load_tables(
             raise FileNotFoundError(
                 f"no testdata parquet tables found in {sf_dir!r}"
             )
-        per_session[cache_key] = tables
+        per_session[cache_key] = (fingerprint, tables)
     if register_views:
         for name, df in tables.items():
             df.createOrReplaceTempView(name)

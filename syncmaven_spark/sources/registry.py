@@ -85,13 +85,13 @@ class ParquetDirSource(Datasource):
     def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
         from syncmaven_spark.session import load_tables
 
-        # refresh on EVERY query, not once per instance: a live source
-        # directory GROWS between sync runs and a cached DataFrame's file
-        # index is frozen at first analysis — an instance-level guard would
-        # reintroduce the staleness for any caller that reuses the source.
-        # (The per-session cache still serves the immutable-testdata
-        # catalog/bench callers, who call load_tables directly.)
-        load_tables(spark, self.directory, refresh=True)
+        # a live source directory GROWS between sync runs and a cached
+        # DataFrame's file index is frozen at first analysis — load_tables'
+        # stat fingerprint invalidates the cache exactly when the
+        # directory's contents changed, so repeat queries over an
+        # unchanged directory skip the ~1s footer re-probe (round-3
+        # review: unconditional refresh=True re-paid that cost per call).
+        load_tables(spark, self.directory)
         return spark.sql(sql)
 
 

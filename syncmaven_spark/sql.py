@@ -33,15 +33,19 @@ _PARAM_RE = re.compile(r"[:@]([A-Za-z_][A-Za-z0-9_]*)")
 
 # Dialects where backslash inside a plain single-quoted literal is a LITERAL
 # character (Postgres with standard_conforming_strings=on, the default since
-# 9.1; its escape-strings are opt-in via the E'' prefix). Everywhere else we
-# target — Spark (escapedStringLiterals=false), MySQL, BigQuery, Snowflake —
-# backslash starts an escape sequence.
-_BACKSLASH_IS_LITERAL = {"postgres", "postgresql"}
+# 9.1 — its escape-strings are opt-in via the E'' prefix — and ANSI-strict
+# Derby). Everywhere else we target — Spark (escapedStringLiterals=false),
+# MySQL, BigQuery, Snowflake — backslash starts an escape sequence.
+_BACKSLASH_IS_LITERAL = {"postgres", "postgresql", "derby"}
 
 # Dialects whose double-quoted tokens are IDENTIFIERS (ANSI quoting). Not
 # BigQuery/MySQL/Spark: there double quotes delimit strings — which Spark's
 # default (doubleQuotedIdentifiers off) happens to agree with.
-_DOUBLEQUOTE_IDENT_DIALECTS = {"postgres", "postgresql", "snowflake"}
+_DOUBLEQUOTE_IDENT_DIALECTS = {"postgres", "postgresql", "snowflake", "derby"}
+
+# GoogleSQL string openers: optional r/b prefix (raw / bytes, either order
+# when combined), then a single or triple quote of either kind.
+_BQ_STRING_OPEN = re.compile(r"(?i)(rb|br|r|b)?('''|\"\"\"|'|\")")
 
 _DOLLAR_TAG = re.compile(r"\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$")
 
@@ -73,6 +77,25 @@ def _scan_quoted(
     return n, False
 
 
+def _scan_bq_quoted(sql: str, start: int, delim: str) -> tuple[int, bool]:
+    """Scan a GoogleSQL string body from ``start`` (one past the opening
+    delimiter) to its closing ``delim``. Backslash escapes the next
+    character at the LEX level even in raw strings (``r'\\''`` does not
+    terminate — the raw value keeps both characters); ``''`` is NOT an
+    escaped quote in GoogleSQL, it closes the literal (adjacent literals
+    concatenate)."""
+    j, n = start, len(sql)
+    dl = len(delim)
+    while j < n:
+        if sql[j] == "\\":
+            j += 2
+            continue
+        if sql[j : j + dl] == delim:
+            return j + dl, True
+        j += 1
+    return n, False
+
+
 def _scan_spans(
     sql: str, dialect: str = "spark"
 ) -> list[tuple[str, int, int, bool]]:
@@ -86,7 +109,8 @@ def _scan_spans(
     Everything between spans is code.
     """
     bs = dialect not in _BACKSLASH_IS_LITERAL
-    pg = dialect in _BACKSLASH_IS_LITERAL
+    pg = dialect in ("postgres", "postgresql")  # E'' strings, $tag$ quoting
+    bq = dialect == "bigquery"
     dq_ident = dialect in _DOUBLEQUOTE_IDENT_DIALECTS
     hash_comments = dialect in ("mysql", "mariadb")
     spans: list[tuple[str, int, int, bool]] = []
@@ -140,6 +164,22 @@ def _scan_spans(
             end = n if close == -1 else close + len(tag)
             spans.append(("dollar", i, end, terminated))
             i = end
+        elif bq and ch in "'\"rRbB":
+            # GoogleSQL string forms: '...'/"..." with backslash escapes and
+            # NO ''-doubling, triple-quoted '''...'''/\"\"\"...\"\"\", and
+            # r/b (raw/bytes) prefixes — a prefix opens only at an
+            # identifier boundary ("br'x'" after "foobr" is code).
+            m = _BQ_STRING_OPEN.match(sql, i)
+            if m and (
+                not m.group(1) or i == 0 or sql[i - 1] not in _IDENT_CHARS
+            ):
+                prefix = (m.group(1) or "").lower()
+                j, term = _scan_bq_quoted(sql, m.end(), m.group(2))
+                kind = "bstring" if "b" in prefix else "string"
+                spans.append((kind, i, j, term))
+                i = j
+            else:
+                i += 1
         elif (
             pg
             and ch in "eE"
@@ -366,6 +406,78 @@ def _decode_pg_escape_body(body: str) -> str:
         ) from exc
 
 
+_BQ_SIMPLE_ESCAPES = {
+    "a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+    "v": "\v", "?": "?", "'": "'", '"': '"', "`": "`", "\\": "\\",
+}
+
+
+def _decode_bq_escape_body(body: str, bytes_mode: bool = False) -> bytes:
+    """Decode the body of a GoogleSQL non-raw string/bytes literal to raw
+    bytes, per the GoogleSQL lexical rules: ``\\a \\b \\f \\n \\r \\t \\v
+    \\? \\' \\\" \\` \\\\``, exactly-3-digit octal and ``\\x``/``\\X`` with
+    exactly 2 hex digits (a CODE POINT in strings, a byte in bytes
+    literals), ``\\uXXXX``/``\\UXXXXXXXX`` code points (strings only;
+    surrogates are invalid). Unknown escapes are an error in GoogleSQL —
+    raised here too, so a model BigQuery itself would reject never reaches
+    Spark mis-lexed."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c != "\\":
+            out += c.encode("utf-8")
+            i += 1
+            continue
+        e = body[i + 1 : i + 2]
+        if e == "":
+            raise SqlError("trailing backslash in BigQuery string literal")
+        if e in "01234567":
+            digits = body[i + 1 : i + 4]
+            if len(digits) != 3 or not set(digits) <= set("01234567"):
+                raise SqlError("invalid octal escape in BigQuery literal")
+            val = int(digits, 8)
+            out += bytes([val]) if bytes_mode else chr(val).encode("utf-8")
+            i += 4
+        elif e in "xX":
+            digits = body[i + 2 : i + 4]
+            if len(digits) != 2 or not set(digits) <= _HEX:
+                raise SqlError("invalid hex escape in BigQuery literal")
+            val = int(digits, 16)
+            out += bytes([val]) if bytes_mode else chr(val).encode("utf-8")
+            i += 4
+        elif e in "uU" and not bytes_mode:
+            width = 4 if e == "u" else 8
+            digits = body[i + 2 : i + 2 + width]
+            if len(digits) != width or not set(digits) <= _HEX:
+                raise SqlError("invalid unicode escape in BigQuery literal")
+            cp = int(digits, 16)
+            if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                raise SqlError("invalid code point in BigQuery literal")
+            out += chr(cp).encode("utf-8")
+            i += 2 + width
+        elif e in _BQ_SIMPLE_ESCAPES:
+            out += _BQ_SIMPLE_ESCAPES[e].encode("utf-8")
+            i += 2
+        else:
+            raise SqlError(f"invalid escape \\{e} in BigQuery literal")
+    return bytes(out)
+
+
+def _decode_bq_string(seg: str) -> str | bytes:
+    """Decode one complete GoogleSQL string/bytes literal (prefix + quotes
+    included) to its value — ``str`` for strings, ``bytes`` for ``b''``
+    literals."""
+    m = _BQ_STRING_OPEN.match(seg)
+    prefix = (m.group(1) or "").lower()
+    delim = m.group(2)
+    body = seg[m.end() : -len(delim)]
+    raw, is_bytes = "r" in prefix, "b" in prefix
+    if is_bytes:
+        return body.encode("utf-8") if raw else _decode_bq_escape_body(body, True)
+    return body if raw else _decode_bq_escape_body(body).decode("utf-8")
+
+
 def to_spark_sql(query: str, dialect: str = "spark") -> str:
     """Lexical dialect shim for models Spark itself executes.
 
@@ -383,53 +495,125 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
       parse identically in Spark);
     - postgres ``$tag$...$tag$``: re-quoted as a Spark string literal.
 
-    BigQuery models pass through unchanged — their string lexing
-    (double-quoted strings, backslash escapes) matches Spark's defaults.
-    MySQL models only need ``#`` line comments rewritten to ``--``.
+    BigQuery models need their STRING lexing rewritten: GoogleSQL has no
+    ``''``-doubling (``'it''s'`` is two adjacent literals, which BigQuery
+    concatenates to ``its`` — Spark would read one literal ``it's``), plus
+    raw ``r'...'``, bytes ``b'...'`` (→ Spark ``X'hex'``), and
+    triple-quoted strings. Adjacent string literals separated only by
+    whitespace are folded into one Spark literal to preserve the
+    concatenation semantics. MySQL models only need ``#`` line comments
+    rewritten to ``--``.
+
+    An UNTERMINATED string/identifier/dollar span raises ``SqlError``: the
+    warehouse itself would reject the model, so synthesizing a closing
+    delimiter would turn malformed SQL into a valid-but-different Spark
+    query (round-3 review finding).
     """
     if dialect == "spark" or dialect not in (
-        _DOUBLEQUOTE_IDENT_DIALECTS | _BACKSLASH_IS_LITERAL | {"mysql", "mariadb"}
+        _DOUBLEQUOTE_IDENT_DIALECTS
+        | _BACKSLASH_IS_LITERAL
+        | {"mysql", "mariadb", "bigquery"}
     ):
         return query
     out: list[str] = []
+    # BigQuery adjacent string literals (separated only by whitespace or
+    # comments) concatenate; Spark would parse the second literal as an
+    # alias. Buffer the decoded value of the latest string literal
+    # (`pending`) plus the whitespace/comments after it (`pending_tail`)
+    # and fold follow-up literals into it before emitting.
+    pending: str | None = None
+    pending_tail: list[str] = []
+
+    def flush() -> None:
+        nonlocal pending
+        if pending is not None:
+            out.append(_spark_string(pending))
+            out.extend(pending_tail)
+            pending_tail.clear()
+            pending = None
+
     last = 0
     for kind, lo, hi, terminated in _scan_spans(query, dialect):
-        out.append(query[last:lo])
+        if not terminated and kind != "comment":
+            raise SqlError(
+                f"unterminated {kind} span starting at offset {lo}: the "
+                "source dialect would reject this statement"
+            )
+        gap = query[last:lo]
         seg = query[lo:hi]
+        last = hi
+        if dialect == "bigquery" and kind == "string":
+            value = _decode_bq_string(seg)
+            assert isinstance(value, str)
+            if pending is not None and gap.strip() == "":
+                pending_tail.append(gap)
+                pending += value
+            else:
+                flush()
+                out.append(gap)
+                pending = value
+            continue
+        if pending is not None and kind == "comment" and gap.strip() == "":
+            # comments between adjacent literals don't break concatenation
+            pending_tail.append(gap)
+            pending_tail.append(
+                "--" + seg[1:] if seg.startswith("#") else seg
+            )
+            continue
+        flush()
+        out.append(gap)
         if kind == "ident":
-            body = seg[1:-1] if terminated else seg[1:]
-            name = body.replace('""', '"')
+            name = seg[1:-1].replace('""', '"')
             out.append("`" + name.replace("`", "``") + "`")
+        elif kind == "bstring":
+            data = _decode_bq_string(seg)
+            assert isinstance(data, bytes)
+            out.append("X'" + data.hex() + "'")
         elif kind == "string" and dialect in _BACKSLASH_IS_LITERAL:
-            # postgres: backslashes are literal — double them for Spark;
-            # '' doubling carries over unchanged
-            body = seg[1:-1] if terminated else seg[1:]
+            # postgres/derby: backslashes are literal — double them for
+            # Spark; '' doubling carries over unchanged
+            body = seg[1:-1]
             out.append("'" + body.replace("\\", "\\\\") + "'")
         elif kind == "estring":
             # decode postgres escapes (\x, octal, \UXXXXXXXX have no Spark
             # equivalent), then re-encode as a Spark literal
-            body = seg[2:-1] if terminated else seg[2:]
-            out.append(_spark_string(_decode_pg_escape_body(body)))
+            out.append(_spark_string(_decode_pg_escape_body(seg[2:-1])))
         elif kind == "dollar":
             tag = _DOLLAR_TAG.match(seg).group(0)
-            body = seg[len(tag) : -len(tag)] if terminated else seg[len(tag) :]
-            out.append(_spark_string(body))
+            out.append(_spark_string(seg[len(tag) : -len(tag)]))
         elif kind == "comment" and seg.startswith("#"):
             out.append("--" + seg[1:])  # mysql '#' comment → Spark '--'
         else:  # comments, spark-compatible strings, backtick idents
             out.append(seg)
-        last = hi
+    flush()
     out.append(query[last:])
     return "".join(out)
+
+
+# Per-dialect timestamp cast target + whether the literal carries an
+# explicit UTC offset. The reference emits tz-aware casts per dialect
+# (pg.ts / snowlake.ts / bigquery.ts literal encoders): a naive literal
+# cast to a tz-aware column is interpreted in the SERVER's session zone —
+# on a non-UTC Postgres/Snowflake session that silently shifts incremental
+# windows. Spark needs no offset: `get_spark` pins the session to UTC.
+_TS_CAST = {
+    "postgres": ("TIMESTAMP WITH TIME ZONE", True),
+    "postgresql": ("TIMESTAMP WITH TIME ZONE", True),
+    "snowflake": ("TIMESTAMP_TZ", True),
+    "bigquery": ("TIMESTAMP", True),  # BQ TIMESTAMP is an absolute instant
+    "mysql": ("DATETIME", False),  # no tz-aware cast target in MySQL
+    "mariadb": ("DATETIME", False),
+}
 
 
 def encode_literal(val: Any, dialect: str = "spark") -> str:
     """Typed SQL literal encoding (``datasources/index.ts:40-67``), escaped
     for the engine that will parse the compiled text (= ``dialect``).
 
-    Timestamps use ``CAST('<ISO>' AS TIMESTAMP)`` — the Spark-dialect
-    equivalent of the reference's per-dialect ``CAST(... AS TIMESTAMP WITH
-    TIME ZONE)``.
+    Timestamps encode as UTC and cast to the dialect's tz-aware type with
+    an explicit ``+00:00`` offset in the literal (see ``_TS_CAST``); string
+    escaping follows the dialect's lexer (GoogleSQL has no ``''``-doubling
+    — quotes escape with a backslash there).
     """
     if val is None:
         return "NULL"
@@ -440,13 +624,28 @@ def encode_literal(val: Any, dialect: str = "spark") -> str:
     if isinstance(val, (_dt.datetime, _dt.date)):
         if isinstance(val, _dt.datetime) and val.tzinfo is not None:
             val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return f"CAST('{val.isoformat(sep=' ') if isinstance(val, _dt.datetime) else val.isoformat()}' AS TIMESTAMP)"
+        iso = (
+            val.isoformat(sep=" ")
+            if isinstance(val, _dt.datetime)
+            else val.isoformat()
+        )
+        cast_type, with_offset = _TS_CAST.get(dialect, ("TIMESTAMP", False))
+        if with_offset:
+            if not isinstance(val, _dt.datetime):
+                iso += " 00:00:00"
+            iso += "+00:00"
+        return f"CAST('{iso}' AS {cast_type})"
     if isinstance(val, str):
-        # Quote-doubling everywhere; backslash-doubling only where the
-        # parsing engine treats backslash as an escape (Spark's default — a
-        # value ending in a lone backslash would otherwise swallow the
-        # closing quote; found by the hypothesis round-trip property).
-        # Postgres (standard_conforming_strings) keeps backslashes literal.
+        # Quote-doubling where the lexer honors it; backslash-doubling only
+        # where the parsing engine treats backslash as an escape (Spark's
+        # default — a value ending in a lone backslash would otherwise
+        # swallow the closing quote; found by the hypothesis round-trip
+        # property). Postgres/Derby (standard-conforming strings) keep
+        # backslashes literal; GoogleSQL reads '' as literal-close +
+        # literal-open (concatenating to drop the quote), so quotes must
+        # escape as \' there.
+        if dialect == "bigquery":
+            return "'" + val.replace("\\", "\\\\").replace("'", "\\'") + "'"
         if dialect in _BACKSLASH_IS_LITERAL:
             return "'" + val.replace("'", "''") + "'"
         return "'" + val.replace("\\", "\\\\").replace("'", "''") + "'"

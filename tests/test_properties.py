@@ -180,6 +180,18 @@ def test_to_spark_sql_roundtrips_idents_and_strings(ident_name, lit):
     out = to_spark_sql(sql, "postgres")
     expected_ident = "`" + ident_name.replace("`", "``") + "`"
     assert out == f"select '{q_lit}' as s, {expected_ident} from t"
-    # spark / bigquery pass through untouched
+    # spark passes through untouched
     assert to_spark_sql(sql, "spark") == sql
-    assert to_spark_sql(sql, "bigquery") == sql
+
+
+@given(lit=st.text(alphabet=_lit_chars + "\\", min_size=0, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_bigquery_literal_roundtrips_through_spark_encoding(lit):
+    """encode_literal under BigQuery rules (backslash-escaped quotes, no
+    ''-doubling), then the dialect shim, must yield exactly the Spark
+    literal for the same value — i.e. pushdown-encoding and transpiling
+    agree on GoogleSQL string lexing."""
+    from syncmaven_spark.sql import _spark_string, encode_literal, to_spark_sql
+
+    bq_sql = f"select {encode_literal(lit, 'bigquery')} as v"
+    assert to_spark_sql(bq_sql, "bigquery") == f"select {_spark_string(lit)} as v"

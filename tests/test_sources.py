@@ -250,3 +250,32 @@ def test_generic_jdbc_dispatch_and_url_normalization():
     # a bare jdbc:// URL has no sub-protocol — fail fast, not at read time
     with pytest.raises(ValueError, match="sub-protocol"):
         create_datasource("jdbc://h/db")
+
+
+def test_parquet_source_sees_directory_growth_without_reprobe(spark, tmp_path):
+    """The table-cache stat fingerprint: repeat queries over an unchanged
+    directory reuse cached DataFrames (no footer re-probe), while new or
+    replaced files invalidate the entry (round-3 review finding on the
+    unconditional refresh)."""
+    import os
+    import time
+
+    from syncmaven_spark.session import _TABLES_CACHE_ATTR
+
+    d = tmp_path / "src"
+    d.mkdir()
+    spark.range(5).toDF("r_regionkey").toPandas().to_parquet(d / "region.parquet")
+    src = ParquetDirSource(str(d))
+    assert src.read_query(spark, "select count(*) as n from region").collect()[0].n == 5
+    cached_before = spark.__dict__[_TABLES_CACHE_ATTR][os.path.abspath(str(d))]
+    # unchanged directory → same cache entry object (no rebuild)
+    src.read_query(spark, "select 1 as x")
+    assert spark.__dict__[_TABLES_CACHE_ATTR][os.path.abspath(str(d))] is cached_before
+    # a table added between runs is visible on the next query
+    time.sleep(0.01)  # ensure a distinct mtime even on coarse filesystems
+    spark.range(3).toDF("n_nationkey").toPandas().to_parquet(d / "nation.parquet")
+    assert src.read_query(spark, "select count(*) as n from nation").collect()[0].n == 3
+    # a table REPLACED between runs serves the new contents
+    time.sleep(0.01)
+    spark.range(9).toDF("r_regionkey").toPandas().to_parquet(d / "region.parquet")
+    assert src.read_query(spark, "select count(*) as n from region").collect()[0].n == 9

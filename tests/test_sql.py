@@ -115,8 +115,9 @@ def test_to_spark_sql_translates_ansi_identifiers(spark):
         to_spark_sql("select 1 -- \"not an ident\"\nfrom t", "postgres")
         == "select 1 -- \"not an ident\"\nfrom t"
     )
-    # bigquery double quotes are strings — untouched (Spark agrees by default)
-    assert to_spark_sql('select "s" from t', "bigquery") == 'select "s" from t'
+    # bigquery double quotes are strings — decoded under GoogleSQL rules
+    # and re-encoded as a Spark single-quoted literal
+    assert to_spark_sql('select "s" from t', "bigquery") == "select 's' from t"
     # spark dialect is a no-op
     assert to_spark_sql('select "s"', "spark") == 'select "s"'
     # end-to-end: a postgres-dialect model column reference runs on Spark
@@ -259,3 +260,99 @@ def test_compile_runs_on_spark(spark):
     # backslash-terminated string values survive the Spark round trip
     q2 = SqlQuery("select :v as v")
     assert spark.sql(q2.compile({"v": ";\\"})).collect()[0].v == ";\\"
+
+
+def test_bigquery_string_lexing(spark):
+    """GoogleSQL lexing (bigquery.ts model contract): no ''-doubling
+    (adjacent literals concatenate), raw r'...' strings, triple-quoted
+    strings, b'...' bytes → Spark X'' binary literals."""
+    from syncmaven_spark.sql import SqlError, SqlQuery, to_spark_sql
+
+    # '' closes + reopens: BigQuery reads 'it''s' as "its"
+    out = to_spark_sql("select 'it''s' as v", "bigquery")
+    assert spark.sql(out).collect()[0].v == "its"
+    # adjacent literals across whitespace and comments concatenate
+    out = to_spark_sql("select 'a' /*x*/ 'b' as v", "bigquery")
+    assert spark.sql(out).collect()[0].v == "ab"
+    # raw string: backslash-quote does NOT terminate; value keeps both chars
+    out = to_spark_sql(r"select r'a\'b' as v", "bigquery")
+    assert spark.sql(out).collect()[0].v == r"a\'b"
+    # raw string contents are never parameter sites
+    assert SqlQuery(r"select r':x' as v from t where a = :p", "bigquery").named_parameters() == ["p"]
+    # triple-quoted: embedded single quotes/doubles are plain characters
+    out = to_spark_sql("select '''it's \"ok\"''' as v", "bigquery")
+    assert spark.sql(out).collect()[0].v == "it's \"ok\""
+    # escapes decode under GoogleSQL rules (\x is a code point, 3-digit octal)
+    out = to_spark_sql(r"select '\x41\101\u0042\n' as v", "bigquery")
+    assert spark.sql(out).collect()[0].v == "AAB\n"
+    # bytes literal → binary
+    out = to_spark_sql(r"select b'\x00\xff' as v", "bigquery")
+    assert out == "select X'00ff' as v"
+    assert bytes(spark.sql(out).collect()[0].v) == b"\x00\xff"
+    # GoogleSQL rejects unknown escapes — so do we
+    with pytest.raises(SqlError):
+        to_spark_sql(r"select '\q' as v", "bigquery")
+
+
+def test_to_spark_sql_rejects_unterminated_spans():
+    from syncmaven_spark.sql import SqlError, to_spark_sql
+
+    for sql, dialect in [
+        ("select 'oops from t", "postgres"),
+        ('select "oops from t', "snowflake"),
+        ("select $$oops from t", "postgres"),
+        ("select E'oops from t", "postgres"),
+        ("select r'oops from t", "bigquery"),
+        ("select '''oops from t", "bigquery"),
+    ]:
+        with pytest.raises(SqlError):
+            to_spark_sql(sql, dialect)
+
+
+def test_timestamp_literals_are_dialect_aware():
+    """The reference emits tz-aware casts per dialect; a naive literal
+    compared to a timestamptz cursor column on a non-UTC server session
+    would shift the incremental window."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 5, 15, 13, 39, 5, 172000)
+    assert (
+        encode_literal(t, "postgres")
+        == "CAST('2024-05-15 13:39:05.172000+00:00' AS TIMESTAMP WITH TIME ZONE)"
+    )
+    assert (
+        encode_literal(t, "snowflake")
+        == "CAST('2024-05-15 13:39:05.172000+00:00' AS TIMESTAMP_TZ)"
+    )
+    assert (
+        encode_literal(t, "bigquery")
+        == "CAST('2024-05-15 13:39:05.172000+00:00' AS TIMESTAMP)"
+    )
+    # aware datetimes normalize to UTC first
+    est = dt.timezone(dt.timedelta(hours=-5))
+    assert "18:39:05.172000+00:00" in encode_literal(t.replace(tzinfo=est), "postgres")
+    # dates widen to UTC midnight for tz-aware dialects
+    assert (
+        encode_literal(dt.date(2024, 5, 15), "postgres")
+        == "CAST('2024-05-15 00:00:00+00:00' AS TIMESTAMP WITH TIME ZONE)"
+    )
+    # engines without a tz-aware cast target stay naive (session-zone)
+    assert encode_literal(t, "mysql") == "CAST('2024-05-15 13:39:05.172000' AS DATETIME)"
+    assert encode_literal(t, "spark") == "CAST('2024-05-15 13:39:05.172000' AS TIMESTAMP)"
+    assert encode_literal(t, "derby") == "CAST('2024-05-15 13:39:05.172000' AS TIMESTAMP)"
+
+
+def test_derby_dialect_is_ansi():
+    """Derby (the embedded warehouse in the live JDBC test) lexes as
+    strict ANSI: '' doubling, literal backslashes, double-quoted
+    identifiers — and has no E''/$$ extensions."""
+    from syncmaven_spark.sql import SqlQuery, encode_literal, to_spark_sql
+
+    assert encode_literal("it's", "derby") == "'it''s'"
+    assert encode_literal("C:\\x", "derby") == "'C:\\x'"
+    # "E'x'" in derby is the identifier-boundary case: E is code, 'x' a string
+    q = SqlQuery('select "a b" from t where v = \'no :param\' and x >= :c', "derby")
+    assert q.named_parameters() == ["c"]
+    assert to_spark_sql('select "a b" from t', "derby") == "select `a b` from t"
+    # $$ is not dollar-quoting in derby
+    assert SqlQuery("select 1 as a from t where b = '$$'", "derby").named_parameters() == []
