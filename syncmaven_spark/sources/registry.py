@@ -203,6 +203,12 @@ class GenericJdbcSource(Datasource):
     whole-query options as the Postgres reader, with the scheme mapped to
     the JDBC sub-protocol. Requires the matching driver jar on the
     classpath.
+
+    Live-tested end-to-end against embedded Apache Derby (the jar Spark
+    itself ships for the Hive metastore) in
+    ``tests/test_sources_jdbc_live.py`` — the two-phase incremental golden
+    sync runs with the model SQL pushed down verbatim over
+    ``spark.read.format("jdbc")``.
     """
 
     DEFAULT_FETCH_SIZE = 10_000

@@ -1,0 +1,190 @@
+"""LIVE JDBC round-trip through an embedded Apache Derby database.
+
+Every other JDBC/warehouse test in this repo stops at the option contract
+(no credentials or server in the sandbox); this one actually executes
+``spark.read.format("jdbc")`` end-to-end against the Derby engine that
+ships on Spark's own classpath (``$SPARK_HOME/jars/derby*.jar`` backs the
+built-in Hive metastore), reproducing the reference's dockerized-postgres
+integration harness (``packages/core/__tests__/integration/
+integration.test.ts:30-202``): seed part1 → sync to NDJSON via a
+persisted cursor → seed part2 → re-sync incrementally, with the compiled
+model SQL pushed down VERBATIM to the warehouse through the JDBC
+``query`` option.
+
+Derby lexes as strict ANSI (the ``derby`` dialect: '' doubling, literal
+backslashes, double-quoted identifiers), so this also live-tests the
+dialect-keyed literal encoding on a real non-Spark parser.
+"""
+
+import glob
+import os
+
+import pytest
+
+from syncmaven_spark.runner import ModelDefinition, SyncDefinition, run_sync
+from syncmaven_spark.sources.registry import GenericJdbcSource, create_datasource
+from syncmaven_spark.state import InMemoryStore
+
+from tests.test_runner_golden import COLUMNS, PART1, PART2, _expected_line
+
+_SPARK_JARS = os.path.join(
+    os.path.dirname(__import__("pyspark").__file__), "jars"
+)
+
+pytestmark = pytest.mark.skipif(
+    not glob.glob(os.path.join(_SPARK_JARS, "derby-*.jar")),
+    reason="Derby jar not on the Spark classpath",
+)
+
+
+def _seed_derby(spark, url: str, rows) -> None:
+    """(Re)create and fill the test table over plain JDBC — DDL/DML the
+    Spark JDBC *reader* cannot issue, exactly like the reference harness
+    seeding postgres outside the engine under test."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate("DROP TABLE syncmaven_test_table")
+        except Exception:
+            pass  # first run: table does not exist yet
+        # quoted lowercase column names: "time" is reserved unquoted, and
+        # the golden files expect lowercase keys in the NDJSON output
+        cols = ", ".join(
+            f'"{c}" {t}'
+            for c, t in zip(
+                COLUMNS,
+                [
+                    "BIGINT",
+                    "TIMESTAMP",
+                    "VARCHAR(32)",
+                    "BIGINT",
+                    "BIGINT",
+                    "BIGINT",
+                    "BIGINT",
+                    "VARCHAR(32)",
+                    "VARCHAR(32)",
+                ],
+            )
+        )
+        st.executeUpdate(f"CREATE TABLE syncmaven_test_table ({cols})")
+        st.close()
+        ps = conn.prepareStatement(
+            "INSERT INTO syncmaven_test_table VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)"
+        )
+        for row in rows:
+            for i, v in enumerate(row, start=1):
+                if i == 2:  # the timestamp column
+                    ts = v.strftime("%Y-%m-%d %H:%M:%S.") + f"{v.microsecond:06d}"
+                    ps.setTimestamp(i, jvm.java.sql.Timestamp.valueOf(ts))
+                elif v is None:
+                    ps.setNull(i, jvm.java.sql.Types.VARCHAR)
+                elif isinstance(v, int):
+                    ps.setLong(i, v)
+                else:
+                    ps.setString(i, v)
+            ps.executeUpdate()
+        ps.close()
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def _sync_def(url: str, cursor_col: str, out_path, sync_id: str) -> SyncDefinition:
+    # Derby rejects the untyped NULL keyword in expression position, so the
+    # reference's one-template first-run (`NULL is null or ...`) cannot
+    # parse there: a Derby model uses a bare >= guard with a seeded initial
+    # cursor (epoch / 0) instead — the tests below seed it.
+    cols = ", ".join(f'"{c}"' for c in COLUMNS)
+    query = (
+        f"select {cols} from syncmaven_test_table "
+        f'where "{cursor_col}" >= :cursor order by "id" asc'
+    )
+    return SyncDefinition(
+        id=sync_id,
+        model=ModelDefinition(
+            id="m", query=query, cursor=cursor_col, datasource=url
+        ),
+        destination="file",
+        stream="raw",
+        credentials={"filename": str(out_path)},
+    )
+
+
+@pytest.mark.parametrize(
+    "cursor_col,part2_expected_ids",
+    [
+        ("id", [5, 6, 7]),  # int cursor: boundary row 5 re-emitted
+        ("time", [4, 5, 6, 7]),  # timestamp cursor: ids 4+5 share the max
+    ],
+)
+def test_two_phase_incremental_against_live_derby(
+    spark, tmp_path, cursor_col, part2_expected_ids
+):
+    import datetime as dt
+
+    from syncmaven_spark.cursor import save_cursor
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    ds = create_datasource(url)
+    assert isinstance(ds, GenericJdbcSource) and ds.dialect == "derby"
+
+    store = InMemoryStore()
+    sync_id = f"derby_{cursor_col}"
+    # seed the initial cursor below every row (see _sync_def: Derby cannot
+    # parse the untyped-NULL first-run template)
+    save_cursor(
+        store,
+        sync_id,
+        cursor_col,
+        0 if cursor_col == "id" else dt.datetime(1970, 1, 1),
+    )
+    _seed_derby(spark, url, PART1)
+    out1 = tmp_path / "part1.ndjson"
+    result = run_sync(spark, _sync_def(url, cursor_col, out1, sync_id), store)
+    assert result.stats.received == 5
+    assert out1.read_text() == "\n".join(_expected_line(r) for r in PART1) + "\n"
+
+    _seed_derby(spark, url, PART1 + PART2)
+    out2 = tmp_path / "part2.ndjson"
+    result2 = run_sync(spark, _sync_def(url, cursor_col, out2, sync_id), store)
+    all_rows = {r[0]: r for r in PART1 + PART2}
+    assert (
+        out2.read_text()
+        == "\n".join(_expected_line(all_rows[i]) for i in part2_expected_ids) + "\n"
+    )
+    assert result2.stats.received == len(part2_expected_ids)
+
+
+def test_derby_read_table_and_string_pushdown(spark, tmp_path):
+    """read_table loads the whole table; a compiled string literal with a
+    quote survives the derby ('' doubling) encoding on a real ANSI parser."""
+    url = f"jdbc:derby:{tmp_path}/wh2;create=true"
+    _seed_derby(spark, url, PART1)
+    ds = create_datasource(url)
+    t = ds.read_table(spark, "syncmaven_test_table")
+    assert t.count() == 5
+
+    from syncmaven_spark.runner import model_dataframe
+
+    m = ModelDefinition(
+        id="m",
+        query='select "id" from syncmaven_test_table where "source" = :s',
+        datasource=url,
+    )
+    from syncmaven_spark.runner import compile_model
+
+    compiled = compile_model(m, None, for_spark=False, source_dialect="derby")
+    # :s compiles under derby rules; push a value with a quote through
+    from syncmaven_spark.sql import SqlQuery
+
+    sql = SqlQuery(m.query, "derby").compile({"s": "google"})
+    assert ds.read_query(spark, sql).count() == 3
+    sql_quote = SqlQuery(
+        'select count(*) as "n" from syncmaven_test_table where "source" = :s',
+        "derby",
+    ).compile({"s": "it's"})
+    assert "''" in sql_quote
+    assert ds.read_query(spark, sql_quote).collect()[0].n == 0
+    assert compiled  # compile path exercised without substitution too
