@@ -222,8 +222,8 @@ def minhash_verified_pairs(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 32,
-    shingle_k: int = 1,
-    max_bucket_size: int = 100_000,
+    shingle_k: int = 3,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """MinHash→LSH candidates verified with exact Jaccard — the production
     dedup recipe (sub-quadratic candidate generation, exact verification on
@@ -235,30 +235,32 @@ def minhash_verified_pairs(
     ≥-threshold pair set (recall asserted against the unblocked exact pass
     in tests), which is what makes it SQL-oracle-able.
 
-    ``max_bucket_size`` picks between two modes:
+    ``max_bucket_size`` picks between two modes. The DEFAULT is the
+    **production** recipe (``max_bucket_size=200``, ``shingle_k=3`` — the
+    ``minhash_lsh_candidates`` defaults): a caller who doesn't read
+    further gets the 100-TB-safe configuration.
 
-    - **oracle-exact** (default here, 100_000 ≈ uncapped): complete recall,
-      but a degenerate bucket of b docs emits O(b²) pairs — 100k boilerplate
+    - **production** (the default): bounds any bucket's pair blow-up to
+      ~2×10⁴. With discriminative shingles (``shingle_k>=3``) this loses
+      nothing on natural corpora (recall 1.0 vs the exact pair set is
+      asserted on testdata in ``tests/test_operators_dedup.py``). On
+      boilerplate-heavy input the cap keeps the lowest-id
+      ``max_bucket_size`` docs per bucket (deterministic) and drops the
+      rest from that bucket, so an n-doc identical cluster yields
+      C(cap,2) of its C(n,2) pairs and docs past the cap in every band go
+      unpaired. That is the deliberate trade; if full boilerplate
+      clustering matters, route an exact-hash dedup (``exact_dedup``)
+      first — identical docs collapse there for free and never reach LSH.
+    - **oracle-exact** (``max_bucket_size=100_000`` ≈ uncapped; the
+      derived-oracle catalog entries pass it EXPLICITLY via
+      ``queries.MINHASH_ORACLE_RECIPE``): complete recall, but a
+      degenerate bucket of b docs emits O(b²) pairs — 100k boilerplate
       copies would produce ~5×10⁹. Use only when the corpus is known
-      boilerplate-light or completeness is required (derived oracles).
-    - **production** (``max_bucket_size=200``, the
-      ``minhash_lsh_candidates`` default): bounds any bucket's pair blow-up
-      to ~2×10⁴. With discriminative shingles (``shingle_k>=3``, the
-      production choice) this loses nothing on natural corpora (recall 1.0
-      vs the exact pair set is asserted on testdata in
-      ``tests/test_operators_dedup.py``). Word-SET shingles (``k=1``) are
-      far less discriminative — template-generated corpora collide into
-      huge buckets even when every text is distinct (the driver testdata
-      measures recall ≈0.53 under the cap) — which is exactly why the
-      oracle catalog entry pairs k=1 with the uncapped mode. On
-      boilerplate-heavy input the
-      cap keeps the lowest-id ``max_bucket_size`` docs per bucket
-      (deterministic) and drops the rest from that bucket, so an n-doc
-      identical cluster yields C(cap,2) of its C(n,2) pairs and docs past
-      the cap in every band go unpaired. That is the deliberate trade;
-      if full boilerplate clustering matters, route an exact-hash dedup
-      (``exact_dedup``) first — identical docs collapse there for free and
-      never reach LSH.
+      boilerplate-light or completeness is required. Word-SET shingles
+      (``shingle_k=1``) are far less discriminative — template-generated
+      corpora collide into huge buckets even when every text is distinct
+      (the driver testdata measures recall ≈0.53 under the cap at k=1) —
+      so k=1 runs belong in this mode too.
     """
     cands = minhash_lsh_candidates(
         df, text_col, id_col,

@@ -1229,7 +1229,12 @@ def fn_scalar_array_coercion(spark, sf_dir):
 # One recipe, three consumers that MUST agree: this candidates entry, the
 # cluster pipeline (which clusters exactly these pairs), and the sf0.1 scale
 # tests that re-derive the pipeline's edge list (tests/test_oracle_parity.py).
-MINHASH_ORACLE_RECIPE = dict(threshold=0.8, num_perm=64, bands=32, shingle_k=3)
+# Oracle-exact mode is OPT-IN: the uncapped bucket bound is passed
+# explicitly here so the library default stays the scale-safe production
+# cap (max_bucket_size=200) — see minhash_verified_pairs' docstring.
+MINHASH_ORACLE_RECIPE = dict(
+    threshold=0.8, num_perm=64, bands=32, shingle_k=3, max_bucket_size=100_000
+)
 
 
 @q(
