@@ -1,11 +1,15 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schemas, partition-aware batch processing, Arrow
-batch shapes, UDF signatures — is real and tested; the actual media decoding
-is STUBBED (``decoder=None`` → deterministic fake) because media libraries
-(Pillow/ffmpeg/torchaudio) are not available in this environment. Swapping in
-a real decoder is a one-argument change; everything around it (the expensive
-part to get right at 100 TB) stays identical:
+batch shapes, UDF signatures — is real and tested. Decoding is REAL for two
+containers parseable with the standard library alone: uncompressed BMP
+images (``struct``-parsed headers + raw pixel rows → pixel-statistic
+features, nearest-neighbor resize) and PCM WAV audio (``wave`` module →
+RMS/zero-crossing/envelope features). Other formats (png/jpeg/mp4/...)
+need media libraries absent from this environment and fall back to a
+clearly-marked deterministic fake; swapping in a real decoder is a
+one-argument change. Everything around the decoder (the expensive part to
+get right at 100 TB) is identical for real and fake paths:
 
 - media rides as a ``binary`` column next to a metadata struct — never
   exploded into Python objects row-by-row,
@@ -19,6 +23,7 @@ part to get right at 100 TB) stays identical:
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator
 
 import numpy as np
@@ -58,6 +63,144 @@ def _fake_decode(blob: bytes, feature_dim: int) -> np.ndarray:
     return v / (np.linalg.norm(v) + 1e-12)
 
 
+# --- real stdlib decoders: BMP (struct) and WAV (wave) --------------------
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Parse an uncompressed 24/32-bit BI_RGB BMP into an ``(h, w, 3)``
+    uint8 RGB array, standard library only: BITMAPFILEHEADER (14 bytes) +
+    BITMAPINFOHEADER via ``struct``, then raw BGR(A) pixel rows with
+    4-byte row padding; positive heights are bottom-up per the spec."""
+    if blob is None or len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP variant (header={hdr_size}, bpp={bpp}, "
+            f"compression={compression}); only uncompressed 24/32-bit"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0 or width * height > 64_000_000:
+        raise ValueError("invalid BMP dimensions")
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    need = pixel_off + stride * height
+    if len(blob) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB, drop alpha
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp`: ``(h, w, 3)`` uint8 RGB → a minimal
+    bottom-up 24-bit BI_RGB BMP."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected an (h, w, 3) array")
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Parse a PCM WAV (8/16/32-bit int) via the stdlib ``wave`` module into
+    ``(mono float samples in [-1, 1], sample_rate)``."""
+    import io
+    import wave
+
+    if blob is None or len(blob) < 12 or blob[:4] != b"RIFF":
+        raise ValueError("not a WAV file")
+    with wave.open(io.BytesIO(blob)) as wf:
+        rate = wf.getframerate()
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        samples = (samples - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples, rate
+
+
+def _pad_unit(parts: list[np.ndarray], feature_dim: int) -> np.ndarray:
+    """Concatenate feature blocks, then cycle-pad/truncate to
+    ``feature_dim`` and L2-normalize — fixed-size output regardless of
+    which blocks a format produced."""
+    v = np.concatenate([np.atleast_1d(np.asarray(p, dtype=np.float64)) for p in parts])
+    if len(v) < feature_dim:
+        v = np.resize(v, feature_dim)  # cycles the existing values
+    else:
+        v = v[:feature_dim]
+    return v / (np.linalg.norm(v) + 1e-12)
+
+
+def _image_features(px: np.ndarray, feature_dim: int) -> np.ndarray:
+    """Pixel-statistic embedding: per-channel mean/std, a 16-bin luminance
+    histogram, aspect ratio, and a coarse 4×4 downsampled luminance grid —
+    deterministic, content-derived, comparable across sizes."""
+    flat = px.reshape(-1, 3).astype(np.float64)
+    lum = flat @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(lum, bins=16, range=(0.0, 255.0))[0]
+    hist = hist / max(1, lum.size)
+    h, w, _ = px.shape
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(4) * w) // 4
+    grid = px[ys][:, xs].astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    return _pad_unit(
+        [flat.mean(0) / 255.0, flat.std(0) / 255.0, hist, [w / (w + h)],
+         grid.ravel() / 255.0],
+        feature_dim,
+    )
+
+
+def _audio_features(samples: np.ndarray, rate: int, feature_dim: int) -> np.ndarray:
+    """Waveform-statistic embedding: RMS, zero-crossing rate, peak, and a
+    16-segment RMS envelope."""
+    if samples.size == 0:
+        samples = np.zeros(1)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    segs = np.array_split(samples, 16)
+    envelope = np.array([float(np.sqrt(np.mean(s**2))) if s.size else 0.0 for s in segs])
+    return _pad_unit(
+        [[float(np.sqrt(np.mean(samples**2))), zcr, float(np.abs(samples).max()),
+          min(1.0, samples.size / max(rate, 1) / 60.0)], envelope],
+        feature_dim,
+    )
+
+
+def default_decode(blob: bytes, feature_dim: int) -> np.ndarray:
+    """Format-sniffing decoder: REAL pixel/sample-derived features for BMP
+    (``BM`` magic) and WAV (``RIFF....WAVE``); every other format falls
+    back to the deterministic content-hash fake (no media libraries in
+    this environment — the fallback is the documented stub)."""
+    if blob is not None and blob[:2] == b"BM":
+        return _image_features(decode_bmp(blob), feature_dim)
+    if blob is not None and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return _audio_features(*decode_wav(blob), feature_dim)
+    return _fake_decode(blob, feature_dim)
+
+
 def extract_features(
     df: DataFrame,
     feature_dim: int = 64,
@@ -66,10 +209,12 @@ def extract_features(
 ) -> DataFrame:
     """media rows → ``(…, features array<float>, decode_ok boolean)``.
 
-    ``decoder(blob, feature_dim) -> np.ndarray`` plugs in the real model;
-    decode failures null the feature column instead of killing the task.
+    The default decoder extracts REAL content-derived features for BMP and
+    WAV blobs (see :func:`default_decode`) and hash-fake ones elsewhere;
+    ``decoder(blob, feature_dim) -> np.ndarray`` plugs in a real model.
+    Decode failures null the feature column instead of killing the task.
     """
-    decode = decoder or _fake_decode
+    decode = decoder or default_decode
     in_fields = df.schema.fields
     out_schema = T.StructType(
         [*in_fields,
@@ -105,21 +250,21 @@ def resize_images(
 ) -> DataFrame:
     """Image resize pass: binary in → binary out, metadata updated.
 
-    Without a real ``resizer`` the content passes through unchanged except
-    for a deterministic marker header, and the metadata struct is updated —
-    the plumbing (schema evolution + batch shape) is what's under test.
+    The default resizer REALLY resizes BMP content (decode → nearest-
+    neighbor index remap → re-encode, all numpy/stdlib); other formats get
+    a deterministic marker header (a real imaging library would slot in as
+    ``resizer=...``) — the plumbing (schema evolution + batch shape) is
+    identical either way.
     """
     if resizer is None:
         def resizer(blob: bytes, w: int, h: int) -> bytes:  # noqa: ANN001
-            raise NotImplementedError(
-                "real image resize requires an imaging library; supply "
-                "resizer=... (stub applies a marker header instead)"
-            )
-
-        def stub(blob: bytes, w: int, h: int) -> bytes:
+            if blob is not None and blob[:2] == b"BM":
+                px = decode_bmp(blob)
+                src_h, src_w, _ = px.shape
+                ys = (np.arange(h) * src_h) // h
+                xs = (np.arange(w) * src_w) // w
+                return encode_bmp(px[ys][:, xs])
             return b"RESIZED:%dx%d:" % (w, h) + (blob or b"")
-
-        resizer = stub
 
     out_schema = df.schema
     names = [f.name for f in df.schema.fields]
