@@ -389,10 +389,29 @@ def run_sync_distributed(
     checkpoints = 0
     final_cursor = last_cursor
 
+    # ONE validation plan, filtered per chunk (the range predicate pushes
+    # through the projection to the scan) — round-3 rebuilt the Arrow-UDF
+    # plan for every chunk, paying the py4j construction cost 10×.
+    tagged_full = with_validation_column(df, spec.row_type)
+    planned_total: int | None = None
     if cursor_col:
-        chunk_iter = iter_cursor_chunks(df, cursor_col, num_chunks)
+        ranges, planned_total = plan_cursor_chunks(df, cursor_col, num_chunks)
+        if planned_total == 0:
+            # nothing to sync; leave any previous run's output untouched
+            ranges = []
+        chunk_iter = iter(
+            (
+                tagged_full
+                if lo is None and hi is None
+                else tagged_full.filter(
+                    _chunk_predicate(df, cursor_col, lo, hi, i == 0)
+                ),
+                hi,
+            )
+            for i, (lo, hi) in enumerate(ranges)
+        )
     else:
-        chunk_iter = iter([(df, None)])
+        chunk_iter = iter([(tagged_full, None)])
 
     out_dir = sync.credentials.get("directory")
     if is_file and not out_dir:
@@ -402,14 +421,13 @@ def run_sync_distributed(
         )
 
     first_chunk = True
-    for chunk_idx, (chunk_df, _hi) in enumerate(chunk_iter):
+    for chunk_idx, (tagged, _hi) in enumerate(chunk_iter):
         agg_cols = [
             F.count(F.lit(1)).alias("total"),
             F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
         ]
         if cursor_col:
             agg_cols.append(F.max(cursor_col).alias("max_cursor"))
-        tagged = with_validation_column(chunk_df, spec.row_type)
 
         if is_file:
             # observe(): the row/validity counts and the cursor max ride the
@@ -417,10 +435,11 @@ def run_sync_distributed(
             # UDF per chunk (no persist, no separate aggregate job), and the
             # counts cannot diverge from what was written if the source
             # moves between jobs
-            if first_chunk and tagged.isEmpty():
+            if first_chunk and planned_total is None and tagged.isEmpty():
                 # probe BEFORE the destructive overwrite: an empty first
                 # chunk must leave the previous run's output untouched
-                # (append-mode chunks below are harmless on empty input)
+                # (append-mode chunks below are harmless on empty input).
+                # Skipped when the chunk planner already counted the rows.
                 continue
             obs = Observation(f"chunk_{chunk_idx}")
             tagged = tagged.observe(obs, *agg_cols)
@@ -606,57 +625,111 @@ def _foreach_partition_deliver(
     )
 
 
+def _cursor_codec(dt) -> tuple[Any, Any] | None:
+    """``(to_num, from_lit)`` for a chunkable cursor type — ``to_num``
+    maps the column into percentile_approx's numeric domain, ``from_lit``
+    maps a planned bound back to a NATIVE-typed literal so the chunk
+    predicate compares the raw column (cast-wrapped comparisons block
+    parquet/JDBC filter pushdown — and ``cast(date as double)`` is an
+    outright analysis error in Spark 4). None → not chunkable."""
+    from pyspark.sql import types as T
+
+    ident = lambda c: c  # noqa: E731
+    if isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType)
+    ):
+        return ident, F.lit
+    if isinstance(dt, T.DecimalType):
+        # percentile over the double view; the bound literal casts back to
+        # the column's exact decimal type so the comparison stays native
+        return (lambda c: c.cast("double")), (lambda v: F.lit(v).cast(dt))
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros, (lambda v: F.timestamp_micros(F.lit(v)))
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ → LTZ under the engine's pinned-UTC session, deterministically
+        return (
+            lambda c: F.unix_micros(c.cast("timestamp")),
+            lambda v: F.timestamp_micros(F.lit(v)).cast("timestamp_ntz"),
+        )
+    if isinstance(dt, T.DateType):
+        return F.unix_date, (lambda v: F.date_from_unix_date(F.lit(v)))
+    return None
+
+
+def plan_cursor_chunks(
+    df: DataFrame, cursor_col: str, num_chunks: int
+) -> tuple[list[tuple[Any, Any]], int | None]:
+    """Plan checkpoint chunks as cursor ranges, ONE job total.
+
+    Returns ``(ranges, total_rows)`` — ranges are ``(lo, hi]`` half-open
+    boundaries in percentile_approx's numeric domain (micros for
+    timestamps, days for dates; first chunk includes nulls and its lower
+    bound), and ``total_rows`` is the row count, observed by the same
+    aggregate (None when planning was skipped). Each chunk becomes a
+    Catalyst-filtered scan — the NATIVE-typed range predicate pushes into
+    parquet/JDBC — so a 1000-executor cluster processes one committed
+    chunk at a time with no global sort and no driver materialization.
+    This replaces the reference's count-based ``checkpointEvery`` at
+    scale.
+
+    One aggregate (``count`` + ``percentile_approx`` with a fraction
+    array) replaces the round-3 ``approxQuantile`` call plus the separate
+    emptiness probe — at 10 chunks those were 2 of the 12 per-sync jobs.
+    """
+    codec = _cursor_codec(df.schema[cursor_col].dataType)
+    if num_chunks <= 1 or codec is None:
+        # string (or other) cursors have no meaningful numeric quantiles —
+        # single chunk, emptiness probed by the caller where it matters
+        return [(None, None)], None
+    to_num, _ = codec
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            to_num(F.col(cursor_col)),
+            F.array(*[F.lit(i / num_chunks) for i in range(1, num_chunks)]),
+            F.lit(1000),
+        ).alias("qs"),
+    ).first()
+    bounds: list[Any] = []
+    for q in row["qs"] or []:
+        if q is not None and (not bounds or q > bounds[-1]):
+            bounds.append(q)
+    edges = [None, *bounds, None]
+    ranges = [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    return ranges, row["n"]
+
+
 def chunk_by_cursor_ranges(
     df: DataFrame, cursor_col: str, num_chunks: int
 ) -> list[tuple[Any, Any]]:
-    """Plan checkpoint chunks as cursor ranges via approxQuantile.
+    """Boundary-planning half of :func:`plan_cursor_chunks` (kept for
+    callers that only need the ranges)."""
+    return plan_cursor_chunks(df, cursor_col, num_chunks)[0]
 
-    Returns ``[(lo, hi], ...)`` half-open boundaries (first chunk includes
-    nulls and its lower bound). Each chunk becomes a Catalyst-filtered scan —
-    predicate pushed to parquet/JDBC — so a 1000-executor cluster processes
-    one committed chunk at a time with no global sort and no driver
-    materialization. This replaces the reference's count-based
-    ``checkpointEvery`` at scale.
-    """
-    if num_chunks <= 1:
-        return [(None, None)]
-    from pyspark.sql import types as T
 
-    dt = df.schema[cursor_col].dataType
-    if not isinstance(
-        dt,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
-         T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
-         T.TimestampNTZType),
-    ):
-        # string (or other) cursors have no meaningful double quantiles and
-        # a double-cast predicate would silently drop rows — single chunk
-        return [(None, None)]
-    numeric_view = df.select(F.col(cursor_col).cast("double").alias("c")).na.drop()
-    qs = numeric_view.approxQuantile(
-        "c", [i / num_chunks for i in range(1, num_chunks)], 0.01
-    )
-    bounds: list[float] = []
-    for q in qs:
-        if not bounds or q > bounds[-1]:
-            bounds.append(q)
-    edges = [None, *bounds, None]
-    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+def _chunk_predicate(df: DataFrame, cursor_col: str, lo, hi, first: bool):
+    """NATIVE-typed range predicate for one chunk — pushdown-friendly: the
+    raw cursor column compares against literals of its own type."""
+    codec = _cursor_codec(df.schema[cursor_col].dataType)
+    _, from_lit = codec
+    c = F.col(cursor_col)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (c > from_lit(lo))
+    if hi is not None:
+        pred = pred & (c <= from_lit(hi))
+    if first:
+        pred = pred | c.isNull()  # nulls are the smallest cursor value
+    return pred
 
 
 def iter_cursor_chunks(df: DataFrame, cursor_col: str, num_chunks: int):
-    """Yield ``(chunk_df, upper_bound)`` in cursor order for per-chunk commit.
-
-    Nulls (the smallest cursor value) ride in the first chunk.
-    """
-    ranges = chunk_by_cursor_ranges(df, cursor_col, num_chunks)
-    c = F.col(cursor_col).cast("double")
+    """Yield ``(chunk_df, upper_bound)`` in cursor order for per-chunk
+    commit. Nulls (the smallest cursor value) ride in the first chunk."""
+    ranges, _ = plan_cursor_chunks(df, cursor_col, num_chunks)
     for i, (lo, hi) in enumerate(ranges):
-        pred = F.lit(True)
-        if lo is not None:
-            pred = pred & (c > F.lit(lo))
-        if hi is not None:
-            pred = pred & (c <= F.lit(hi))
-        if i == 0:
-            pred = pred | F.col(cursor_col).isNull()
-        yield df.filter(pred), hi
+        if lo is None and hi is None:
+            yield df, hi
+        else:
+            yield df.filter(_chunk_predicate(df, cursor_col, lo, hi, i == 0)), hi
