@@ -478,6 +478,16 @@ def _decode_bq_string(seg: str) -> str | bytes:
     return body if raw else _decode_bq_escape_body(body).decode("utf-8")
 
 
+def _spark_comment(seg: str) -> str:
+    """Line comments Spark's lexer doesn't know: mysql ``#`` and snowflake
+    ``//`` both become ``--``; everything else passes through."""
+    if seg.startswith("#"):
+        return "--" + seg[1:]
+    if seg.startswith("//"):
+        return "--" + seg[2:]
+    return seg
+
+
 def to_spark_sql(query: str, dialect: str = "spark") -> str:
     """Lexical dialect shim for models Spark itself executes.
 
@@ -556,9 +566,7 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
         if pending is not None and kind == "comment" and gap.strip() == "":
             # comments between adjacent literals don't break concatenation
             pending_tail.append(gap)
-            pending_tail.append(
-                "--" + seg[1:] if seg.startswith("#") else seg
-            )
+            pending_tail.append(_spark_comment(seg))
             continue
         flush()
         out.append(gap)
@@ -581,9 +589,9 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
         elif kind == "dollar":
             tag = _DOLLAR_TAG.match(seg).group(0)
             out.append(_spark_string(seg[len(tag) : -len(tag)]))
-        elif kind == "comment" and seg.startswith("#"):
-            out.append("--" + seg[1:])  # mysql '#' comment → Spark '--'
-        else:  # comments, spark-compatible strings, backtick idents
+        elif kind == "comment":
+            out.append(_spark_comment(seg))  # '#'/'//' comments → '--'
+        else:  # spark-compatible strings, backtick idents
             out.append(seg)
     flush()
     out.append(query[last:])
