@@ -311,14 +311,150 @@ class PostgresStore(StateStore):
         self._conn.close()
 
 
+class JdbcStateStore(StateStore):
+    """Generic ANSI-SQL state store over a ``java.sql`` connection obtained
+    from the Spark JVM gateway — no Python DB driver needed: any warehouse
+    whose JDBC jar is already on the Spark classpath can hold the sync
+    state (reference parity: the Postgres store of ``store.ts:26-129``,
+    re-expressed in portable SQL — no ON CONFLICT, no search_path, no
+    IF NOT EXISTS). Live-tested against embedded Apache Derby, the
+    strictest ANSI parser available in this environment
+    (``tests/test_state.py``).
+
+    Single driver-side connection under a lock, like every other store
+    here (the reference store is a single-writer driver object too);
+    upsert is UPDATE-then-INSERT inside that lock. Values are CLOBs; keys
+    are bounded VARCHAR(512) (a primary key must be bounded in most
+    engines — state keys are short ``syncId=...::$...`` tuples).
+    """
+
+    def __init__(self, url: str, spark=None, table: str = "syncmaven_store"):
+        if not table.replace("_", "").isalnum():
+            raise ValueError(f"invalid table name: {table!r}")
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "JdbcStateStore needs an active SparkSession — its JVM "
+                    "hosts the JDBC driver jar"
+                )
+        self._conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        self._table = table
+        self._lock = threading.Lock()
+        st = self._conn.createStatement()
+        try:
+            st.executeUpdate(
+                f"CREATE TABLE {table} "
+                "(skey VARCHAR(512) PRIMARY KEY, svalue CLOB)"
+            )
+        except Exception as e:  # no portable IF NOT EXISTS — probe the error
+            if "X0Y32" not in str(e) and "already exists" not in str(e).lower():
+                raise
+        finally:
+            st.close()
+
+    def _execute(self, sql: str, params: tuple[str, ...], query: bool):
+        ps = self._conn.prepareStatement(sql)
+        try:
+            for i, p in enumerate(params, start=1):
+                ps.setString(i, p)
+            if not query:
+                ps.executeUpdate()
+                return None
+            rs = ps.executeQuery()
+            rows = []
+            n = rs.getMetaData().getColumnCount()
+            while rs.next():
+                rows.append(tuple(rs.getString(i + 1) for i in range(n)))
+            return rows
+        finally:
+            ps.close()
+
+    def get(self, key: KeyLike) -> Any | None:
+        with self._lock:
+            rows = self._execute(
+                f"SELECT svalue FROM {self._table} WHERE skey = ?",
+                (stringify_key(key),),
+                query=True,
+            )
+        return json.loads(rows[0][0]) if rows else None
+
+    def set(self, key: KeyLike, value: Any) -> None:
+        k, v = stringify_key(key), json.dumps(value)
+        with self._lock:
+            updated = self._execute_count(
+                f"UPDATE {self._table} SET svalue = ? WHERE skey = ?", (v, k)
+            )
+            if updated == 0:
+                self._execute(
+                    f"INSERT INTO {self._table} (skey, svalue) VALUES (?, ?)",
+                    (k, v),
+                    query=False,
+                )
+
+    def _execute_count(self, sql: str, params: tuple[str, ...]) -> int:
+        ps = self._conn.prepareStatement(sql)
+        try:
+            for i, p in enumerate(params, start=1):
+                ps.setString(i, p)
+            return ps.executeUpdate()
+        finally:
+            ps.close()
+
+    def delete(self, key: KeyLike) -> None:
+        with self._lock:
+            self._execute(
+                f"DELETE FROM {self._table} WHERE skey = ?",
+                (stringify_key(key),),
+                query=False,
+            )
+
+    def stream(self, prefix: KeyLike) -> Iterator[tuple[str, Any]]:
+        p = stringify_key(prefix)
+        with self._lock:
+            rows = self._execute(
+                f"SELECT skey, svalue FROM {self._table} "
+                "WHERE skey = ? OR skey LIKE ? ESCAPE '\\' ORDER BY skey ASC",
+                (p, _like_prefix(p)),
+                query=True,
+            )
+        for k, v in rows:
+            yield k, json.loads(v)
+
+    def delete_by_prefix(self, prefix: KeyLike) -> None:
+        p = stringify_key(prefix)
+        with self._lock:
+            self._execute(
+                f"DELETE FROM {self._table} "
+                "WHERE skey = ? OR skey LIKE ? ESCAPE '\\'",
+                (p, _like_prefix(p)),
+                query=False,
+            )
+
+    def size(self) -> int:
+        with self._lock:
+            rows = self._execute(
+                f"SELECT count(*) FROM {self._table}", (), query=True
+            )
+        return int(rows[0][0])
+
+    def close(self) -> None:
+        self._conn.close()
+
+
 def create_store(url_or_path: str | None, **kwargs) -> StateStore:
     """Store selection mirroring ``sync.ts:112-124``: ``memory://`` →
-    in-memory, ``postgres(ql)://`` → PostgresStore, anything else → SQLite
-    file in that directory (default ``.state``)."""
+    in-memory, ``postgres(ql)://`` → PostgresStore, ``jdbc:`` →
+    JdbcStateStore over the Spark JVM, anything else → SQLite file in that
+    directory (default ``.state``)."""
     if not url_or_path or url_or_path == "memory://":
         return InMemoryStore()
     if url_or_path.startswith(("postgres://", "postgresql://")):
         return PostgresStore(url_or_path, **kwargs)
+    if url_or_path.startswith("jdbc:"):
+        return JdbcStateStore(url_or_path, **kwargs)
     if os.path.isdir(url_or_path) or not os.path.splitext(url_or_path)[1]:
         return SqliteStore(os.path.join(url_or_path, "store.sqlite"))
     return SqliteStore(url_or_path)

@@ -188,3 +188,34 @@ def test_derby_read_table_and_string_pushdown(spark, tmp_path):
     assert "''" in sql_quote
     assert ds.read_query(spark, sql_quote).collect()[0].n == 0
     assert compiled  # compile path exercised without substitution too
+
+
+def test_sync_with_warehouse_backed_state(spark, tmp_path):
+    """Cursor state persisted in the SAME live warehouse as the data (the
+    reference's postgres-state deployment shape): two-phase incremental
+    sync with a JdbcStateStore — the persisted cursor survives a store
+    re-open (new connection) and drives the second sync's pushdown."""
+    from syncmaven_spark.state import JdbcStateStore, create_store
+
+    url = f"jdbc:derby:{tmp_path}/wh3;create=true"
+    _seed_derby(spark, url, PART1)
+    store = create_store(url, spark=spark)
+    assert isinstance(store, JdbcStateStore)
+    import datetime as dt
+
+    from syncmaven_spark.cursor import save_cursor
+
+    save_cursor(store, "wh_state", "id", 0)
+    out1 = tmp_path / "p1.ndjson"
+    r1 = run_sync(spark, _sync_def(url, "id", out1, "wh_state"), store)
+    assert r1.stats.received == 5 and r1.last_cursor == 5
+    store.close()
+
+    # re-open: state must have survived in the warehouse table
+    store2 = JdbcStateStore(url, spark)
+    _seed_derby(spark, url, PART1 + PART2)
+    out2 = tmp_path / "p2.ndjson"
+    r2 = run_sync(spark, _sync_def(url, "id", out2, "wh_state"), store2)
+    assert r2.stats.received == 3  # boundary row 5 + new rows 6, 7
+    assert r2.last_cursor == 7
+    store2.close()

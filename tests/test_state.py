@@ -77,12 +77,28 @@ def _pg_shim_store(url: str = "postgres://u@localhost/db") -> PostgresStore:
     return PostgresStore(url, connection_factory=lambda _url: _PgShimConnection())
 
 
-@pytest.fixture(params=["memory", "sqlite", "postgres"])
+@pytest.fixture(params=["memory", "sqlite", "postgres", "jdbc-derby"])
 def store(request, tmp_path):
     if request.param == "memory":
         s = InMemoryStore()
     elif request.param == "postgres":
         s = _pg_shim_store()
+    elif request.param == "jdbc-derby":
+        # LIVE contract run against an embedded ANSI SQL engine — the only
+        # store backend here that executes its SQL on a real server-grade
+        # parser (Derby ships on Spark's own classpath)
+        import glob
+        import os
+
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        if not glob.glob(os.path.join(jars, "derby-*.jar")):
+            pytest.skip("Derby jar not on the Spark classpath")
+        from syncmaven_spark.state import JdbcStateStore
+
+        spark = request.getfixturevalue("spark")
+        s = JdbcStateStore(f"jdbc:derby:{tmp_path}/state;create=true", spark)
     else:
         s = SqliteStore(str(tmp_path / "store.sqlite"))
     yield s
