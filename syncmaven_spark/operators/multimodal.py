@@ -259,11 +259,18 @@ def resize_images(
     if resizer is None:
         def resizer(blob: bytes, w: int, h: int) -> bytes:  # noqa: ANN001
             if blob is not None and blob[:2] == b"BM":
-                px = decode_bmp(blob)
-                src_h, src_w, _ = px.shape
-                ys = (np.arange(h) * src_h) // h
-                xs = (np.arange(w) * src_w) // w
-                return encode_bmp(px[ys][:, xs])
+                try:
+                    px = decode_bmp(blob)
+                except ValueError:
+                    # malformed / unsupported BMP variant: fall through to
+                    # the marker stub instead of failing the whole task
+                    # (one bad blob must not abort a corpus-wide pass)
+                    pass
+                else:
+                    src_h, src_w, _ = px.shape
+                    ys = (np.arange(h) * src_h) // h
+                    xs = (np.arange(w) * src_w) // w
+                    return encode_bmp(px[ys][:, xs])
             return b"RESIZED:%dx%d:" % (w, h) + (blob or b"")
 
     out_schema = df.schema

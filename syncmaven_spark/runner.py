@@ -435,11 +435,14 @@ def run_sync_distributed(
             # UDF per chunk (no persist, no separate aggregate job), and the
             # counts cannot diverge from what was written if the source
             # moves between jobs
-            if first_chunk and planned_total is None and tagged.isEmpty():
-                # probe BEFORE the destructive overwrite: an empty first
-                # chunk must leave the previous run's output untouched
-                # (append-mode chunks below are harmless on empty input).
-                # Skipped when the chunk planner already counted the rows.
+            if first_chunk and tagged.isEmpty():
+                # probe IMMEDIATELY before the destructive overwrite: an
+                # empty first chunk must leave the previous run's output
+                # untouched (append-mode chunks below are harmless on empty
+                # input). The planner's row count cannot stand in for this
+                # — a live source can lose its rows between the planning
+                # job and this write (the same source-moves-between-jobs
+                # window the observe() comment below covers for counts).
                 continue
             obs = Observation(f"chunk_{chunk_idx}")
             tagged = tagged.observe(obs, *agg_cols)

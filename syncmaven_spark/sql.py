@@ -112,7 +112,10 @@ def _scan_spans(
     pg = dialect in ("postgres", "postgresql")  # E'' strings, $tag$ quoting
     bq = dialect == "bigquery"
     dq_ident = dialect in _DOUBLEQUOTE_IDENT_DIALECTS
-    hash_comments = dialect in ("mysql", "mariadb")
+    # '#' starts a line comment in MySQL AND GoogleSQL; only MySQL also
+    # requires whitespace after '--' for it to open a comment
+    hash_comments = dialect in ("mysql", "mariadb", "bigquery")
+    dash_needs_ws = dialect in ("mysql", "mariadb")
     spans: list[tuple[str, int, int, bool]] = []
     i, n = 0, len(sql)
     while i < n:
@@ -133,7 +136,7 @@ def _scan_spans(
             # MySQL's '--' starts a comment only when followed by
             # whitespace/EOL ('a--:x' is arithmetic there)
             and (
-                not hash_comments
+                not dash_needs_ws
                 or sql[i + 2 : i + 3] in ("", " ", "\t", "\n", "\r")
             )
         ):
@@ -437,6 +440,11 @@ def _decode_bq_escape_body(body: str, bytes_mode: bool = False) -> bytes:
             if len(digits) != 3 or not set(digits) <= set("01234567"):
                 raise SqlError("invalid octal escape in BigQuery literal")
             val = int(digits, 8)
+            if bytes_mode and val > 0xFF:
+                raise SqlError(
+                    f"octal escape \\{digits} exceeds one byte in BigQuery "
+                    "bytes literal"
+                )
             out += bytes([val]) if bytes_mode else chr(val).encode("utf-8")
             i += 4
         elif e in "xX":
@@ -479,13 +487,74 @@ def _decode_bq_string(seg: str) -> str | bytes:
 
 
 def _spark_comment(seg: str) -> str:
-    """Line comments Spark's lexer doesn't know: mysql ``#`` and snowflake
-    ``//`` both become ``--``; everything else passes through."""
+    """Line comments Spark's lexer doesn't know: mysql/bigquery ``#`` and
+    snowflake ``//`` both become ``--``; everything else passes through."""
     if seg.startswith("#"):
         return "--" + seg[1:]
     if seg.startswith("//"):
         return "--" + seg[2:]
     return seg
+
+
+_MYSQL_ESCAPES = {
+    "0": "\0", "b": "\b", "n": "\n", "r": "\r", "t": "\t", "Z": "\x1a",
+    "\\": "\\", "'": "'", '"': '"',
+    # \% and \_ keep the backslash outside LIKE context (MySQL manual 9.1.1)
+    "%": "\\%", "_": "\\_",
+}
+
+
+def _decode_mysql_string(seg: str) -> str:
+    """Decode a complete MySQL string literal (either quote kind) to its
+    value: backslash escapes per the MySQL manual (unknown escapes drop
+    the backslash), doubled-quote escapes for the delimiting quote."""
+    quote, body = seg[0], seg[1:-1]
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_MYSQL_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        elif c == quote and body[i : i + 2] == quote * 2:
+            out.append(quote)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _fold_value(dialect: str, kind: str, seg: str) -> str | bytes | None:
+    """Decoded value of a literal that participates in the dialect's
+    ADJACENT-LITERAL CONCATENATION, else None. GoogleSQL and MySQL
+    concatenate string constants separated by whitespace/comments;
+    PostgreSQL concatenates quote-delimited constants (plain and E'')
+    separated by whitespace containing a newline — dollar-quoted strings
+    never concatenate. Spark has no such rule (a trailing literal parses
+    as an ALIAS), so unfolded adjacency would silently rename a column and
+    drop content."""
+    if dialect == "bigquery" and kind in ("string", "bstring"):
+        return _decode_bq_string(seg)
+    if dialect in ("mysql", "mariadb") and kind == "string":
+        return _decode_mysql_string(seg)
+    if dialect in ("postgres", "postgresql"):
+        if kind == "string":  # standard-conforming: only '' is an escape
+            return seg[1:-1].replace("''", "'")
+        if kind == "estring":
+            return _decode_pg_escape_body(seg[2:-1])
+    return None
+
+
+def _fold_gap_ok(dialect: str, gap: str) -> bool:
+    """May two foldable literals concatenate across this inter-span text?
+    PostgreSQL requires whitespace WITH a newline; GoogleSQL/MySQL accept
+    any whitespace (including none — that's how BigQuery reads ``''``)."""
+    if gap.strip() != "":
+        return False
+    if dialect in ("postgres", "postgresql"):
+        return "\n" in gap
+    return True
 
 
 def to_spark_sql(query: str, dialect: str = "spark") -> str:
@@ -509,10 +578,15 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
     ``''``-doubling (``'it''s'`` is two adjacent literals, which BigQuery
     concatenates to ``its`` — Spark would read one literal ``it's``), plus
     raw ``r'...'``, bytes ``b'...'`` (→ Spark ``X'hex'``), and
-    triple-quoted strings. Adjacent string literals separated only by
-    whitespace are folded into one Spark literal to preserve the
-    concatenation semantics. MySQL models only need ``#`` line comments
-    rewritten to ``--``.
+    triple-quoted strings. MySQL models get ``#`` line comments rewritten
+    to ``--``.
+
+    ADJACENT-LITERAL CONCATENATION (see ``_fold_value``) is folded into a
+    single Spark literal for every dialect that has the rule — BigQuery and
+    MySQL (any whitespace, comments included), PostgreSQL (whitespace with
+    a newline; plain and ``E''`` constants, never dollar-quoted) — because
+    Spark instead parses the trailing literal as an ALIAS, silently
+    renaming the column and dropping its content.
 
     An UNTERMINATED string/identifier/dollar span raises ``SqlError``: the
     warehouse itself would reject the model, so synthesizing a closing
@@ -526,18 +600,23 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
     ):
         return query
     out: list[str] = []
-    # BigQuery adjacent string literals (separated only by whitespace or
-    # comments) concatenate; Spark would parse the second literal as an
-    # alias. Buffer the decoded value of the latest string literal
-    # (`pending`) plus the whitespace/comments after it (`pending_tail`)
-    # and fold follow-up literals into it before emitting.
-    pending: str | None = None
+    # Buffer the decoded value of the latest concatenation-eligible literal
+    # (`pending`, str or bytes) plus the whitespace/comments after it
+    # (`pending_tail`); follow-up adjacent literals of the SAME type fold
+    # into it before emitting.
+    pending: str | bytes | None = None
     pending_tail: list[str] = []
+    # comments count as whitespace between adjacent literals in GoogleSQL
+    # and MySQL; postgres needs a literal newline in actual whitespace
+    comments_fold = dialect in ("bigquery", "mysql", "mariadb")
 
     def flush() -> None:
         nonlocal pending
         if pending is not None:
-            out.append(_spark_string(pending))
+            if isinstance(pending, bytes):
+                out.append("X'" + pending.hex() + "'")
+            else:
+                out.append(_spark_string(pending))
             out.extend(pending_tail)
             pending_tail.clear()
             pending = None
@@ -552,10 +631,13 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
         gap = query[last:lo]
         seg = query[lo:hi]
         last = hi
-        if dialect == "bigquery" and kind == "string":
-            value = _decode_bq_string(seg)
-            assert isinstance(value, str)
-            if pending is not None and gap.strip() == "":
+        value = _fold_value(dialect, kind, seg)
+        if value is not None:
+            if (
+                pending is not None
+                and type(pending) is type(value)
+                and _fold_gap_ok(dialect, gap)
+            ):
                 pending_tail.append(gap)
                 pending += value
             else:
@@ -563,7 +645,12 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
                 out.append(gap)
                 pending = value
             continue
-        if pending is not None and kind == "comment" and gap.strip() == "":
+        if (
+            pending is not None
+            and comments_fold
+            and kind == "comment"
+            and gap.strip() == ""
+        ):
             # comments between adjacent literals don't break concatenation
             pending_tail.append(gap)
             pending_tail.append(_spark_comment(seg))
@@ -573,19 +660,12 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
         if kind == "ident":
             name = seg[1:-1].replace('""', '"')
             out.append("`" + name.replace("`", "``") + "`")
-        elif kind == "bstring":
-            data = _decode_bq_string(seg)
-            assert isinstance(data, bytes)
-            out.append("X'" + data.hex() + "'")
         elif kind == "string" and dialect in _BACKSLASH_IS_LITERAL:
-            # postgres/derby: backslashes are literal — double them for
-            # Spark; '' doubling carries over unchanged
+            # derby (and any future ANSI dialect without the adjacency
+            # rule): backslashes are literal — double them for Spark;
+            # '' doubling carries over unchanged
             body = seg[1:-1]
             out.append("'" + body.replace("\\", "\\\\") + "'")
-        elif kind == "estring":
-            # decode postgres escapes (\x, octal, \UXXXXXXXX have no Spark
-            # equivalent), then re-encode as a Spark literal
-            out.append(_spark_string(_decode_pg_escape_body(seg[2:-1])))
         elif kind == "dollar":
             tag = _DOLLAR_TAG.match(seg).group(0)
             out.append(_spark_string(seg[len(tag) : -len(tag)]))
@@ -629,20 +709,19 @@ def encode_literal(val: Any, dialect: str = "spark") -> str:
         return "TRUE" if val else "FALSE"
     if isinstance(val, (int, float)):
         return repr(val)
-    if isinstance(val, (_dt.datetime, _dt.date)):
-        if isinstance(val, _dt.datetime) and val.tzinfo is not None:
+    if isinstance(val, _dt.datetime):
+        if val.tzinfo is not None:
             val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        iso = (
-            val.isoformat(sep=" ")
-            if isinstance(val, _dt.datetime)
-            else val.isoformat()
-        )
+        iso = val.isoformat(sep=" ")
         cast_type, with_offset = _TS_CAST.get(dialect, ("TIMESTAMP", False))
         if with_offset:
-            if not isinstance(val, _dt.datetime):
-                iso += " 00:00:00"
             iso += "+00:00"
         return f"CAST('{iso}' AS {cast_type})"
+    if isinstance(val, _dt.date):
+        # a date-only value compares as DATE — tz-free in every engine;
+        # widening to a UTC-midnight timestamptz would shift comparisons
+        # against DATE columns on non-UTC server sessions (round-4 review)
+        return f"CAST('{val.isoformat()}' AS DATE)"
     if isinstance(val, str):
         # Quote-doubling where the lexer honors it; backslash-doubling only
         # where the parsing engine treats backslash as an escape (Spark's

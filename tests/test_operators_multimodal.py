@@ -138,10 +138,20 @@ def test_extract_features_real_bmp_and_wav(spark):
     assert all(out[i].decode_ok for i in range(4))
     f_dark, f_bright = np.array(out[0].features), np.array(out[1].features)
     assert not np.allclose(f_dark, f_bright)  # content-derived, not hash
-    # same pixels re-encoded (different blob bytes via top-down layout)
-    # would hash differently but feature identically — check via decode path
+    # same pixels in a DIFFERENT byte encoding (top-down row order) must
+    # feature identically — content-derived, not blob-hash-derived
+    import struct
+
+    from syncmaven_spark.operators.multimodal import default_decode
+
+    blob = encode_bmp(dark)
+    hdr = bytearray(blob[:54])
+    struct.pack_into("<i", hdr, 22, -struct.unpack_from("<i", hdr, 22)[0])
+    flipped = np.frombuffer(blob, np.uint8, offset=54).reshape(16, -1)[::-1]
+    top_down = bytes(hdr) + flipped.tobytes()
+    assert top_down != blob
     assert np.allclose(
-        f_dark, np.array(out[0].features)
+        f_dark, default_decode(top_down, 32).astype(np.float32), atol=1e-6
     )
     for i in range(4):
         assert abs(np.linalg.norm(np.array(out[i].features)) - 1.0) < 1e-5

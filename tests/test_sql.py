@@ -331,11 +331,13 @@ def test_timestamp_literals_are_dialect_aware():
     # aware datetimes normalize to UTC first
     est = dt.timezone(dt.timedelta(hours=-5))
     assert "18:39:05.172000+00:00" in encode_literal(t.replace(tzinfo=est), "postgres")
-    # dates widen to UTC midnight for tz-aware dialects
-    assert (
-        encode_literal(dt.date(2024, 5, 15), "postgres")
-        == "CAST('2024-05-15 00:00:00+00:00' AS TIMESTAMP WITH TIME ZONE)"
+    # date-only values compare as DATE — tz-free in every engine (a UTC
+    # midnight timestamptz would shift DATE-column comparisons on non-UTC
+    # server sessions)
+    assert encode_literal(dt.date(2024, 5, 15), "postgres") == (
+        "CAST('2024-05-15' AS DATE)"
     )
+    assert encode_literal(dt.date(2024, 5, 15)) == "CAST('2024-05-15' AS DATE)"
     # engines without a tz-aware cast target stay naive (session-zone)
     assert encode_literal(t, "mysql") == "CAST('2024-05-15 13:39:05.172000' AS DATETIME)"
     assert encode_literal(t, "spark") == "CAST('2024-05-15 13:39:05.172000' AS TIMESTAMP)"
@@ -356,3 +358,47 @@ def test_derby_dialect_is_ansi():
     assert to_spark_sql('select "a b" from t', "derby") == "select `a b` from t"
     # $$ is not dollar-quoting in derby
     assert SqlQuery("select 1 as a from t where b = '$$'", "derby").named_parameters() == []
+
+
+def test_adjacent_literal_concatenation_per_dialect(spark):
+    """Engines with the SQL adjacent-literal rule get their concatenation
+    folded into ONE Spark literal — Spark would otherwise parse the
+    trailing literal as an alias, silently renaming the column and
+    dropping its content (round-4 review finding)."""
+    from syncmaven_spark.sql import to_spark_sql
+
+    # postgres: whitespace WITH a newline concatenates (plain and E'')
+    out = to_spark_sql("select 'a'\n'b' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "ab"
+    out = to_spark_sql("select E'x\\n'\n'y' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "x\ny"
+    # same line, no newline: NOT folded (postgres itself would not concat)
+    assert to_spark_sql("select 'a' 'b'", "postgres") == "select 'a' 'b'"
+    # dollar-quoted strings never participate
+    out = to_spark_sql("select $$a$$\n'b' as v", "postgres")
+    assert "'a'" in out and "'b'" in out
+    # mysql: ANY whitespace (and comments) concatenates; escapes decode
+    out = to_spark_sql("select 'a' 'b' as v", "mysql")
+    assert spark.sql(out).collect()[0].v == "ab"
+    out = to_spark_sql("select 'it''s' /*c*/ '\\n!' as v", "mysql")
+    assert spark.sql(out).collect()[0].v == "it's\n!"
+    # bigquery bytes literals fold too (X'..' X'..' would not parse)
+    out = to_spark_sql(r"select b'\x61' b'\x62' as v", "bigquery")
+    assert "X'6162'" in out
+    assert bytes(spark.sql(out).collect()[0].v) == b"ab"
+
+
+def test_bigquery_hash_comments_and_octal_bounds():
+    """GoogleSQL '#' line comments lex (a quote inside one must not open a
+    string span), and a >1-byte octal escape in a bytes literal raises
+    SqlError, not a bare ValueError."""
+    from syncmaven_spark.sql import SqlError, SqlQuery, to_spark_sql
+
+    out = to_spark_sql("select 1 as v # it's a note\nfrom t", "bigquery")
+    assert out == "select 1 as v -- it's a note\nfrom t"
+    q = SqlQuery("select x from t where a = :p # :fake\n", "bigquery")
+    assert q.named_parameters() == ["p"]
+    # bigquery '--' opens a comment even without trailing whitespace
+    assert to_spark_sql("select 1 --x'", "bigquery") == "select 1 --x'"
+    with pytest.raises(SqlError):
+        to_spark_sql(r"select b'\777' as v", "bigquery")
