@@ -17,10 +17,12 @@ mirroring the reference (SURVEY §4).
 
 All lexical scans here share one dialect-aware tokenizer (``_scan_spans``):
 string/identifier/comment spans are lexed under the MODEL's dialect rules
-(postgres: literal backslashes, ``E'...'`` escape-strings, ``$tag$...$tag$``
-dollar quoting; snowflake/bigquery/mysql/spark: backslash escapes), so
-validation, parameter discovery, and transpilation cannot disagree about
-where a literal ends.
+(postgres/derby: literal backslashes and ANSI ``''`` doubling, plus
+postgres ``E'...'`` escape-strings and ``$tag$...$tag$`` dollar quoting;
+bigquery: the full GoogleSQL string surface — no ``''`` doubling,
+``r''``/``b''`` prefixes, triple quotes, ``#`` comments; snowflake/mysql/
+spark: backslash escapes), so validation, parameter discovery, and
+transpilation cannot disagree about where a literal ends.
 """
 
 from __future__ import annotations
