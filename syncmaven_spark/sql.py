@@ -196,6 +196,18 @@ def _scan_spans(
             spans.append(("estring", i, j, term))
             i = j
         elif ch == "'":
+            # PostgreSQL's lexer carries ESCAPE MODE into newline-separated
+            # continuation fragments of an E'' constant (scan.l's
+            # quote-continue state): in E'a'␤'\'' the second fragment's
+            # backslash still escapes. Lex such fragments with backslash
+            # escapes and a dedicated kind so decoding matches.
+            if pg and spans and spans[-1][0] in ("estring", "estring_frag"):
+                between = sql[spans[-1][2] : i]
+                if between.strip() == "" and "\n" in between:
+                    j, term = _scan_quoted(sql, i, "'", True)
+                    spans.append(("estring_frag", i, j, term))
+                    i = j
+                    continue
             j, term = _scan_quoted(sql, i, "'", bs)
             spans.append(("string", i, j, term))
             i = j
@@ -545,6 +557,8 @@ def _fold_value(dialect: str, kind: str, seg: str) -> str | bytes | None:
             return seg[1:-1].replace("''", "'")
         if kind == "estring":
             return _decode_pg_escape_body(seg[2:-1])
+        if kind == "estring_frag":  # continuation fragment: escape-lexed
+            return _decode_pg_escape_body(seg[1:-1])
     return None
 
 
@@ -639,6 +653,9 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
                 pending is not None
                 and type(pending) is type(value)
                 and _fold_gap_ok(dialect, gap)
+                # an E'' token never CONTINUES a prior constant in postgres
+                # ('a'␤E'b' is two separate tokens, not a concatenation)
+                and kind != "estring"
             ):
                 pending_tail.append(gap)
                 pending += value

@@ -402,3 +402,26 @@ def test_bigquery_hash_comments_and_octal_bounds():
     assert to_spark_sql("select 1 --x'", "bigquery") == "select 1 --x'"
     with pytest.raises(SqlError):
         to_spark_sql(r"select b'\777' as v", "bigquery")
+
+
+def test_pg_escape_string_continuation_fragments(spark):
+    """PostgreSQL's lexer carries ESCAPE MODE into newline-separated
+    continuation fragments of an E'' constant (scan.l quote-continue):
+    the continuation's backslashes still escape — including a \\' that
+    keeps the fragment open — and an E'' token itself never continues a
+    prior constant."""
+    from syncmaven_spark.sql import to_spark_sql
+
+    out = to_spark_sql("select E'a'\n'\\n' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "a\n"  # \n decoded, not literal
+    out = to_spark_sql("select E'x'\n'\\'' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "x'"  # \' stayed inside
+    # plain continuation after a PLAIN string stays standard-conforming
+    out = to_spark_sql("select 'a'\n'\\n' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "a\\n"  # backslash literal
+    # E'' does not continue a prior constant
+    out = to_spark_sql("select 'a'\nE'b' as v", "postgres")
+    assert "'a'" in out and "'b'" in out
+    # masking agrees: :params inside an escape-mode continuation are text
+    q = SqlQuery("select E'a'\n'\\':x' as v from t where y >= :real", "postgres")
+    assert q.named_parameters() == ["real"]
