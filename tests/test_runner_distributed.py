@@ -374,3 +374,45 @@ def test_distributed_foreach_revalidation_drops_counted(spark, tmp_path):
     result = run_sync_distributed(spark, sync, InMemoryStore(), num_chunks=2)
     assert result.stats.success == 20
     assert result.stats.skipped == 20
+
+
+def test_distributed_sync_timestamp_cursor(spark, tmp_path):
+    """Full chunked sync keyed on the TIMESTAMP column: chunk planning runs
+    in the micros domain, the persisted cursor round-trips as a datetime,
+    and the incremental second run re-emits exactly the max-ts rows
+    (inclusive >=). Timestamp cursors previously planned chunks through a
+    cast-to-double that defeated parquet pushdown entirely."""
+    import datetime as dt
+
+    load_tables(spark, SF_SMOKE)
+    store = InMemoryStore()
+    out = tmp_path / "out"
+    sync = SyncDefinition(
+        id="dist_ts",
+        model=ModelDefinition(
+            id="m",
+            query=(
+                "select event_id, ts, user_id, event_type, value from events "
+                "where :cursor is null or ts >= :cursor"
+            ),
+            cursor="ts",
+        ),
+        destination="file",
+        stream="raw",
+        credentials={"directory": str(out)},
+    )
+    result = run_sync_distributed(spark, sync, store, num_chunks=5)
+    rows = _read_ndjson_dir(out)
+    assert len(rows) == 1000 and result.checkpoints >= 2
+    assert isinstance(result.last_cursor, dt.datetime)
+
+    out2 = tmp_path / "out2"
+    sync2 = SyncDefinition(
+        id="dist_ts", model=sync.model, destination="file", stream="raw",
+        credentials={"directory": str(out2)},
+    )
+    result2 = run_sync_distributed(spark, sync2, store, num_chunks=5)
+    rows2 = _read_ndjson_dir(out2)
+    max_ts = max(r["ts"] for r in rows)
+    assert {r["ts"] for r in rows2} == {max_ts}
+    assert result2.stats.received == len(rows2) >= 1
