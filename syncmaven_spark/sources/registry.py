@@ -110,7 +110,7 @@ class DelimitedDirSource(Datasource):
 
     def __init__(self, spec: str) -> None:
         self.format, _, self.directory = spec.partition("://")
-        self._registered = False
+        self._fingerprint: tuple | None = None
 
     def read_table(self, spark: SparkSession, table: str) -> DataFrame:
         import os
@@ -124,15 +124,27 @@ class DelimitedDirSource(Datasource):
             return spark.read.orc(path)
         return spark.read.json(path)
 
-    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+    def _dir_fingerprint(self) -> tuple:
         import os
 
-        if not self._registered:
-            for f in os.listdir(self.directory):
-                name, _, ext = f.rpartition(".")
-                if ext == self.format and name:
-                    self.read_table(spark, name).createOrReplaceTempView(name)
-            self._registered = True
+        parts = []
+        for f in sorted(os.listdir(self.directory)):
+            name, _, ext = f.rpartition(".")
+            if ext == self.format and name:
+                st = os.stat(os.path.join(self.directory, f))
+                parts.append((name, st.st_mtime_ns, st.st_size))
+        return tuple(parts)
+
+    def read_query(self, spark: SparkSession, sql: str) -> DataFrame:
+        # re-register when the directory's contents changed (same stat
+        # fingerprint staleness rule as the parquet source): a live source
+        # directory GROWS between sync runs, and a once-per-instance guard
+        # would pin the first run's view set forever
+        fingerprint = self._dir_fingerprint()
+        if fingerprint != self._fingerprint:
+            for name, _, _ in fingerprint:
+                self.read_table(spark, name).createOrReplaceTempView(name)
+            self._fingerprint = fingerprint
         return spark.sql(sql)
 
 

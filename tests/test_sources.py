@@ -279,3 +279,21 @@ def test_parquet_source_sees_directory_growth_without_reprobe(spark, tmp_path):
     time.sleep(0.01)
     spark.range(9).toDF("r_regionkey").toPandas().to_parquet(d / "region.parquet")
     assert src.read_query(spark, "select count(*) as n from region").collect()[0].n == 9
+
+
+def test_delimited_source_sees_directory_growth(spark, tmp_path):
+    """Same staleness rule as the parquet source: a csv file added (or
+    replaced) between queries is visible on the next read_query."""
+    import time
+
+    d = tmp_path / "csvsrc"
+    d.mkdir()
+    (d / "a.csv").write_text("x\n1\n2\n")
+    src = create_datasource(f"csv://{d}")
+    assert src.read_query(spark, "select count(*) as n from a").collect()[0].n == 2
+    time.sleep(0.01)
+    (d / "b.csv").write_text("y\n9\n")
+    assert src.read_query(spark, "select count(*) as n from b").collect()[0].n == 1
+    time.sleep(0.01)
+    (d / "a.csv").write_text("x\n1\n2\n3\n")
+    assert src.read_query(spark, "select count(*) as n from a").collect()[0].n == 3
