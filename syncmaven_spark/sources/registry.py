@@ -131,7 +131,12 @@ class DelimitedDirSource(Datasource):
         for f in sorted(os.listdir(self.directory)):
             name, _, ext = f.rpartition(".")
             if ext == self.format and name:
-                st = os.stat(os.path.join(self.directory, f))
+                try:
+                    st = os.stat(os.path.join(self.directory, f))
+                except OSError:
+                    # deleted between listdir and stat (atomic-replace
+                    # writers) — skip; the next query re-fingerprints
+                    continue
                 parts.append((name, st.st_mtime_ns, st.st_size))
         return tuple(parts)
 
@@ -139,11 +144,18 @@ class DelimitedDirSource(Datasource):
         # re-register when the directory's contents changed (same stat
         # fingerprint staleness rule as the parquet source): a live source
         # directory GROWS between sync runs, and a once-per-instance guard
-        # would pin the first run's view set forever
+        # would pin the first run's view set forever. Only NEW or CHANGED
+        # tables re-register — a CSV registration is an eager inferSchema
+        # scan, so re-reading all N tables for one appended file would be
+        # N-1 wasted jobs. Views of since-deleted files stay registered
+        # (dropping them could break unrelated session users).
         fingerprint = self._dir_fingerprint()
         if fingerprint != self._fingerprint:
-            for name, _, _ in fingerprint:
-                self.read_table(spark, name).createOrReplaceTempView(name)
+            known = set(self._fingerprint or ())
+            for entry in fingerprint:
+                if entry not in known:
+                    name = entry[0]
+                    self.read_table(spark, name).createOrReplaceTempView(name)
             self._fingerprint = fingerprint
         return spark.sql(sql)
 

@@ -196,14 +196,22 @@ def _scan_spans(
             spans.append(("estring", i, j, term))
             i = j
         elif ch == "'":
-            # PostgreSQL's lexer carries ESCAPE MODE into newline-separated
-            # continuation fragments of an E'' constant (scan.l's
-            # quote-continue state): in E'a'␤'\'' the second fragment's
-            # backslash still escapes. Lex such fragments with backslash
-            # escapes and a dedicated kind so decoding matches.
-            if pg and spans and spans[-1][0] in ("estring", "estring_frag"):
-                between = sql[spans[-1][2] : i]
-                if between.strip() == "" and "\n" in between:
+            # PostgreSQL's lexer carries ESCAPE MODE into continuation
+            # fragments of an E'' constant separated by scan.l's
+            # whitespace_with_newline (which admits '--' comments): in
+            # E'a'␤'\'' the second fragment's backslash still escapes.
+            # Lex such fragments with backslash escapes and a dedicated
+            # kind so decoding matches. Walk back over any '--' comment
+            # spans — they are whitespace to the continuation rule.
+            if pg and spans:
+                k = len(spans) - 1
+                while k >= 0 and spans[k][0] == "comment":
+                    k -= 1
+                if (
+                    k >= 0
+                    and spans[k][0] in ("estring", "estring_frag")
+                    and _PG_CONT_GAP.fullmatch(sql[spans[k][2] : i])
+                ):
                     j, term = _scan_quoted(sql, i, "'", True)
                     spans.append(("estring_frag", i, j, term))
                     i = j
@@ -562,15 +570,25 @@ def _fold_value(dialect: str, kind: str, seg: str) -> str | bytes | None:
     return None
 
 
+# PostgreSQL scan.l whitespace_with_newline: horizontal whitespace and
+# '--' line comments, then a newline ([\n\r]), then whitespace or
+# comment-terminated-by-newline repetitions. Block comments do NOT
+# participate (they are lexed in a separate state the regex cannot span).
+_PG_CONT_GAP = re.compile(
+    r"(?:[ \t\f\v]|--[^\n\r]*)*[\n\r](?:[ \t\n\r\f\v]+|--[^\n\r]*[\n\r])*\Z"
+)
+
+
 def _fold_gap_ok(dialect: str, gap: str) -> bool:
     """May two foldable literals concatenate across this inter-span text?
-    PostgreSQL requires whitespace WITH a newline; GoogleSQL/MySQL accept
-    any whitespace (including none — that's how BigQuery reads ``''``)."""
-    if gap.strip() != "":
-        return False
+    PostgreSQL requires whitespace-with-newline per scan.l (which admits
+    ``--`` comments and ``\\r`` newlines); GoogleSQL/MySQL accept any
+    whitespace (including none — that's how BigQuery reads ``''``).
+    The pg ``gap`` here is the RAW text since the previous literal,
+    comments included (the caller accumulates it)."""
     if dialect in ("postgres", "postgresql"):
-        return "\n" in gap
-    return True
+        return _PG_CONT_GAP.fullmatch(gap) is not None
+    return gap.strip() == ""
 
 
 def to_spark_sql(query: str, dialect: str = "spark") -> str:
@@ -622,12 +640,14 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
     # into it before emitting.
     pending: str | bytes | None = None
     pending_tail: list[str] = []
-    # comments count as whitespace between adjacent literals in GoogleSQL
-    # and MySQL; postgres needs a literal newline in actual whitespace
-    comments_fold = dialect in ("bigquery", "mysql", "mariadb")
+    # raw text (gaps + comment segments) since the pending literal — the
+    # postgres continuation rule is validated against this, comments
+    # included (scan.l's whitespace_with_newline admits '--' comments)
+    gap_accum = ""
+    is_pg = dialect in ("postgres", "postgresql")
 
     def flush() -> None:
-        nonlocal pending
+        nonlocal pending, gap_accum
         if pending is not None:
             if isinstance(pending, bytes):
                 out.append("X'" + pending.hex() + "'")
@@ -636,6 +656,7 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
             out.extend(pending_tail)
             pending_tail.clear()
             pending = None
+        gap_accum = ""
 
     last = 0
     for kind, lo, hi, terminated in _scan_spans(query, dialect):
@@ -649,31 +670,61 @@ def to_spark_sql(query: str, dialect: str = "spark") -> str:
         last = hi
         value = _fold_value(dialect, kind, seg)
         if value is not None:
-            if (
-                pending is not None
-                and type(pending) is type(value)
-                and _fold_gap_ok(dialect, gap)
-                # an E'' token never CONTINUES a prior constant in postgres
-                # ('a'␤E'b' is two separate tokens, not a concatenation)
-                and kind != "estring"
-            ):
+            # pg validates the RAW accumulated text (comments included)
+            # against scan.l's rule; bq/mysql treat buffered comments as
+            # whitespace, so only the immediate gap needs checking there
+            adjacent = pending is not None and _fold_gap_ok(
+                dialect, (gap_accum + gap) if is_pg else gap
+            )
+            if adjacent and is_pg and kind == "estring":
+                # an E'' token never CONTINUES a prior constant — postgres
+                # itself rejects 'a'␤E'b' (syntax error at E'b'); emitting
+                # two Spark tokens would alias-parse instead
+                raise SqlError(
+                    "E'...' cannot continue a preceding string constant "
+                    f"(offset {lo}): PostgreSQL would reject this statement"
+                )
+            if adjacent and type(pending) is not type(value):
+                # BigQuery rejects BYTES<>STRING literal concatenation;
+                # X'..' 'x' in Spark would alias-parse instead
+                raise SqlError(
+                    "cannot concatenate bytes and string literals "
+                    f"(offset {lo}): the source dialect would reject this "
+                    "statement"
+                )
+            if adjacent:
                 pending_tail.append(gap)
                 pending += value
+                gap_accum = ""
             else:
+                if (
+                    is_pg
+                    and pending is not None
+                    and gap.strip() == ""
+                    and kind in ("string", "estring")
+                ):
+                    # adjacent constants NOT satisfying the newline rule
+                    # (same line, or split by a block comment) are a
+                    # PostgreSQL syntax error; Spark would alias-parse
+                    raise SqlError(
+                        "adjacent string constants must be separated by "
+                        f"newline-containing whitespace (offset {lo}): "
+                        "PostgreSQL would reject this statement"
+                    )
                 flush()
                 out.append(gap)
                 pending = value
             continue
-        if (
-            pending is not None
-            and comments_fold
-            and kind == "comment"
-            and gap.strip() == ""
-        ):
-            # comments between adjacent literals don't break concatenation
-            pending_tail.append(gap)
-            pending_tail.append(_spark_comment(seg))
-            continue
+        if pending is not None and kind == "comment":
+            # comments may sit inside a concatenation gap (GoogleSQL/MySQL
+            # treat them as whitespace; postgres admits '--' comments in
+            # whitespace_with_newline). Buffer them — if the next span
+            # doesn't fold, flush() re-emits them in order.
+            if gap.strip() == "":
+                pending_tail.append(gap)
+                pending_tail.append(_spark_comment(seg))
+                gap_accum += gap + seg
+                continue
         flush()
         out.append(gap)
         if kind == "ident":

@@ -329,7 +329,7 @@ class JdbcStateStore(StateStore):
     """
 
     def __init__(self, url: str, spark=None, table: str = "syncmaven_store"):
-        if not table.replace("_", "").isalnum():
+        if not table.replace("_", "").isalnum() or table[0].isdigit():
             raise ValueError(f"invalid table name: {table!r}")
         if spark is None:
             from pyspark.sql import SparkSession
@@ -343,26 +343,37 @@ class JdbcStateStore(StateStore):
         self._conn = spark._jvm.java.sql.DriverManager.getConnection(url)
         self._table = table
         self._lock = threading.Lock()
-        st = self._conn.createStatement()
         try:
-            st.executeUpdate(
-                f"CREATE TABLE {table} "
-                "(skey VARCHAR(512) PRIMARY KEY, svalue CLOB)"
-            )
-        except Exception as e:  # no portable IF NOT EXISTS — probe the error
-            if "X0Y32" not in str(e) and "already exists" not in str(e).lower():
-                raise
-        finally:
-            st.close()
+            st = self._conn.createStatement()
+            try:
+                st.executeUpdate(
+                    f"CREATE TABLE {table} "
+                    "(skey VARCHAR(512) PRIMARY KEY, svalue CLOB)"
+                )
+            except Exception as e:  # no portable IF NOT EXISTS — probe
+                if (
+                    "X0Y32" not in str(e)
+                    and "already exists" not in str(e).lower()
+                ):
+                    raise
+            finally:
+                st.close()
+        except Exception:
+            # don't leak the connection on a failed init — an abandoned
+            # embedded-Derby connection keeps the db directory locked for
+            # the JVM's lifetime
+            self._conn.close()
+            raise
 
     def _execute(self, sql: str, params: tuple[str, ...], query: bool):
+        """Run one statement; returns rows (as string tuples) for a query,
+        else the update count."""
         ps = self._conn.prepareStatement(sql)
         try:
             for i, p in enumerate(params, start=1):
                 ps.setString(i, p)
             if not query:
-                ps.executeUpdate()
-                return None
+                return ps.executeUpdate()
             rs = ps.executeQuery()
             rows = []
             n = rs.getMetaData().getColumnCount()
@@ -384,8 +395,10 @@ class JdbcStateStore(StateStore):
     def set(self, key: KeyLike, value: Any) -> None:
         k, v = stringify_key(key), json.dumps(value)
         with self._lock:
-            updated = self._execute_count(
-                f"UPDATE {self._table} SET svalue = ? WHERE skey = ?", (v, k)
+            updated = self._execute(
+                f"UPDATE {self._table} SET svalue = ? WHERE skey = ?",
+                (v, k),
+                query=False,
             )
             if updated == 0:
                 self._execute(
@@ -393,15 +406,6 @@ class JdbcStateStore(StateStore):
                     (k, v),
                     query=False,
                 )
-
-    def _execute_count(self, sql: str, params: tuple[str, ...]) -> int:
-        ps = self._conn.prepareStatement(sql)
-        try:
-            for i, p in enumerate(params, start=1):
-                ps.setString(i, p)
-            return ps.executeUpdate()
-        finally:
-            ps.close()
 
     def delete(self, key: KeyLike) -> None:
         with self._lock:

@@ -372,8 +372,19 @@ def test_adjacent_literal_concatenation_per_dialect(spark):
     assert spark.sql(out).collect()[0].v == "ab"
     out = to_spark_sql("select E'x\\n'\n'y' as v", "postgres")
     assert spark.sql(out).collect()[0].v == "x\ny"
-    # same line, no newline: NOT folded (postgres itself would not concat)
-    assert to_spark_sql("select 'a' 'b'", "postgres") == "select 'a' 'b'"
+    # same line, no newline: postgres itself rejects this (no concat, and
+    # a string constant cannot be an alias) — so does the shim, instead of
+    # letting Spark alias-parse it
+    with pytest.raises(SqlError):
+        to_spark_sql("select 'a' 'b'", "postgres")
+    # comments participate in the newline rule ('--' yes, block comments no)
+    out = to_spark_sql("select 'Hello ' -- greeting\n'world' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "Hello world"
+    with pytest.raises(SqlError):
+        to_spark_sql("select 'a' /*c*/\n'b' as v", "postgres")
+    # \r counts as the newline, per scan.l's newline class
+    out = to_spark_sql("select 'a'\r'b' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "ab"
     # dollar-quoted strings never participate
     out = to_spark_sql("select $$a$$\n'b' as v", "postgres")
     assert "'a'" in out and "'b'" in out
@@ -419,9 +430,12 @@ def test_pg_escape_string_continuation_fragments(spark):
     # plain continuation after a PLAIN string stays standard-conforming
     out = to_spark_sql("select 'a'\n'\\n' as v", "postgres")
     assert spark.sql(out).collect()[0].v == "a\\n"  # backslash literal
-    # E'' does not continue a prior constant
-    out = to_spark_sql("select 'a'\nE'b' as v", "postgres")
-    assert "'a'" in out and "'b'" in out
+    # E'' does not continue a prior constant — postgres errors, so do we
+    with pytest.raises(SqlError):
+        to_spark_sql("select 'a'\nE'b' as v", "postgres")
+    # an escape-mode continuation may follow a '--' comment
+    out = to_spark_sql("select E'a' -- c\n'\\n' as v", "postgres")
+    assert spark.sql(out).collect()[0].v == "a\n"
     # masking agrees: :params inside an escape-mode continuation are text
     q = SqlQuery("select E'a'\n'\\':x' as v from t where y >= :real", "postgres")
     assert q.named_parameters() == ["real"]
