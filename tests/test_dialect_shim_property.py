@@ -127,3 +127,19 @@ def test_pg_cast_and_adjacent_code_survive(spark, n, lit):
     row = _run_one(spark, to_spark_sql(sql, "postgres"))
     assert row.n == n + 1
     assert row.v == lit
+
+
+@pytest.mark.usefixtures("spark")
+@given(lit=texts)
+@settings(**_SETTINGS)
+def test_mysql_literal_roundtrips_through_spark(spark, lit):
+    """encode_literal under mysql rules, transpiled, executes to the value;
+    and the mysql escape decoder folds adjacent literals to the same
+    result as evaluating them separately and concatenating."""
+    from syncmaven_spark.sql import encode_literal, to_spark_sql
+
+    sql = f"select {encode_literal(lit, 'mysql')} as v"
+    assert spark.sql(to_spark_sql(sql, "mysql")).collect()[0].v == lit
+    # adjacency: value || value under fold
+    two = f"select {encode_literal(lit, 'mysql')} {encode_literal(lit, 'mysql')} as v"
+    assert spark.sql(to_spark_sql(two, "mysql")).collect()[0].v == lit + lit
