@@ -131,3 +131,31 @@ def test_date_cursor_chunking(spark):
     assert total == 365
     assert len(ranges) == 4
     assert chunk_by_cursor_ranges(df, "d", 1) == [(None, None)]
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-(10**9), 10**9)),
+        min_size=0,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=10, deadline=None)
+def test_cursor_chunks_partition_rows_exactly(spark, vals, k):
+    """Property: cursor-range chunks are an exact partition of the input —
+    every row lands in exactly one chunk — for any mix of nulls,
+    negatives, and duplicate cursor values, at any chunk count
+    (duplicate-heavy inputs collapse boundaries; nulls ride chunk 0)."""
+    from syncmaven_spark.runner import iter_cursor_chunks
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, c long"
+    )
+    ids = [
+        r.i
+        for chunk_df, _hi in iter_cursor_chunks(df, "c", k)
+        for r in chunk_df.select("i").collect()
+    ]
+    assert sorted(ids) == list(range(len(vals)))
