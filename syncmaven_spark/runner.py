@@ -15,7 +15,7 @@ iteration with per-checkpoint state commits. Two delivery paths:
   enforcement). Right for API-bound destinations where the sink itself is the
   bottleneck (HubSpot/Intercom rate limits dwarf driver throughput).
 - **scale mode** (``chunk_by_cursor_ranges`` + ``foreachPartition`` sinks):
-  cursor-range chunks planned from ``approxQuantile`` so each chunk is a
+  cursor-range chunks planned by one count+percentile aggregate so each chunk is a
   Catalyst-filtered scan committed independently — no global sort, no
   driver materialization; used by distributed sinks (file/scale, http pools).
 
@@ -330,7 +330,8 @@ def run_sync_distributed(
 
     Differences from parity-mode ``run_sync``:
     - **No driver materialization, no global sort.** Checkpoint chunks are
-      cursor ranges planned from ``approxQuantile`` (``iter_cursor_chunks``);
+      cursor ranges planned by a single count+percentile aggregate
+      (``plan_cursor_chunks``);
       each chunk is a Catalyst-filtered scan — the range predicate pushes
       into parquet/JDBC — processed executor-parallel and committed
       independently.
@@ -677,8 +678,9 @@ def plan_cursor_chunks(
     scale.
 
     One aggregate (``count`` + ``percentile_approx`` with a fraction
-    array) replaces the round-3 ``approxQuantile`` call plus the separate
-    emptiness probe — at 10 chunks those were 2 of the 12 per-sync jobs.
+    array) replaces the round-3 ``approxQuantile`` call. (The caller's
+    pre-overwrite emptiness probe stays — a live source can lose rows
+    between this planning job and the first write.)
     """
     codec = _cursor_codec(df.schema[cursor_col].dataType)
     if num_chunks <= 1 or codec is None:
