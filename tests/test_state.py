@@ -225,3 +225,28 @@ def test_prefix_scan_is_not_a_like_wildcard(store):
     assert store.get(["abc", "x"]) == 2
     assert store.get(["a%c", "x"]) == 3
     assert store.get(["a_c", "x"]) is None
+
+
+def test_jdbc_store_large_values(tmp_path, request):
+    """Sink ID maps can be large: a ~300 KB JSON value must round-trip
+    through the CLOB column intact (a VARCHAR-bounded column would
+    truncate silently)."""
+    import glob
+    import os
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    if not glob.glob(os.path.join(jars, "derby-*.jar")):
+        pytest.skip("Derby jar not on the Spark classpath")
+    from syncmaven_spark.state import JdbcStateStore
+
+    spark = request.getfixturevalue("spark")
+    s = JdbcStateStore(f"jdbc:derby:{tmp_path}/big;create=true", spark)
+    try:
+        big = {f"ext_{i}": f"crm_{i:08d}" for i in range(10_000)}
+        s.set(["syncId=x", "idmap"], big)
+        assert s.get(["syncId=x", "idmap"]) == big
+        assert s.list(["syncId=x"]) == [("syncId=x::idmap", big)]
+    finally:
+        s.close()
