@@ -272,3 +272,48 @@ def test_distributed_chunked_sync_over_live_jdbc(spark, tmp_path):
     )
     result2 = run_sync_distributed(spark, sync2, store, num_chunks=3)
     assert result2.stats.received == 1
+
+
+def test_project_cli_sync_against_live_derby(spark, tmp_path, monkeypatch):
+    """Full stack: an on-disk project (model file with an env-templated
+    jdbc datasource + frontmatter cursor, sync yaml) driven through the
+    CLI sync verb against the live warehouse — incremental across two
+    invocations with a persisted SQLite state file."""
+    from syncmaven_spark import cli
+    from syncmaven_spark.state import SqliteStore
+    from syncmaven_spark.cursor import save_cursor
+
+    url = f"jdbc:derby:{tmp_path}/wh5;create=true"
+    _seed_derby(spark, url, PART1)
+    (tmp_path / "models").mkdir()
+    (tmp_path / "syncs").mkdir()
+    out1 = tmp_path / "o1.ndjson"
+    (tmp_path / "models" / "ev.sql").write_text(
+        '-- {{ config "cursor" "id" }}\n'
+        '-- {{ config "datasource" "${env.WH_URL}" }}\n'
+        'select "id", "source" from syncmaven_test_table '
+        'where "id" >= :cursor order by "id" asc\n'
+    )
+    (tmp_path / "syncs" / "s.yaml").write_text(
+        "model: ev\ndestination:\n  package: file\n  credentials:\n"
+        f"    filename: {out1}\n"
+    )
+    monkeypatch.setenv("WH_URL", url)
+    state_dir = tmp_path / ".state"
+    # Derby's untyped-NULL limitation: seed the initial cursor (see above)
+    store = SqliteStore(str(state_dir / "store.sqlite"))
+    save_cursor(store, "s", "id", 0)
+    store.close()
+    assert cli.main(["sync", str(tmp_path), "--state", str(state_dir)]) == 0
+    assert len(out1.read_text().splitlines()) == 5
+
+    _seed_derby(spark, url, PART1 + PART2)
+    (tmp_path / "syncs" / "s.yaml").write_text(
+        "model: ev\ndestination:\n  package: file\n  credentials:\n"
+        f"    filename: {tmp_path / 'o2.ndjson'}\n"
+    )
+    assert cli.main(["sync", str(tmp_path), "--state", str(state_dir)]) == 0
+    lines = (tmp_path / "o2.ndjson").read_text().splitlines()
+    import json
+
+    assert [json.loads(ln)["id"] for ln in lines] == [5, 6, 7]
