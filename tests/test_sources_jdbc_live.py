@@ -317,3 +317,50 @@ def test_project_cli_sync_against_live_derby(spark, tmp_path, monkeypatch):
     import json
 
     assert [json.loads(ln)["id"] for ln in lines] == [5, 6, 7]
+
+
+def test_derby_literal_encoding_fuzz(spark, tmp_path):
+    """Round-trip fuzz of encode_literal('derby') against the LIVE ANSI
+    parser: every generated string (quotes, backslashes, percent signs,
+    colons, newlines) must come back byte-identical from a VALUES query,
+    and timestamp literals must survive the CAST."""
+    import datetime as dt
+    import itertools
+    import random
+
+    from syncmaven_spark.sql import encode_literal
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{tmp_path}/fuzz;create=true"
+    )
+    try:
+        st = conn.createStatement()
+        rng = random.Random(42)
+        alphabet = list("ab01 _-%\\'\":;\n$")
+        cases = ["", "'", "''", "\\", "\\'", "it's", "C:\\x", "100%"] + [
+            "".join(rng.choices(alphabet, k=rng.randint(1, 16)))
+            for _ in range(60)
+        ]
+        for s in cases:
+            rs = st.executeQuery(f"VALUES {encode_literal(s, 'derby')}")
+            rs.next()
+            assert rs.getString(1) == s, repr(s)
+        for ts in [
+            dt.datetime(2024, 5, 15, 13, 39, 5, 172000),
+            dt.datetime(1999, 12, 31, 23, 59, 59, 999999),
+            dt.datetime(2024, 1, 1),
+        ]:
+            rs = st.executeQuery(f"VALUES {encode_literal(ts, 'derby')}")
+            rs.next()
+            got = rs.getTimestamp(1).toString()  # yyyy-mm-dd hh:mm:ss.f…
+            want = ts.strftime("%Y-%m-%d %H:%M:%S") + (
+                f".{ts.microsecond:06d}".rstrip("0").rstrip(".") or ".0"
+            )
+            # java.sql.Timestamp prints at least one fractional digit
+            if "." not in want:
+                want += ".0"
+            assert got == want, (got, want)
+        st.close()
+    finally:
+        conn.close()
