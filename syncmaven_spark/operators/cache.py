@@ -26,15 +26,45 @@ entries spill rather than OOM while they live.
 
 from __future__ import annotations
 
+import logging
+import re
+import threading
+
 from pyspark.sql import DataFrame
+
+log = logging.getLogger("syncmaven_spark.operators.cache")
 
 # (semantic_key, df) pairs, oldest first. The key is computed ONCE at insert
 # (a py4j round-trip) so the refresh scan below is a pure-Python comparison.
+# All pool mutations happen under _POOL_LOCK: the alias scan does py4j
+# round-trips (GIL released) between finding an index and popping it, so a
+# concurrent insert from another job-submission thread could otherwise pop
+# the wrong entry — leaving a live cache outside the pool, pinned forever.
 _LIVE_CACHES: list[tuple[object, DataFrame]] = []
+_POOL_LOCK = threading.Lock()
 _MAX_LIVE_CACHES = 16
 _DEFAULT_MAX_BYTES = 4 << 30  # 4 GiB
 
 _BUDGET_CONF = "spark.syncmaven.cachePool.maxBytes"
+_SIZE_RE = re.compile(r"^\s*(\d+)\s*([kmgt]?)b?\s*$", re.I)
+_SIZE_MULT = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_budget(raw: str | None) -> int:
+    """Byte budget from the conf — plain integers or Spark-style size
+    strings ('4g', '512m'). An unparsable value logs a warning and falls
+    back to the default rather than silently disabling the byte bound
+    (it used to vanish into the best-effort except below)."""
+    if raw is None:
+        return _DEFAULT_MAX_BYTES
+    m = _SIZE_RE.match(str(raw))
+    if m is None:
+        log.warning(
+            "%s=%r is not a size; using default %d bytes",
+            _BUDGET_CONF, raw, _DEFAULT_MAX_BYTES,
+        )
+        return _DEFAULT_MAX_BYTES
+    return int(m.group(1)) * _SIZE_MULT[m.group(2).lower()]
 
 
 def _cached_bytes(spark) -> int:
@@ -88,21 +118,27 @@ def persist_scoped(df: DataFrame) -> DataFrame:
     """
     df = df.persist()
     key = _semantic_key(df)
-    if key is not None:
-        for i, (old_key, old_df) in enumerate(_LIVE_CACHES):
-            if old_key == key and _same_plan(old_df, df):
-                _LIVE_CACHES.pop(i)
-                break
-    _LIVE_CACHES.append((key, df))
-    while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
-        _LIVE_CACHES.pop(0)[1].unpersist()
-    try:
-        spark = df.sparkSession
-        budget = int(spark.conf.get(_BUDGET_CONF, None) or _DEFAULT_MAX_BYTES)
-        while len(_LIVE_CACHES) > 1 and _cached_bytes(spark) > budget:
-            _LIVE_CACHES.pop(0)[1].unpersist(blocking=True)
-    except Exception:
-        # storage introspection is best-effort (e.g. Spark Connect has no
-        # _jsc); the count bound above still applies
-        pass
+    with _POOL_LOCK:
+        if key is not None:
+            for i, (old_key, old_df) in enumerate(_LIVE_CACHES):
+                if old_key == key and _same_plan(old_df, df):
+                    _LIVE_CACHES.pop(i)
+                    break
+        _LIVE_CACHES.append((key, df))
+        while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
+            _LIVE_CACHES.pop(0)[1].unpersist()
+        try:
+            spark = df.sparkSession
+            budget = _parse_budget(spark.conf.get(_BUDGET_CONF, None))
+            # NOTE: persist() is lazy — the entry just inserted reports ~0
+            # bytes until an action materializes it, so byte enforcement
+            # runs one insert behind: the next persist_scoped call evicts
+            # for it. The residual overshoot is bounded by the single
+            # largest entry (the count bound still caps entry count).
+            while len(_LIVE_CACHES) > 1 and _cached_bytes(spark) > budget:
+                _LIVE_CACHES.pop(0)[1].unpersist(blocking=True)
+        except Exception:
+            # storage introspection is best-effort (e.g. Spark Connect has
+            # no _jsc); the count bound above still applies
+            pass
     return df

@@ -169,6 +169,9 @@ def run_streaming_sync(
         totals["received"] += stats.received
         totals["success"] += stats.success
         totals["failed"] += stats.failed
+        # sink-reported skips (mixpanel lookback/already-processed drops)
+        # fold in like every other delivery path (_fold_stats / acc)
+        totals["skipped"] += stats.skipped
 
     query = (
         reader.writeStream.foreachBatch(handle_batch)
@@ -209,11 +212,17 @@ def windowed_event_counts(
     watermark: str = "10 minutes",
     window_size: str = "5 minutes",
     group_col: str = "event_type",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation — the late-data policy the
-    reference approximates with mixpanel's lookback window (SURVEY §2D)."""
+    reference approximates with mixpanel's lookback window (SURVEY §2D).
+    ``value_col=None`` emits counts only (streams without a numeric value
+    column used to fail analysis on the hardcoded ``sum(value)``)."""
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_size), group_col)
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(*aggs)
     )

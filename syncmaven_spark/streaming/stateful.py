@@ -17,6 +17,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _key_type(df: DataFrame, key_col: str) -> str:
+    """DDL type of the grouping key, taken from the INPUT schema — a
+    hardcoded ``long`` used to break any stream with a string/other key."""
+    return df.schema[key_col].dataType.simpleString()
+
+
 def streaming_running_totals(
     stream_df: DataFrame,
     key_col: str = "user_id",
@@ -29,9 +35,16 @@ def streaming_running_totals(
     query's checkpoint: a restarted query continues the totals exactly where
     the previous run stopped — the streaming analog of the cursor row in the
     reference's state store (``$lastCursor`` semantics, sync.ts:460-468).
+
+    ``NoTimeout`` is deliberate: running totals are forever by definition,
+    so state size is bounded by KEY CARDINALITY (one small row per key),
+    not by time — the right bound for the user/account keys this mirrors.
     """
 
-    output_schema = f"{key_col} long, n_events long, total_value double"
+    output_schema = (
+        f"{key_col} {_key_type(stream_df, key_col)}, "
+        "n_events long, total_value double"
+    )
     state_schema = "n long, total double"
 
     def update(
@@ -68,6 +81,7 @@ def streaming_sessionize(
     gap_seconds: int = 1800,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    flush_idle: bool = False,
 ) -> DataFrame:
     """Event-time sessionization with managed per-key state.
 
@@ -75,18 +89,50 @@ def streaming_sessionize(
     timestamp exceeds the gap closes the open session and emits it, then
     starts a new one. Open sessions survive restarts via the checkpoint.
     Emits only *closed* sessions (append semantics).
+
+    Semantics hardened by review:
+
+    - **Late events merge, never rewind**: an event older than the open
+      session's last-seen timestamp (late across micro-batches) extends the
+      session backwards (``start = min``, ``last = max``) instead of
+      rewinding ``last`` — rewinding made the NEXT event measure a bogus
+      gap and split the session with a wrong end time.
+    - **Null timestamps are dropped** (they decoded to INT64_MIN and opened
+      a 1677-era garbage session).
+    - **Idle keys can flush** (``flush_idle``): a processing-time timeout
+      of one gap emits the open session and FREES the state row. ALWAYS-ON
+      queries should enable this — without it a key's final session is
+      never emitted and its state lives in the checkpoint forever
+      (unbounded state growth). It stays OFF by default because a pending
+      processing-time timeout keeps an ``availableNow``/batch-style run
+      alive waiting for the gap to elapse — the run never terminates.
     """
 
     output_schema = (
-        f"{key_col} long, session_start timestamp, session_end timestamp, n_events long"
+        f"{key_col} {_key_type(stream_df, key_col)}, "
+        "session_start timestamp, session_end timestamp, n_events long"
     )
     state_schema = "start_us long, last_us long, n long"
+
+    def _closed_row(key, start_us: int, last_us: int, n: int) -> dict[str, Any]:
+        return {
+            key_col: key[0],
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us, unit="us"),
+            "n_events": n,
+        }
 
     def update(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle flush: emit the open session and free the state row
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([_closed_row(key, start_us, last_us, n)])
+            return
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -94,23 +140,22 @@ def streaming_sessionize(
         closed: list[dict[str, Any]] = []
         rows: list[int] = []
         for pdf in batches:
-            rows.extend(int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col]))
+            ts = pd.to_datetime(pdf[ts_col]).dropna()  # NaT → no session
+            rows.extend(int(v.value) // 1000 for v in ts)
         for ts_us in sorted(rows):
             if last_us is not None and ts_us - last_us > gap_seconds * 1_000_000:
-                closed.append(
-                    {
-                        key_col: key[0],
-                        "session_start": pd.Timestamp(start_us, unit="us"),
-                        "session_end": pd.Timestamp(last_us, unit="us"),
-                        "n_events": n,
-                    }
-                )
-                start_us, n = ts_us, 0
+                closed.append(_closed_row(key, start_us, last_us, n))
+                start_us, last_us, n = ts_us, ts_us, 0
             if start_us is None:
-                start_us = ts_us
-            last_us = ts_us
+                start_us, last_us = ts_us, ts_us
+            # merge without rewinding: a late event may extend backwards
+            start_us = min(start_us, ts_us)
+            last_us = max(last_us, ts_us)
             n += 1
-        state.update((start_us, last_us, n))
+        if n > 0:
+            state.update((start_us, last_us, n))
+            if flush_idle:
+                state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(closed)
 
@@ -121,6 +166,10 @@ def streaming_sessionize(
             outputStructType=output_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if flush_idle
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

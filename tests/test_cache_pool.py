@@ -83,3 +83,22 @@ def test_results_identical_after_eviction(spark):
     # a was evicted; plans still holding it recompute, same answer
     after = a.agg(F.sum("id")).collect()[0][0]
     assert before == after
+
+
+def test_budget_conf_parses_size_strings_and_warns_on_garbage(caplog):
+    """'4g'-style Spark size strings are the natural way to set the byte
+    budget; a garbage value must fall back to the default WITH a warning
+    (it used to silently disable byte eviction via the best-effort
+    except)."""
+    import logging
+
+    from syncmaven_spark.operators.cache import _DEFAULT_MAX_BYTES, _parse_budget
+
+    assert _parse_budget(None) == _DEFAULT_MAX_BYTES
+    assert _parse_budget("1048576") == 1 << 20
+    assert _parse_budget("4g") == 4 << 30
+    assert _parse_budget("512M") == 512 << 20
+    assert _parse_budget("2 GB") == 2 << 30
+    with caplog.at_level(logging.WARNING, "syncmaven_spark.operators.cache"):
+        assert _parse_budget("lots") == _DEFAULT_MAX_BYTES
+    assert any("not a size" in r.message for r in caplog.records)
