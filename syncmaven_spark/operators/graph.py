@@ -52,6 +52,7 @@ Scale notes:
 from __future__ import annotations
 
 import atexit
+import glob
 import shutil
 import tempfile
 
@@ -278,13 +279,28 @@ def connected_components(
             F.col(src).cast(common_type).alias("a"),
             F.col(dst).cast(common_type).alias("b"),
         )
-        probe = raw.limit(local_finish_edges + 1).toPandas()
-        if len(probe) <= local_finish_edges:
-            out = _components_from_pdf(raw, probe[probe["a"] != probe["b"]])
-            if nodes is not None:
-                out = _with_isolated(out, nodes)
-            return out
-        del probe
+        # the probe is only a genuine short-circuit when limit() doesn't
+        # sit above an (uncached) shuffle — otherwise it executes the full
+        # upstream map side, and a BIG graph would then recompute that
+        # whole pipeline again for the canonical distinct below (2x the
+        # expensive part). Cached inputs (e.g. the dedup pipeline's
+        # pool-persisted verified pairs) stay probe-safe regardless.
+        level = edges.storageLevel
+        probe_safe = level.useMemory or level.useDisk
+        if not probe_safe:
+            try:
+                plan = raw._jdf.queryExecution().executedPlan().toString()
+                probe_safe = "Exchange" not in plan
+            except Exception:
+                probe_safe = True  # no introspection (Connect): old behavior
+        if probe_safe:
+            probe = raw.limit(local_finish_edges + 1).toPandas()
+            if len(probe) <= local_finish_edges:
+                out = _components_from_pdf(raw, probe[probe["a"] != probe["b"]])
+                if nodes is not None:
+                    out = _with_isolated(out, nodes)
+                return out
+            del probe
 
     # canonical undirected form (a > b), self-loops dropped
     cur = (
@@ -354,10 +370,13 @@ def connected_components(
             out = _roundtrip(out, f"{work_dir}/labels")
     finally:
         confs.restore()
-    shutil.rmtree(f"{work_dir}/it_0", ignore_errors=True)
-    if final_it >= 1:
-        shutil.rmtree(f"{work_dir}/it_{final_it - 1}", ignore_errors=True)
-    shutil.rmtree(f"{work_dir}/it_{final_it}", ignore_errors=True)
+        # it_* rounds are dead once `out` is materialized (labels roundtrip
+        # / eager local finish above) — and on ANY exception, including the
+        # fixpoint RuntimeError: a caller-supplied work_dir must not
+        # accumulate leaked round files (only the tempdir default has
+        # atexit cleanup)
+        for leftover in glob.glob(f"{work_dir}/it_*"):
+            shutil.rmtree(leftover, ignore_errors=True)
     return out
 
 

@@ -32,6 +32,15 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _cosine(dot, norm_a, norm_b, round_to: int):
+    """Cosine with a guarded denominator: a zero-norm vector scores 0
+    against everything — matching the numpy kernels' ``norm + 1e-12``
+    normalization. The bare division produced 0/0 = NaN, which Spark
+    ORDERS ABOVE every double (a zero vector ranked #1 for every query)
+    and treats as ``>= threshold`` in filters."""
+    return F.round(dot / F.greatest(norm_a * norm_b, F.lit(1e-12)), round_to)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -40,20 +49,21 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     round_to: int = 4,
 ) -> DataFrame:
-    """Exact top-k neighbors per query: ``(q_id, n_id, cos_sim, rank)``."""
-    c = corpus.select(
+    """Exact top-k neighbors per query: ``(q_id, n_id, cos_sim, rank)``.
+    Null embeddings are excluded (a null vector has no similarity)."""
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
     ).withColumn("n_norm", F.sqrt(_dot(F.col("n_vec"), F.col("n_vec"))))
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
 
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
         "q_id",
         "n_id",
-        F.round(
-            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
-            round_to,
+        _cosine(
+            _dot(F.col("q_vec"), F.col("n_vec")),
+            F.col("q_norm"), F.col("n_norm"), round_to,
         ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
@@ -79,8 +89,15 @@ def train_centroids(
     memory flat. Pass ``order_col`` for a reproducible sample (plain limit()
     order depends on partition layout).
     """
-    sampled = df if order_col is None else df.orderBy(order_col)
+    sampled = df.filter(F.col(vec_col).isNotNull())
+    if order_col is not None:
+        sampled = sampled.orderBy(order_col)
     sample = sampled.select(vec_col).limit(sample_size).collect()
+    if not sample:
+        raise ValueError(
+            "cannot train centroids on an empty (or all-null-embedding) "
+            "corpus"
+        )
     X = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -108,17 +125,25 @@ def assign_cells(
     One vectorized pandas pass; the centroid matrix rides the closure as a
     broadcast-sized constant.
     """
+    # capture the numpy array directly: a .tolist() round-trip inflates the
+    # closure pickle ~5-10x (per-element Python floats) vs numpy's raw
+    # buffer and re-pays np.array() per task
     cn = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12)
-    c_list = cn.tolist()
-    n_probe = min(n_probe, len(c_list))
+    n_probe = min(n_probe, len(cn))
+    dim = cn.shape[1]
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def nearest_cells(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        C = np.array(c_list)
+        zero = [0.0] * dim
         for series in batches:
-            X = np.array(series.tolist(), dtype=np.float64)
+            # null embeddings keep their row (this op appends a column):
+            # a zero vector scores 0 everywhere and gets an arbitrary cell
+            X = np.array(
+                [v if v is not None else zero for v in series.tolist()],
+                dtype=np.float64,
+            )
             Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
-            sims = Xn @ C.T
+            sims = Xn @ cn.T
             top = np.argsort(-sims, axis=1)[:, :n_probe]
             yield pd.Series([row.tolist() for row in top])
 
@@ -144,18 +169,27 @@ def cosine_pairs_exact(
     go through ``cosine_pairs_lsh`` (candidates) → this (verification on the
     candidate set).
     """
-    n = df.count()
-    if n > max_broadcast_rows:
+    source = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    # ONE bounded job: probing limit(max+1) both enforces the cap and
+    # collects the matrix (round-4 review: a separate count() paid a full
+    # extra pass over the lineage — and an over-limit input paid it before
+    # erroring)
+    rows = source.limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
         raise ValueError(
-            f"exact all-pairs cosine on {n} rows exceeds max_broadcast_rows="
-            f"{max_broadcast_rows}; use cosine_pairs_lsh for candidate "
-            "generation at this scale"
+            f"exact all-pairs cosine on >{max_broadcast_rows} rows exceeds "
+            f"max_broadcast_rows={max_broadcast_rows}; use cosine_pairs_lsh "
+            "for candidate generation at this scale"
         )
-    rows = df.select(id_col, vec_col).collect()
-    ids = [r[0] for r in rows]
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
+        )
+    b_ids = np.array([r[0] for r in rows])
     M = np.array([r[1] for r in rows], dtype=np.float64)
-    Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
-    id_arr, mat = ids, Mn.tolist()
+    B = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+    # B/b_ids captured as numpy (compact buffer pickle), not .tolist()
 
     out_schema = (
         f"id_a {df.schema[id_col].dataType.simpleString()}, "
@@ -163,8 +197,6 @@ def cosine_pairs_exact(
     )
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        B = np.array(mat)
-        b_ids = np.array(id_arr)
         for pdf in batches:
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if len(X) == 0:
@@ -180,7 +212,7 @@ def cosine_pairs_exact(
                 out_s.extend(sims[i][mask])
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
 
-    return df.select(id_col, vec_col).mapInPandas(pairs, out_schema)
+    return source.mapInPandas(pairs, out_schema)
 
 
 def cosine_pairs_lsh(
@@ -203,8 +235,11 @@ def cosine_pairs_lsh(
     100-TB near-dup mining feasible; tune (n_planes, n_tables) to the target
     similarity band.
     """
-    # planes need the vector dimension — read it from one row
-    first = df.select(vec_col).first()
+    from syncmaven_spark.operators.cache import persist_scoped
+
+    # planes need the vector dimension — read it from one non-null row
+    nonnull = df.filter(F.col(vec_col).isNotNull())
+    first = nonnull.select(vec_col).first()
     if first is None:  # empty corpus → no pairs
         return df.sparkSession.createDataFrame(
             [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
@@ -212,51 +247,68 @@ def cosine_pairs_lsh(
         )
     dim = len(first[0])
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables * n_planes, dim)).tolist()
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        P = np.array(planes)  # (T*k, dim)
-        weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
         for series in batches:
             X = np.array(series.tolist(), dtype=np.float64)
-            bits = (X @ P.T) > 0  # (n, T*k)
+            bits = (X @ planes.T) > 0  # (n, T*k)
             out = []
             for row in bits:
                 tables = row.reshape(n_tables, n_planes)
                 out.append([int(t @ weights) for t in tables])
             yield pd.Series(out)
 
-    with_buckets = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("vec"),
-        buckets(F.col(vec_col)).alias("_buckets"),
-    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    # persisted: the bucketed table feeds the a/b sides of the candidate
+    # join AND the two vector re-joins below — without the pool each would
+    # recompute the hashing UDF over the corpus
+    with_buckets = persist_scoped(
+        nonnull.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("vec"),
+            buckets(F.col(vec_col)).alias("_buckets"),
+        ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    )
 
+    # the bucket join carries IDS ONLY: melting the vectors through
+    # posexplode shuffled ~2 x n_tables copies of every embedding (96x at
+    # n_tables=48) through the join and the dedup — the vectors join back
+    # exactly once per side AFTER candidate dedup
     melted = with_buckets.select(
-        id_col, "vec", "norm",
-        F.posexplode("_buckets").alias("table_id", "bucket"),
+        id_col, F.posexplode("_buckets").alias("table_id", "bucket")
     )
-    a = melted.select(
-        "table_id", "bucket",
-        F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"),
-    )
-    b = melted.select(
-        "table_id", "bucket",
-        F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
-    )
-    candidates = (
+    a = melted.select("table_id", "bucket", F.col(id_col).alias("id_a"))
+    b = melted.select("table_id", "bucket", F.col(id_col).alias("id_b"))
+    candidate_ids = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b", "norm_a", "norm_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = with_buckets.select(id_col, "vec", "norm")
+    candidates = (
+        candidate_ids.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
+            ),
+            "id_b",
+        )
     )
     return (
         candidates.withColumn(
             "cos_sim",
-            F.round(
-                _dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                round_to,
+            _cosine(
+                _dot(F.col("vec_a"), F.col("vec_b")),
+                F.col("norm_a"), F.col("norm_b"), round_to,
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -281,7 +333,15 @@ def cosine_topk_ivf(
     The candidate join is an equi-join on cell id — shuffle keyed by cell —
     then the same windowed top-k as brute force scores only candidates.
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     if centroids is None:
+        if corpus.select(vec_col).first() is None:  # empty corpus → no hits
+            return corpus.sparkSession.createDataFrame(
+                [], f"q_id {corpus.schema[id_col].dataType.simpleString()}, "
+                    f"n_id {corpus.schema[id_col].dataType.simpleString()}, "
+                    "cos_sim double, rank int"
+            )
         centroids = train_centroids(corpus, vec_col, n_centroids)
 
     c_assigned = (
@@ -309,9 +369,9 @@ def cosine_topk_ivf(
     scored = pairs.select(
         "q_id",
         "n_id",
-        F.round(
-            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
-            round_to,
+        _cosine(
+            _dot(F.col("q_vec"), F.col("n_vec")),
+            F.col("q_norm"), F.col("n_norm"), round_to,
         ).alias("cos_sim"),
     ).dropDuplicates(["q_id", "n_id"])
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))

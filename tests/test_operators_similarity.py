@@ -82,3 +82,60 @@ def test_ivf_recall_against_bruteforce(embeddings):
     assert sum(recalls) / len(recalls) >= 0.5
     # every approx hit is a real corpus vector with a valid score
     assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in approx)
+
+
+def test_zero_norm_and_null_embeddings(spark):
+    """Review regressions: a zero vector must score 0 (not NaN — Spark
+    orders NaN above every double, so it ranked #1 for every query and
+    passed threshold filters), and null embeddings must not crash the
+    pandas kernels."""
+    from syncmaven_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_pairs_lsh,
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero norm
+        (4, None),  # null embedding
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = cosine_topk_bruteforce(df, df, k=1).collect()
+    by_q = {r.q_id: r for r in top}
+    assert by_q[1].n_id == 2  # the real neighbor, not the zero vector
+    assert by_q[3].cos_sim == 0.0  # zero vector scores 0 everywhere
+    assert 4 not in by_q  # null embedding excluded
+
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs_exact(df, 0.8).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_lsh(df, 0.8, n_planes=4, n_tables=8).collect()
+    }
+    assert exact == {(1, 2)}
+    assert lsh <= exact  # no NaN pair leaks through the threshold
+
+    ivf = cosine_topk_ivf(df, df, k=1, n_centroids=2).collect()
+    assert {r.q_id for r in ivf} <= {1, 2, 3}
+    assert all(r.n_id != 3 or r.cos_sim == 0.0 for r in ivf)
+
+
+def test_similarity_empty_corpus(spark):
+    """Empty (or all-null) corpora short-circuit instead of crashing
+    centroid training with a numpy AxisError."""
+    import pytest as _pytest
+
+    from syncmaven_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_topk_ivf,
+        train_centroids,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_topk_ivf(empty, empty, k=3).count() == 0
+    assert cosine_pairs_exact(empty, 0.9).count() == 0
+    with _pytest.raises(ValueError, match="empty"):
+        train_centroids(empty)
