@@ -55,13 +55,30 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     scale the input already has many splits and this is a cheap no-op-ish
     round-robin of similar-sized partitions.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # never COALESCE a finer layout: repartition always produces exactly N
+    # partitions, and N = cores on a many-split 100-TB input would pack
+    # ~125 GB per partition — take the max of cluster parallelism and the
+    # input's own split count
+    spark = df.sparkSession
+    parallelism = max(
+        spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+    )
     return df.repartition(parallelism, id_col)
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
-    """Keep the lowest-id row per exact content group. One shuffle."""
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    """Keep the lowest-id row per exact content group. One shuffle.
+
+    The content key hashes a JSON struct of the columns, not a
+    concat_ws join: concat_ws SKIPS nulls, so ('x', NULL) and (NULL, 'x')
+    hashed identically and one of two DISTINCT rows was dropped as a
+    duplicate (and a separator character inside a value could likewise
+    forge a collision). JSON field names pin each value to its column and
+    escaping kills separator injection.
+    """
+    key = F.md5(
+        F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in cols]))
+    )
     keep = (
         df.groupBy(key.alias("_content_hash"))
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("_n_copies"))
@@ -338,6 +355,16 @@ def simhash_near_dups(
     # expensive explode/64-agg lineage from being recomputed for both sides
     # of the self-join (safe at any corpus size; it's signatures, not text)
     sig = _persist_scoped(simhash(df, text_col, id_col))
+
+    def chunk_val(c: int):
+        if n_chunks == 1:
+            # max_hamming=0 (exact-signature matching): the whole hash IS
+            # the chunk — a (1 << 64) - 1 mask does not fit a long literal
+            return F.col("simhash")
+        return F.shiftrightunsigned(F.col("simhash"), c * bits_per).bitwiseAND(
+            F.lit((1 << bits_per) - 1)
+        )
+
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -345,9 +372,7 @@ def simhash_near_dups(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk_id"),
-                    F.shiftrightunsigned(F.col("simhash"), c * bits_per)
-                    .bitwiseAND(F.lit((1 << bits_per) - 1))
-                    .alias("chunk_val"),
+                    chunk_val(c).alias("chunk_val"),
                 )
                 for c in range(n_chunks)
             ])

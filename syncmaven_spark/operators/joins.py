@@ -74,9 +74,14 @@ def asof_join(
 
     # right rows sort before left rows at equal ts → "at-or-before" includes
     # exact-timestamp matches
+    # the trailing _r orders struct-wise (field by field): when the right
+    # side has several rows at the same (by, on) value, the carried match
+    # is the struct-max of them — DETERMINISTIC across runs and task
+    # retries, where plain (on, _side) ordering picked whichever row the
+    # partition's physical order put last
     w = (
         W.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
@@ -133,7 +138,14 @@ def asof_join_grouped(
             return out
         kwargs = {}
         if tolerance_seconds is not None:
-            kwargs["tolerance"] = pd.Timedelta(seconds=tolerance_seconds)
+            # merge_asof needs the tolerance in the `on` column's own
+            # domain: a Timedelta against a numeric ordering column raised
+            # MergeError inside the UDF (the sibling asof_join supports
+            # numeric `on`; this now matches)
+            if pd.api.types.is_datetime64_any_dtype(l_sorted[on]):
+                kwargs["tolerance"] = pd.Timedelta(seconds=tolerance_seconds)
+            else:
+                kwargs["tolerance"] = tolerance_seconds
         merged = pd.merge_asof(
             l_sorted, r_sorted, on=on, direction=direction, **kwargs
         )

@@ -30,12 +30,25 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the left side salted across ``factor`` buckets.
 
-    Left rows get a deterministic pseudo-random salt derived from their
-    full row hash; the right side replicates each row once per salt value.
-    Result equals ``left.join(right, key, how)`` for inner/left joins.
+    Left rows get a ``rand(seed)``-derived salt — NOT a content hash: the
+    classic skew case is a hot key of byte-IDENTICAL rows (event/log
+    spam), which a row hash would put on ONE salt, leaving the skew
+    intact. ``rand`` is deterministic per (partition, row offset) for a
+    fixed input partitioning, so task retries regenerate the same salts.
+    The right side replicates each row once per salt value. Result equals
+    ``left.join(right, key, how)`` for inner/left joins ONLY — in a
+    right/full outer join every unmatched replicated right copy would
+    surface as a spurious NULL-padded row, so those reject.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join is only correct for inner/left-family joins, "
+            f"got how={how!r} (replicated right copies would emit spurious "
+            "unmatched rows)"
+        )
     salted_left = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(factor))
+        "_salt", F.floor(F.rand(0x5A17) * factor).cast("long")
     )
     salts = F.explode(F.array(*[F.lit(i).cast("long") for i in range(factor)]))
     salted_right = right.withColumn("_salt", salts)

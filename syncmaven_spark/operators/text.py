@@ -35,8 +35,17 @@ def language_id(
     CJK text is detected by character-class ratio first (stopword tokens
     don't apply); otherwise the language with the highest stopword hit rate
     wins, 'und' (undetermined) when nothing matches.
+
+    Tokenization: non-word runs (punctuation, newlines) normalize to TWO
+    spaces before padding, so stopwords adjacent to punctuation or at line
+    boundaries count, and adjacent repeats ("the the the") don't share
+    their separating space under the non-overlapping replace counter.
     """
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\W+", "  "),
+        F.lit(" "),
+    )
     out = df
     for lang, words in STOPWORDS.items():
         score = None
@@ -61,7 +70,10 @@ def token_count(
     df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
 ) -> DataFrame:
     """Whitespace token count plus a BPE-ish subword estimate
-    (``n_bpe_tokens`` ≈ word pieces split on 4-char boundaries + punct)."""
+    (``n_bpe_tokens`` ≈ word pieces split on 4-char boundaries + punct).
+    Empty/whitespace-only text counts 0 — ``split('')`` returns ``['']``
+    of size 1, which previously let empty docs through token filters."""
+    empty = F.length(F.trim(F.col(text_col))) == 0
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     bpe_ish = F.size(
         F.split(
@@ -73,7 +85,9 @@ def token_count(
             r"\s+",
         )
     )
-    return df.withColumn(out_col, F.size(words)).withColumn("n_bpe_tokens", bpe_ish)
+    return df.withColumn(
+        out_col, F.when(empty, 0).otherwise(F.size(words))
+    ).withColumn("n_bpe_tokens", F.when(empty, 0).otherwise(bpe_ish))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -85,11 +99,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     and entirely JVM-side.
     """
     text = F.col(text_col)
-    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " ")), r"\s+")
-    n_words = F.size(words)
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " "))
+    words = F.split(normalized, r"\s+")
+    # split('') yields [''] of size 1: empty docs must score 0 words (and
+    # a 0 distinct ratio), not survive quality filters with n_words=1
+    n_words = F.when(F.length(normalized) == 0, 0).otherwise(F.size(words))
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-zÀ-ɏ]", ""))
-    distinct_ratio = F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1))
+    distinct_ratio = F.when(n_words == 0, 0.0).otherwise(
+        F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1))
+    )
     mean_word_len = (
         F.length(F.regexp_replace(text, r"\s", "")) / F.greatest(n_words, F.lit(1))
     )

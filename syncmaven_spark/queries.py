@@ -1516,7 +1516,8 @@ def _langid_oracle_sql() -> str:
         f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
     )
     return (
-        "WITH p AS (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS pad "
+        "WITH p AS (SELECT doc_id, lang, text, "
+        "' ' || regexp_replace(lower(text), '[^\\w]+', '  ', 'g') || ' ' AS pad "
         "FROM documents), "
         "s AS (SELECT doc_id, lang, text, " + ", ".join(score_exprs) + " FROM p), "
         f"b AS (SELECT *, {best} AS best FROM s) "

@@ -260,3 +260,125 @@ def _pivot(spark):
         "user_id",
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in ("click", "view", "purchase")],
     )
+
+
+def test_exact_dedup_null_position_is_distinct(spark):
+    """Round-4 review: concat_ws skips NULLs, so ('x', NULL) and (NULL,
+    'x') hashed identically and a distinct row was dropped as a duplicate;
+    the JSON-struct key keeps them apart (and kills separator injection:
+    ('a\\x1fb','c') vs ('a','b\\x1fc'))."""
+    from syncmaven_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "x", None),
+         (4, "a\x1fb", "c"), (5, "a", "b\x1fc")],
+        "id long, a string, b string",
+    )
+    kept = exact_dedup(df, ["a", "b"], "id").collect()
+    by_id = {r.id: r.is_duplicate_group for r in kept}
+    assert set(by_id) == {1, 2, 4, 5}  # only the true duplicate (3) drops
+    assert by_id[1] is True and by_id[2] is False
+    assert by_id[4] is False and by_id[5] is False
+
+
+def test_salted_join_rejects_right_outer_and_spreads_duplicates(spark):
+    """Round-4 review: right/full outer emits spurious NULL-padded rows
+    under salting (reject); and byte-identical hot rows must spread over
+    salts (a content-hash salt put them all on one)."""
+    import pytest as _pytest
+
+    from syncmaven_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([("k", 1)] * 64, "key string, v int")
+    right = spark.createDataFrame([("k", 9)], "key string, w int")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "key", how="right")
+    out = salted_join(left, right, "key", factor=8)
+    assert out.count() == 64  # equivalent to the plain join
+    salts = (
+        left.withColumn("_s", __import__("pyspark").sql.functions.floor(
+            __import__("pyspark").sql.functions.rand(0x5A17) * 8))
+        .select("_s").distinct().count()
+    )
+    assert salts > 1  # identical rows land on multiple salts
+
+
+def test_simhash_exact_signature_blocking(spark):
+    """max_hamming=0 (single 64-bit chunk) no longer overflows the long
+    literal; identical texts pair, near-identical do not."""
+    from syncmaven_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "an utterly different document about spark engines")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dups(df, "text", "doc_id", max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_asof_grouped_numeric_on_with_tolerance(spark):
+    """Round-4 review: a Timedelta tolerance against a numeric ordering
+    column crashed pd.merge_asof inside the UDF."""
+    from syncmaven_spark.operators.joins import asof_join_grouped
+
+    left = spark.createDataFrame(
+        [("k", 10.0, "l1"), ("k", 20.0, "l2")], "k string, ts double, lv string"
+    )
+    right = spark.createDataFrame(
+        [("k", 9.0, "r1"), ("k", 12.0, "r2")], "k string, ts double, rv string"
+    )
+    out = {r.lv: r.right_rv for r in asof_join_grouped(
+        left, right, on="ts", by="k", tolerance_seconds=2.0
+    ).collect()}
+    assert out == {"l1": "r1", "l2": None}  # 20-12=8 > 2 → no match
+
+
+def test_asof_join_ties_are_deterministic(spark):
+    """Multiple right rows at the same (by, on): the carried match is the
+    struct-max — stable across runs and partitionings."""
+    from pyspark.sql import functions as F
+
+    from syncmaven_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 10, 1)], "k string, ts long, l int")
+    right = spark.createDataFrame(
+        [("k", 10, "a"), ("k", 10, "b")], "k string, ts long, val string"
+    ).repartition(4)
+    results = {
+        asof_join(left, right, on="ts", by="k").collect()[0].right_val
+        for _ in range(5)
+    }
+    assert results == {"b"}  # struct-max tie-break, every run
+
+
+def test_empty_text_scores_zero_tokens(spark):
+    """split('') returns [''] of size 1: empty/whitespace docs must count
+    0 tokens and score 0 quality, not sneak through filters."""
+    from syncmaven_spark.operators.text import quality_features, token_count
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")], "doc_id long, text string"
+    )
+    toks = {r.doc_id: (r.n_tokens, r.n_bpe_tokens) for r in token_count(df).collect()}
+    assert toks[1] == (0, 0) and toks[2] == (0, 0)
+    assert toks[3][0] == 3
+    q = {r.doc_id: (r.q_n_words, r.q_distinct_ratio, r.quality_score)
+         for r in quality_features(df).collect()}
+    assert q[1] == (0, 0.0, 0.0) and q[2] == (0, 0.0, 0.0)
+    assert q[3][0] == 3 and q[3][2] > 0
+
+
+def test_language_id_handles_punctuation_and_repeats(spark):
+    """Stopwords adjacent to punctuation/newlines count, and adjacent
+    repeats don't lose hits to the shared separating space."""
+    from syncmaven_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [(1, "the\ncat sat on the mat."), (2, "the the the")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.score_en, r.lang_pred) for r in language_id(df).collect()}
+    assert out[1][0] == 2 and out[1][1] == "en"
+    assert out[2][0] == 3
