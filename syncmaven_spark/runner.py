@@ -254,7 +254,10 @@ def run_sync(
                 next_rows: list[dict[str, Any]] = []
                 for r in out_rows:
                     try:
-                        enriched = enrichment.enrich(r)
+                        # list() inside the try: a generator raising
+                        # mid-iteration must drop this row, not crash the
+                        # sync (or deliver a partial expansion)
+                        enriched = list(enrichment.enrich(r))
                     except Exception as e:  # enrichment errors drop the row
                         log.warning("enrichment error, row dropped: %s", e)
                         enriched = []
@@ -531,8 +534,10 @@ def _enrich_distributed(
     """Executor-parallel enrichment chain for the distributed path
     (reference applies enrichments between validation and delivery,
     sync.ts:539-554): each stage is an Arrow-batched ``mapInPandas``
-    row→0..N expansion, and enriched outputs are re-validated before
-    delivery exactly like the parity path (sync.ts:556-564).
+    row→0..N expansion, and outputs are re-validated AFTER EACH STAGE —
+    the reference (applyEnrichment, sync.ts:600-607) and this repo's own
+    parity loop both drop a stage's invalid output before the next stage
+    runs, so a row one stage invalidates never feeds the next.
 
     ``drop_acc`` (optional accumulator): counts enriched rows dropped by the
     re-validation so they surface in ``stats.skipped`` — observe() cannot
@@ -544,10 +549,12 @@ def _enrich_distributed(
 
     for enrichment in sync.enrichments:
         valid = enrich_dataframe(valid, lambda e=enrichment: e)
-    tagged = with_validation_column(valid, spec.row_type)
-    if drop_acc is None:
-        return tagged.filter(F.col("_valid")).drop("_valid")
-    return _filter_valid_counting(tagged, drop_acc)
+        tagged = with_validation_column(valid, spec.row_type)
+        if drop_acc is None:
+            valid = tagged.filter(F.col("_valid")).drop("_valid")
+        else:
+            valid = _filter_valid_counting(tagged, drop_acc)
+    return valid
 
 
 def _filter_valid_counting(tagged: DataFrame, drop_acc) -> DataFrame:

@@ -10,6 +10,7 @@ external oracles and golden files.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -25,6 +26,19 @@ def get_spark(
     ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS`` so that
     the bench driver controls parallelism without code changes.
     """
+    # Pin the PYTHON process to UTC, not just the Spark session: PySpark's
+    # non-Arrow driver conversion (toLocalIterator/collect/Observation row
+    # values) builds naive datetimes with datetime.fromtimestamp() in the
+    # OS timezone, IGNORING spark.sql.session.timeZone. On a UTC+2 host a
+    # 12:00Z cursor would arrive as naive 14:00, get persisted as
+    # "14:00Z", and the next incremental run's >= predicate would silently
+    # skip two hours of rows. The engine's semantics are UTC end-to-end
+    # (golden files, DuckDB oracle, ISO-millis sinks) — documented in
+    # README; tzset is a no-op guard on platforms without it (Windows).
+    os.environ["TZ"] = "UTC"
+    if hasattr(time, "tzset"):
+        time.tzset()
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
         master = f"local[{cpus}]"
@@ -88,16 +102,24 @@ def read_parquet(spark: SparkSession, path: str):
     if not nanos_cols:
         return spark.read.parquet(path)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    return df.select(
-        *[
-            F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
-            if c in nanos_cols
-            else F.col(c)
-            for c in df.columns
-        ]
-    )
+    # scope the legacy conf to THIS read: left set session-wide, a later
+    # read whose footer probe failed would silently deliver raw int64
+    # nanos as longs instead of raising PARQUET_TYPE_ILLEGAL loudly
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)  # schema resolves eagerly here
+        return df.select(
+            *[
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
+                if c in nanos_cols
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
 
 
 # DataFrame catalog per (session, directory): building the table DataFrames
@@ -154,6 +176,11 @@ def load_tables(
     # parity). The round driver may hand us a session with a different zone —
     # pin it here so LTZ values (e.g. the nanos-cast events.ts) and
     # epoch/date functions are deterministic regardless of the host session.
+    # Python's process tz is pinned too (see get_spark): driver-side row
+    # conversion ignores the session zone on non-UTC hosts.
+    os.environ["TZ"] = "UTC"
+    if hasattr(time, "tzset"):
+        time.tzset()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Testdata parquet stores timestamps as timestamp[us] with
     # isAdjustedToUTC=false; Spark 4 would infer TIMESTAMP_NTZ, which breaks

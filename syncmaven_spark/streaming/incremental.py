@@ -98,8 +98,9 @@ def run_streaming_sync(
                 drop_acc = sc.accumulator(0)
                 if enrichments:
                     # row → 0..N enrichment stages, executor-parallel, with
-                    # re-validation — same chain as run_sync_distributed;
-                    # re-validation drops ride drop_acc into skipped
+                    # PER-STAGE re-validation — same chain as
+                    # run_sync_distributed (a stage's invalid output never
+                    # feeds the next stage); drops ride drop_acc
                     from syncmaven_spark.enrich import enrich_dataframe
                     from syncmaven_spark.runner import _filter_valid_counting
 
@@ -107,9 +108,10 @@ def run_streaming_sync(
                         valid = enrich_dataframe(
                             valid, lambda e=enrichment: e
                         )
-                    valid = _filter_valid_counting(
-                        with_validation_column(valid, spec.row_type), drop_acc
-                    )
+                        valid = _filter_valid_counting(
+                            with_validation_column(valid, spec.row_type),
+                            drop_acc,
+                        )
                 # sink-reported stats ride accumulators back from the
                 # executors, so both delivery paths report the same way:
                 # received = rows handed to sinks, failed = sink failures,
@@ -152,7 +154,7 @@ def run_streaming_sync(
                 next_rows: list[dict[str, Any]] = []
                 for r in out_rows:
                     try:
-                        enriched = enrichment.enrich(r)
+                        enriched = list(enrichment.enrich(r))
                     except Exception:
                         enriched = []  # enrichment errors drop the row
                     for er in enriched:

@@ -58,9 +58,15 @@ class ErrorThreshold:
 
     @property
     def exceeded(self) -> bool:
+        # the reference gates on the PRE-increment total (error-threshold.ts
+        # computes total = errors + success BEFORE errors++): with 80
+        # successes it aborts on the 21st error (21/100), not the 20th —
+        # mirrored here so the abort boundary and final stats match
+        pre_total = self.total - 1
         return (
-            self.total >= self.min_total
-            and self.errors / self.total >= self.max_ratio
+            pre_total >= self.min_total
+            and pre_total > 0
+            and self.errors / pre_total >= self.max_ratio
         )
 
     def check(self) -> None:
@@ -78,13 +84,17 @@ class RowValidator:
 
     def __init__(self, json_schema: dict[str, Any] | None) -> None:
         self.schema = dict(json_schema or {"type": "object"})
-        # Reference forces additionalProperties: true (uniparser.ts:51) so
-        # undeclared columns pass through as custom attributes.
-        if self.schema.get("type") == "object":
-            self.schema.setdefault("additionalProperties", True)
+        # Reference FORCES additionalProperties: true — an unconditional
+        # spread ({...schema, additionalProperties: true}, uniparser.ts:51)
+        # — so undeclared columns pass through as custom attributes even
+        # when a zod-derived schema declared additionalProperties: false.
+        self.schema["additionalProperties"] = True
         cls = jsonschema.validators.validator_for(self.schema)
         cls.check_schema(self.schema)
-        self._validator = cls(self.schema, format_checker=None)
+        # format constraints enforced like the reference's Ajv+addFormats
+        # (uniparser.ts:49-51); jsonschema checks each format when its
+        # backing package is importable (rfc3339-validator ships here)
+        self._validator = cls(self.schema, format_checker=jsonschema.FormatChecker())
 
     def is_valid(self, row: dict[str, Any]) -> bool:
         # Date → ISO stringify-parse roundtrip (uniparser.ts:54): validate the
@@ -119,9 +129,18 @@ def with_validation_column(
                 [validator._validator.is_valid(json.loads(s)) if s else False for s in series]
             )
 
+    # date/NTZ formats pinned too: the vectorized JSON image must match
+    # the driver path's RowJSONEncoder (iso_millis) byte-for-byte, or the
+    # two execution paths would disagree on rows whose schema constrains
+    # such fields (pattern/format/enum)
     row_json = F.to_json(
         F.struct(*[F.col(c) for c in df.columns]),
-        {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", "ignoreNullFields": "false"},
+        {
+            "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+            "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
+            "dateFormat": "yyyy-MM-dd'T00:00:00.000Z'",
+            "ignoreNullFields": "false",
+        },
     )
     return df.withColumn(col_name, _validate(row_json))
 

@@ -382,3 +382,75 @@ def test_language_id_handles_punctuation_and_repeats(spark):
     out = {r.doc_id: (r.score_en, r.lang_pred) for r in language_id(df).collect()}
     assert out[1][0] == 2 and out[1][1] == "en"
     assert out[2][0] == 3
+
+
+def test_cursor_survives_non_utc_driver_host(tmp_path):
+    """PySpark's non-Arrow driver conversion builds naive datetimes in the
+    OS timezone, ignoring spark.sql.session.timeZone — on a UTC+X host the
+    persisted timestamp cursor shifted by X hours and the next incremental
+    run silently skipped rows. get_spark pins the PROCESS to UTC; this
+    runs a sync in a subprocess that starts in America/New_York and
+    asserts the persisted cursor equals the true UTC max."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    true_max = duckdb.sql(
+        "select strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' "
+        "from '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()[0]
+
+    script = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from syncmaven_spark import get_spark
+from syncmaven_spark.session import load_tables
+from syncmaven_spark.runner import ModelDefinition, SyncDefinition, run_sync
+from syncmaven_spark.state import InMemoryStore
+spark = get_spark(shuffle_partitions=2)
+load_tables(spark, "/root/testdata/sf0.001")
+store = InMemoryStore()
+sync = SyncDefinition(
+    id="tz", model=ModelDefinition(id="m",
+        query="select event_id, ts from events where :cursor is null or ts >= :cursor",
+        cursor="ts"),
+    destination="file", stream="raw",
+    credentials={{"filename": {str(tmp_path / 'o.ndjson')!r}}})
+run_sync(spark, sync, store)
+import json as j
+print("CURSOR=" + j.dumps(store.get(["syncId=tz", "$lastCursor=ts"])))
+"""
+    env = dict(os.environ, TZ="America/New_York")
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("CURSOR=")][0]
+    stored = json.loads(line[len("CURSOR="):])
+    assert stored["val"] == true_max, (stored, true_max)
+
+
+def test_enrichment_generator_failure_drops_whole_row(spark):
+    """A generator enrichment raising mid-iteration drops the SOURCE row's
+    entire output (reference applyEnrichment catch) — the rows yielded
+    before the error must not be delivered (they'd double up on
+    restarts)."""
+    from syncmaven_spark.enrich import enrich_dataframe
+
+    class ExplodingEnrichment:
+        def enrich(self, row):
+            yield dict(row, part=1)
+            if row["id"] == 2:
+                raise RuntimeError("boom mid-expansion")
+            yield dict(row, part=2)
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id long").withColumn(
+        "part", __import__("pyspark").sql.functions.lit(0)
+    )
+    out = enrich_dataframe(df, lambda: ExplodingEnrichment()).collect()
+    got = sorted((r.id, r.part) for r in out)
+    # row 2 contributes NOTHING — not even its first yielded expansion
+    assert got == [(1, 1), (1, 2), (3, 1), (3, 2)]
