@@ -225,4 +225,26 @@ def split_known_columns(
     return known, custom
 
 
+class StoreIdMap:
+    """In-memory cache over a state-store prefix — the CRM sinks' external-id
+    → destination-id map (hubspot index.ts:169-190; intercom contactsMap /
+    companiesMap). One implementation, shared: the '::' key parsing and
+    prefix layout must stay in lockstep with the state store."""
+
+    def __init__(self, store: Any, sync_id: str, map_name: str) -> None:
+        self._store = store
+        self._prefix = [f"syncId={sync_id}", map_name]
+        self._cache: dict[str, str] = {
+            key.split("::")[-1]: value for key, value in store.list(self._prefix)
+        }
+
+    def get(self, external_id: str) -> str | None:
+        return self._cache.get(external_id)
+
+    def set(self, external_id: str, destination_id: str) -> None:
+        if self._cache.get(external_id) != destination_id:
+            self._cache[external_id] = destination_id
+            self._store.set([*self._prefix, external_id], destination_id)
+
+
 ANY_OBJECT_SCHEMA: dict[str, Any] = {"type": "object", "additionalProperties": True}

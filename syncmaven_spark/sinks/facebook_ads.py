@@ -158,8 +158,7 @@ class FacebookAudienceStream(BatchingOutputStream):
         session = {
             "session_id": self.session_id,
             "batch_seq": self.batch_seq,
-            "last_batch_flag": False,
-            "estimated_num_total": len(rows),
+            "last_batch_flag": False,  # reference never finalizes either
         }
         self.client.add_users(self.audience_id, session, payload)
         for r in rows:
@@ -170,6 +169,9 @@ class FacebookAudienceStream(BatchingOutputStream):
 @register("facebook-ads")
 class FacebookAdsDestination(DestinationProvider):
     name = "facebook-ads"
+
+    def __init__(self) -> None:
+        self._opens: dict[tuple[str, str], int] = {}
     credentials_schema = {
         "type": "object",
         "properties": {"accessToken": {"type": "string"}, "accountId": {"type": "string"}},
@@ -195,8 +197,22 @@ class FacebookAdsDestination(DestinationProvider):
         )
         # Deterministic per-sync session id (reference uses a random one,
         # index.ts:33; determinism keeps restarts idempotent server-side).
+        # session id per stream OPEN, not per (sync, stream): a checkpoint
+        # continuation reopens the stream with batch_seq restarting at 1,
+        # and reusing the previous open's session_id would collide on
+        # (session_id, batch_seq) with DIFFERENT data — under Facebook's
+        # replay dedup the continuation batches would be silently
+        # discarded. A crash-restart builds a fresh provider (opens=0
+        # again), so identical replayed batches still dedup server-side —
+        # the property the deterministic id exists for (the reference uses
+        # Math.random() and has no replay dedup at all).
+        open_idx = self._opens.get((sync_id, stream_name), 0)
+        self._opens[(sync_id, stream_name)] = open_idx + 1
         session_id = int(
-            hashlib.md5(f"{sync_id}:{stream_name}".encode()).hexdigest()[:12], 16
+            hashlib.md5(
+                f"{sync_id}:{stream_name}:{open_idx}".encode()
+            ).hexdigest()[:12],
+            16,
         )
         return FacebookAudienceStream(
             client, store, sync_id, stream_name, options or {}, restart, session_id

@@ -97,7 +97,12 @@ class _HttpBase:
         self.url = credentials["url"]
         self.method = credentials.get("method", "POST")
         self.format = credentials.get("format", "json")
-        self.body_template = credentials.get("body")
+        body = credentials.get("body")
+        # parse the constant template ONCE — per-row json.loads of the same
+        # string was 1M redundant parses on a 1M-row sync. process_template
+        # never mutates its input (it rebuilds dicts/lists), so sharing is
+        # safe.
+        self.body_template = json.loads(body) if isinstance(body, str) else (body or {})
         self.headers = _parse_headers(credentials.get("headers"))
         timeout = credentials.get("timeout", 10_000)
         self.transport = credentials.get("_transport") or _default_transport(timeout)
@@ -119,12 +124,7 @@ class HttpSingleStream(OutputStream, _HttpBase):
 
     def _payload(self, row: dict[str, Any]) -> str:
         if self.format == "json":
-            template = (
-                json.loads(self.body_template)
-                if isinstance(self.body_template, str)
-                else (self.body_template or {})
-            )
-            return _dumps(process_template(template, row=row))
+            return _dumps(process_template(self.body_template, row=row))
         if self.format == "array":
             return _dumps(row)
         if self.format == "ndjson":
@@ -148,12 +148,7 @@ class HttpBatchStream(BatchingOutputStream, _HttpBase):
 
     def _payload(self, rows: list[dict[str, Any]]) -> str:
         if self.format == "json":
-            template = (
-                json.loads(self.body_template)
-                if isinstance(self.body_template, str)
-                else (self.body_template or {})
-            )
-            return _dumps(process_template(template, rows=rows))
+            return _dumps(process_template(self.body_template, rows=rows))
         if self.format == "array":
             return _dumps(rows)
         if self.format == "ndjson":

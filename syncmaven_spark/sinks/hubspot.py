@@ -160,23 +160,7 @@ class RestHubspotClient:
         )
 
 
-class _IdMap:
-    """In-memory cache over a state-store prefix (index.ts:169-190)."""
-
-    def __init__(self, store: Any, sync_id: str, map_name: str) -> None:
-        self._store = store
-        self._prefix = [f"syncId={sync_id}", map_name]
-        self._cache: dict[str, str] = {}
-        for key, value in store.list(self._prefix):
-            self._cache[key.split("::")[-1]] = value
-
-    def get(self, external_id: str) -> str | None:
-        return self._cache.get(external_id)
-
-    def set(self, external_id: str, destination_id: str) -> None:
-        if self._cache.get(external_id) != destination_id:
-            self._cache[external_id] = destination_id
-            self._store.set([*self._prefix, external_id], destination_id)
+from syncmaven_spark.sinks.base import StoreIdMap as _IdMap  # shared impl
 
 
 class _BaseHubspotStream(OutputStream):

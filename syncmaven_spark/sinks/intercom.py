@@ -15,6 +15,8 @@ Reference: ``packages/connectors/intercom/src/index.ts`` —
 
 from __future__ import annotations
 
+import logging
+
 import datetime as _dt
 import re
 from typing import Any, Protocol
@@ -60,6 +62,9 @@ COMPANY_ROW_TYPE = {
 }
 
 
+log = logging.getLogger("syncmaven_spark.sinks.intercom")
+
+
 class IntercomApiError(Exception):
     def __init__(self, status: int, errors: list[dict] | None = None, message: str = ""):
         super().__init__(message or f"intercom API error {status}")
@@ -71,6 +76,8 @@ class IntercomClient(Protocol):
     def post(self, path: str, body: dict) -> dict: ...
 
     def put(self, path: str, body: dict) -> dict: ...
+
+    def get(self, path: str) -> dict: ...
 
 
 class RestIntercomClient:
@@ -107,6 +114,9 @@ class RestIntercomClient:
     def put(self, path: str, body: dict) -> dict:
         return self._req("PUT", path, body)
 
+    def get(self, path: str) -> dict:
+        return self._req("GET", path, None)
+
 
 def to_epoch_seconds(value: Any) -> int | None:
     """Coercible-date → epoch seconds (index.ts:226-227)."""
@@ -128,21 +138,7 @@ def to_epoch_seconds(value: Any) -> int | None:
     raise ValueError(f"cannot convert {value!r} to epoch seconds")
 
 
-class _IdMap:
-    def __init__(self, store: Any, sync_id: str, map_name: str) -> None:
-        self._store = store
-        self._prefix = [f"syncId={sync_id}", map_name]
-        self._cache: dict[str, str] = {
-            key.split("::")[-1]: value for key, value in store.list(self._prefix)
-        }
-
-    def get(self, external_id: str) -> str | None:
-        return self._cache.get(external_id)
-
-    def set(self, external_id: str, dest_id: str) -> None:
-        if self._cache.get(external_id) != dest_id:
-            self._cache[external_id] = dest_id
-            self._store.set([*self._prefix, external_id], dest_id)
+from syncmaven_spark.sinks.base import StoreIdMap as _IdMap  # shared impl
 
 
 class IntercomContactsStream(OutputStream):
@@ -204,10 +200,47 @@ class IntercomContactsStream(OutputStream):
         }
         intercom_id = self.contacts_map.get(contact["external_id"])
         if intercom_id:
-            with_rate_limit_retry(self._update, intercom_id, contact)
+            intercom_id = with_rate_limit_retry(self._update, intercom_id, contact)
         else:
-            with_rate_limit_retry(self._add, contact)
+            intercom_id = with_rate_limit_retry(self._add, contact)
+        # contact ↔ company association (index.ts:231-296): resolve each
+        # company_id to its Intercom id (companiesMap cache + GET
+        # fallback) and attach — previously companies_map was built but
+        # never used, silently dropping every membership
+        for company_intercom_id in self._resolve_companies(row.get("company_ids")):
+            with_rate_limit_retry(
+                self.client.post,
+                f"/contacts/{intercom_id}/companies",
+                {"id": company_intercom_id},
+            )
         self.stats.success += 1
+
+    def _resolve_companies(self, company_ids: Any) -> list[str]:
+        if not company_ids:
+            return []
+        ids = (
+            list(company_ids)
+            if isinstance(company_ids, (list, tuple))
+            else [company_ids]
+        )
+        resolved: list[str] = []
+        for raw in ids:
+            key = str(raw)
+            intercom_id = self.companies_map.get(key)
+            if not intercom_id:
+                res = with_rate_limit_retry(
+                    self.client.get, f"/companies?company_id={key}"
+                ) or {}
+                # the lookup may return the company object directly or a
+                # {data: {...}} wrapper depending on API version
+                body = res.get("data") if isinstance(res.get("data"), dict) else res
+                intercom_id = str(body.get("id")) if body.get("id") else None
+                if not intercom_id:
+                    log.warning("company with company_id=%s not found", key)
+                    continue
+                self.companies_map.set(key, intercom_id)
+            resolved.append(intercom_id)
+        return resolved
 
 
 class IntercomCompaniesStream(OutputStream):

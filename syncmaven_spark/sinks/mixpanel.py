@@ -162,7 +162,16 @@ class RestMixpanelClient:
         self._s.auth = (project_token, "")
 
     def import_events(self, events: list[dict]) -> int:
+        from syncmaven_spark.sinks.base import RateLimitError, parse_retry_after
+
         resp = self._s.post(self.url, json=events, timeout=15)
+        if resp.status_code == 429:
+            # like every other REST client here: surface throttling to the
+            # engine's sleep-and-retry loop instead of dropping the batch
+            raise RateLimitError(
+                "mixpanel rate limited",
+                retry_after_ms=parse_retry_after(resp.headers.get("Retry-After")),
+            )
         resp.raise_for_status()
         data = resp.json()
         if data.get("code", 200) != 200 or data.get("num_records_imported", 0) == 0:
@@ -194,6 +203,7 @@ class MixpanelAdDataStream(OutputStream):
         self.last_date = self.initial_state.last_date() or self.start_time.date()
 
         self._batch: list[dict] = []
+        self._batch_dates: list[_dt.date] = []
         self._last_processed_date: str | None = None
 
     def handle_row(self, row: dict[str, Any]) -> None:
@@ -228,20 +238,31 @@ class MixpanelAdDataStream(OutputStream):
                 "properties": {"time": date_s, **adapt_row(row)},
             }
         )
-        self.processed.append(t)
+        # the date joins `processed` only when ITS batch imports: appending
+        # here let a failed batch's dates ride into the state commit of the
+        # NEXT successful batch — permanently marking the failed rows as
+        # processed (silent loss on the following run)
+        self._batch_dates.append(t)
         if len(self._batch) >= self.batch_size:
             self._send_batch()
 
     def _send_batch(self) -> None:
-        """Import + commit state only on success (main.go:191-218)."""
+        """Import + commit state only on success (main.go:191-218).
+        Rate-limited imports retry via the engine loop before counting as
+        failed."""
+        from syncmaven_spark.sinks.base import with_rate_limit_retry
+
         if not self._batch:
             return
         batch, self._batch = self._batch, []
+        dates, self._batch_dates = self._batch_dates, []
         try:
-            self.client.import_events(batch)
+            with_rate_limit_retry(self.client.import_events, batch)
         except Exception:
             self.stats.failed += len(batch)
             return
+        for d in dates:
+            self.processed.append(d)
         if self.processed != self.committed:
             self.store.set(self.state_key, self.processed.to_json())
             self.committed = self.processed.copy()

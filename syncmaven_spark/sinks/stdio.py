@@ -51,6 +51,7 @@ from syncmaven_spark.types import row_to_json
 
 logger = logging.getLogger(__name__)
 
+_STREAM_RESULT_TIMEOUT_S = 600.0  # end-stream flush deadline (see finish())
 _REPLY_TIMEOUT_S = 30.0
 
 
@@ -290,7 +291,13 @@ class StdioOutputStream(OutputStream):
         except (BrokenPipeError, OSError):
             pass  # child already exited — read its last words below
         try:
-            result = self._proc.expect("stream-result")
+            # the end-of-stream flush can legitimately take minutes (a
+            # batching connector draining up to 1000 buffered rows through
+            # a rate-limited API); the reference awaits the stream result
+            # without a deadline — keep a generous one as a hang backstop
+            result = self._proc.expect(
+                "stream-result", timeout=_STREAM_RESULT_TIMEOUT_S
+            )
             payload = result.get("payload", {})
             self.stats = StreamStats(
                 received=payload.get("received", self.stats.received),
@@ -379,6 +386,14 @@ class StdioDestination(DestinationProvider):
         restart: bool = False,
         options: dict[str, Any] | None = None,
     ) -> OutputStream:
+        # NOTE: `restart` is accepted for interface uniformity but not
+        # transmitted — the reference protocol's start-stream payload has
+        # NO continuation field (protocol/src/index.ts:102-110), and the
+        # reference engine's own checkpoint cycle re-sends a plain
+        # start-stream (sync.ts:566-569). External connectors therefore
+        # re-run their start logic per checkpoint exactly as they do under
+        # the reference; the in-process sinks honoring restart are a
+        # deliberate improvement the protocol cannot express.
         stream_name = self._resolve_stream(stream_name)
         self.stream_spec(stream_name)
         rpc = StateRpcServer(

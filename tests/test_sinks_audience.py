@@ -193,3 +193,32 @@ def test_resend_requires_credentials():
         ResendDestination().create_output_stream(
             "audience", {}, "s1", InMemoryStore()
         )
+
+
+def test_facebook_checkpoint_reopen_gets_fresh_session():
+    """Round-4 review: a checkpoint continuation reopens the stream with
+    batch_seq restarting at 1 — reusing the previous open's session_id
+    would collide on (session_id, batch_seq) with different data, and
+    Facebook's replay dedup would silently discard the continuation
+    batches. Each open of the SAME provider gets a distinct session;
+    a fresh provider (crash-restart) reproduces the first session so
+    identical replayed batches still dedup."""
+    client, store = FakeFacebook(), InMemoryStore()
+    dest = FacebookAdsDestination()
+    out1 = dest.create_output_stream("audience", {"_client": client}, "s1", store)
+    out1.handle_row({"email": "a@b.c"})
+    out1.finish()
+    out2 = dest.create_output_stream(
+        "audience", {"_client": client}, "s1", store, restart=True
+    )
+    out2.handle_row({"email": "d@e.f"})
+    out2.finish()
+    (_, s1, _), (_, s2, _) = client.added
+    assert s1["batch_seq"] == 1 and s2["batch_seq"] == 1
+    assert s1["session_id"] != s2["session_id"]
+    # crash-restart: a NEW provider's first open replays session 1 exactly
+    dest2 = FacebookAdsDestination()
+    out3 = dest2.create_output_stream("audience", {"_client": client}, "s1", store)
+    out3.handle_row({"email": "a@b.c"})
+    out3.finish()
+    assert client.added[2][1]["session_id"] == s1["session_id"]

@@ -248,3 +248,46 @@ def test_intercom_company_upsert():
     assert body["remote_created_at"] == 1700000000
     assert body["custom_attributes"] == {"industry": "robotics"}
     assert store.get(["syncId=s1", "companiesMap", "co1"]) == "ic_co1"
+
+
+def test_intercom_contact_company_association():
+    """Round-4 review: company_ids were declared (stripped from custom
+    attributes) but never attached — contacts silently lost every company
+    membership. The stream now resolves each company_id (map cache + GET
+    fallback, persisted) and POSTs the association like the reference."""
+    from syncmaven_spark.sinks.intercom import IntercomDestination
+
+    class FakeIntercom:
+        def __init__(self):
+            self.posts = []
+            self.gets = []
+            self._next = 100
+
+        def post(self, path, body):
+            self.posts.append((path, body))
+            if path == "/contacts":
+                self._next += 1
+                return {"id": f"ic{self._next}"}
+            return {}
+
+        def put(self, path, body):
+            return {}
+
+        def get(self, path):
+            self.gets.append(path)
+            # /companies?company_id=<id> → found company
+            return {"id": "co_" + path.rsplit("=", 1)[-1]}
+
+    client, store = FakeIntercom(), InMemoryStore()
+    out = IntercomDestination().create_output_stream(
+        "contacts", {"_client": client}, "s1", store
+    )
+    out.handle_row({"external_id": 1, "email": "a@b.c", "company_ids": ["c1", "c2"]})
+    # scalar form accepted too; c1 resolution now cached (no second GET)
+    out.handle_row({"external_id": 2, "email": "d@e.f", "company_ids": "c1"})
+    out.finish()
+    assoc = [(p, b) for p, b in client.posts if p.endswith("/companies")]
+    assert [b["id"] for _, b in assoc] == ["co_c1", "co_c2", "co_c1"]
+    assert client.gets == ["/companies?company_id=c1", "/companies?company_id=c2"]
+    # the resolved map is persisted for the next run
+    assert store.get(["syncId=s1", "companiesMap", "c1"]) == "co_c1"

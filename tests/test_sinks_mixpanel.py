@@ -127,3 +127,55 @@ def test_batch_size_flush():
         out.handle_row(_row("2024-05-20", campaign=c))
     out.finish()
     assert [len(b) for b in client.batches] == [2, 2, 1]
+
+
+def test_failed_batch_dates_never_committed_by_later_success():
+    """Round-4 review: a failed batch's dates used to remain in
+    `processed` and ride into the state commit of the NEXT successful
+    batch — permanently marking the failed rows as imported, so the
+    following run skipped them as 'already processed' (silent loss)."""
+
+    class FailOnce(FakeMixpanel):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def import_events(self, events):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("transient import failure")
+            return super().import_events(events)
+
+    client, store = FailOnce(), InMemoryStore()
+    out = _open(client, store)
+    out.handle_row(_row("2024-05-20"))  # batch 1 — will fail
+    out.handle_row(_row("2024-05-21"))  # date change flushes batch 1
+    stats = out.finish()  # batch 2 (05-21) succeeds and commits state
+    assert stats.failed == 1 and stats.success == 1
+    committed = DateRanges.from_json(store.get(["syncId=s1", "type=mixpanel.state"]))
+    assert committed.contains(dt.date(2024, 5, 21))
+    assert not committed.contains(dt.date(2024, 5, 20))  # failed date NOT committed
+
+
+def test_rate_limited_batch_retries():
+    """429 surfaces as RateLimitError and retries through the engine loop
+    instead of being counted failed."""
+    from syncmaven_spark.sinks.base import RateLimitError
+
+    class RateLimitedOnce(FakeMixpanel):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def import_events(self, events):
+            self.calls += 1
+            if self.calls == 1:
+                raise RateLimitError("throttled", retry_after_ms=1)
+            return super().import_events(events)
+
+    client, store = RateLimitedOnce(), InMemoryStore()
+    out = _open(client, store)
+    out.handle_row(_row("2024-05-20"))
+    stats = out.finish()
+    assert stats.success == 1 and stats.failed == 0
+    assert client.calls == 2
