@@ -166,7 +166,15 @@ def _cmd_link(
         return 1
     base = f"{connection}-{model}" + (f"-{stream}" if stream else "")
     sync_id, i = base, 0
-    while sync_id in project.syncs:
+    # uniqueness must hold for the FILE too, not just the declared sync id:
+    # an existing syncs/<name>.yml whose id differs from its basename would
+    # otherwise be silently clobbered
+    def taken(candidate: str) -> bool:
+        return candidate in project.syncs or os.path.exists(
+            os.path.join(project_dir, "syncs", f"{candidate}.yml")
+        )
+
+    while taken(sync_id):
         i += 1
         sync_id = f"{base}-{i}"
     sync: dict = {"id": sync_id, "destination": connection, "model": model}
@@ -218,7 +226,10 @@ def _cmd_add(project_dir: str, package: str, credentials_json: str) -> int:
 def main(argv: list[str] | None = None) -> int:
     try:
         return _main(argv)
-    except ProjectError as e:
+    except (ProjectError, ValueError, KeyError) as e:
+        # predictable user-input errors (bad --credentials JSON is a
+        # ValueError subclass via json.JSONDecodeError, unknown packages
+        # raise ValueError/KeyError) print one line instead of a traceback
         print(f"error: {e}")
         return 1
 

@@ -190,9 +190,12 @@ def _parse_connection_file(path: str, env: dict[str, str]) -> ConnectionDefiniti
             f"Connection {path} should be defined in YAML or JSON format"
         )
     content = _render_deep(content, env=env, result_macros=True, file_name=path)
+    conn_id = content.get("id", _file_id(path))
     return ConnectionDefinition(
-        id=content.get("id", _file_id(path)),
-        package=content.get("package") or content.get("kind") or content["id"],
+        id=conn_id,
+        # fallback chain ends at the resolved id (a bare credentials-only
+        # file used to crash with a raw KeyError('id') here)
+        package=content.get("package") or content.get("kind") or conn_id,
         credentials=content.get("credentials", {}),
     )
 
@@ -232,12 +235,18 @@ def read_project(project_dir: str, env: dict[str, str] | None = None) -> Project
     for raw in raw_syncs:
         destination = raw.get("destination")
         if isinstance(destination, dict):
+            package = destination.get("package") or destination.get("kind")
+            if not package:
+                raise ProjectError(
+                    f"Sync {raw['id']}: inline destination needs a "
+                    "'package' (or 'kind') field"
+                )
             conn_id = raw["id"]
             while conn_id in project.connections:
                 conn_id += "_conn"
             project.connections[conn_id] = ConnectionDefinition(
                 id=conn_id,
-                package=destination.get("package") or destination.get("kind"),
+                package=package,
                 credentials=destination.get("credentials", {}),
             )
             raw["destination"] = conn_id
@@ -252,13 +261,20 @@ def read_project(project_dir: str, env: dict[str, str] | None = None) -> Project
                 f"Sync {raw['id']} references unknown connection {conn_id!r}"
             )
         conn = project.connections[conn_id]
+        options = dict(raw.get("options") or {})
+        # checkpointEvery is a TOP-LEVEL sync field in the reference
+        # (objects.ts:55, read at sync.ts:359) — it used to be silently
+        # dropped unless nested under options, disabling mid-run
+        # checkpoints for reference-style projects
+        if "checkpointEvery" in raw and "checkpointEvery" not in options:
+            options["checkpointEvery"] = raw["checkpointEvery"]
         project.syncs[raw["id"]] = SyncDefinition(
             id=raw["id"],
             model=project.models[model_id],
             destination=conn.package,
             stream=raw.get("stream") or _default_stream(conn.package),
             credentials=conn.credentials,
-            options=raw.get("options", {}),
+            options=options,
             enrichments=_compile_enrichments(raw),
         )
     return project
@@ -270,10 +286,13 @@ def _compile_enrichments(raw_sync: dict[str, Any]) -> list[Any]:
     form: ``{url: ..., timeout?: ms}`` → HTTP enrichment service."""
     from syncmaven_spark.enrich import HttpEnrichment
 
-    entries = raw_sync.get("enrichments") or []
-    single = raw_sync.get("enrichment")
-    if single:
-        entries = [single, *entries]
+    # the reference's getEnrichments is enrichments OR enrichment
+    # (objects.ts:59-61) — the plural key takes precedence; concatenating
+    # both would run the same enrichment twice per row
+    entries = raw_sync.get("enrichments")
+    if not entries:
+        single = raw_sync.get("enrichment")
+        entries = [single] if single else []
     out = []
     for entry in entries:
         if isinstance(entry, dict) and entry.get("url"):

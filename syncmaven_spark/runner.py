@@ -44,6 +44,7 @@ from syncmaven_spark.sinks.base import (
     DestinationProvider,
     HaltError,
     OutputStream,
+    RowError,
     StreamStats,
 )
 from syncmaven_spark.sql import SqlError, SqlQuery
@@ -278,6 +279,16 @@ def run_sync(
                     log.error("sink halted sync %s: %s", sync.id, e)
                     halted = True
                     break
+                except RowError as e:
+                    # a sink-declared PER-ROW rejection counts failed and
+                    # the sync continues (std.ts:147-175) — one bad record
+                    # must not abort a million-row sync. Undeclared
+                    # exceptions still abort WITHOUT persisting the cursor
+                    # (bulk delivery failures are never skipped past).
+                    log.warning(
+                        "sink rejected row in sync %s: %s", sync.id, e
+                    )
+                    total_stats.failed += 1
             if halted:
                 break
 

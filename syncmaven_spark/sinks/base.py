@@ -182,6 +182,15 @@ def parse_retry_after(value: str | None, default_ms: int = 1000) -> int:
         return default_ms
 
 
+class RowError(RuntimeError):
+    """A PER-ROW delivery failure: the destination rejected this specific
+    row (validation error, 4xx for this record). The engine counts the row
+    failed and CONTINUES — the reference's per-row catch (std.ts:147-175).
+    Anything a sink does NOT wrap in RowError (network down, batch flush
+    crash) still aborts the sync without persisting the cursor, so bulk
+    losses are never silently skipped past."""
+
+
 class RetryingClient:
     """Transparent proxy wrapping every method of an API client in the
     rate-limit retry loop — for clients whose transport raises

@@ -78,10 +78,31 @@ class FileDestination(DestinationProvider):
 
 
 def write_ndjson_distributed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Executor-parallel NDJSON with reference-compatible timestamp format."""
+    """Executor-parallel NDJSON, format-identical to the parity path's
+    RowJSONEncoder: ISO-millis timestamps, dates widened to
+    'yyyy-MM-ddT00:00:00.000Z', and NaN/Infinity doubles nulled (the
+    parity encoder applies JSON.stringify semantics; Spark's JSON writer
+    would emit literal "NaN")."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            c = F.col(f.name)
+            cols.append(
+                F.when(F.isnan(c) | (F.abs(c) == float("inf")), None)
+                .otherwise(c)
+                .alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
     (
-        df.write.mode(mode)
+        df.select(*cols)
+        .write.mode(mode)
         .option("timestampFormat", ISO_MILLIS_SPARK_FMT)
+        .option("timestampNTZFormat", ISO_MILLIS_SPARK_FMT)
+        .option("dateFormat", "yyyy-MM-dd'T00:00:00.000Z'")
         .option("ignoreNullFields", "false")
         .json(path)
     )

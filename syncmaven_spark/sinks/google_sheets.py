@@ -23,6 +23,7 @@ and raises with instructions otherwise.
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 from dataclasses import dataclass
 from typing import Any, Protocol
 
@@ -42,7 +43,33 @@ class Table:
     data: list[list[Any]]
 
 
-def to_table(rows_objects: list[dict[str, Any]], empty_val: Any = None) -> Table:
+# the reference's isoDateRegex (google-sheets.ts:23): bare dates and
+# T- or space-separated times both count
+_ISO_DATE_RE = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}([T\s](\d{2}:\d{2}:\d{2}(\.\d+)?"
+    r"(Z|[+-]\d{2}:\d{2})?)?)?$"
+)
+
+
+def _try_parse_date(val: Any) -> Any:
+    """google-sheets.ts:28-37: ISO-8601 strings become datetimes (so the
+    sheet write formats them as dates), everything else passes through."""
+    if val is None or isinstance(val, (_dt.datetime, _dt.date)):
+        return val
+    text = str(val)
+    if isinstance(val, str) and _ISO_DATE_RE.match(text):
+        try:
+            return _dt.datetime.fromisoformat(text.replace("Z", "+00:00"))
+        except ValueError:
+            return val
+    return val
+
+
+def to_table(
+    rows_objects: list[dict[str, Any]],
+    empty_val: Any = None,
+    parse_dates: bool = False,
+) -> Table:
     """Ragged-row schema union + column typing (google-sheets.ts:39-91)."""
     header_index: dict[str, int] = {}
     header_names: list[str] = []
@@ -63,7 +90,7 @@ def to_table(rows_objects: list[dict[str, Any]], empty_val: Any = None) -> Table
                 row_array.append(empty_val)
                 for r in rows:
                     r.append(empty_val)
-            row_array[idx] = val
+            row_array[idx] = _try_parse_date(val) if parse_dates else val
         rows.append(row_array)
 
     column_types: list[str | None] = []
@@ -142,7 +169,9 @@ class GoogleSheetsStream(OutputStream):
         checkpointed finish, and this stream instance survives reopens."""
         from syncmaven_spark.sinks.base import StreamStats
 
-        table = to_table(self._rows)
+        # parseDates: true like the reference sheet write (index.ts:126) —
+        # ISO strings type as 'date' and render as dates in the sheet
+        table = to_table(self._rows, parse_dates=True)
         data = [
             [
                 format_date_for_sheets(v)
@@ -263,10 +292,22 @@ class GoogleSheetsDestination(DestinationProvider):
             # reopens — a fresh buffer would shrink the sheet to only the
             # rows since the last checkpoint (base.py restart contract).
             return self._live[key]
-        stream = GoogleSheetsStream(
-            client,
-            credentials["spreadsheetId"],
-            (options or {}).get("sheetName", "Sheet1"),
+        # the reference takes both from STREAM OPTIONS
+        # (GoogleSheetsStreamOptions: spreadsheetId + sheetName, both
+        # required); credentials accepted as a fallback location, with a
+        # clean error instead of a KeyError when neither has them
+        opts = options or {}
+        spreadsheet_id = opts.get("spreadsheetId") or credentials.get("spreadsheetId")
+        if not spreadsheet_id:
+            raise ValueError(
+                "google-sheets needs 'spreadsheetId' in stream options (or "
+                "connection credentials)"
+            )
+        sheet_name = (
+            opts.get("sheetName")
+            or credentials.get("sheetName")
+            or "Sheet1"
         )
+        stream = GoogleSheetsStream(client, spreadsheet_id, sheet_name)
         self._live[key] = stream
         return stream

@@ -59,12 +59,20 @@ class RestResendClient:
         self._s.headers["Authorization"] = f"Bearer {api_key}"
 
     def _req(self, method: str, path: str, body: dict | None = None) -> dict:
+        from syncmaven_spark.sinks.base import RowError
+
         resp = self._s.request(method, self.BASE + path, json=body, timeout=30)
         if resp.status_code >= 400:
             try:
                 message = resp.json().get("message", resp.text)
             except Exception:
                 message = resp.text
+            if 400 <= resp.status_code < 500 and resp.status_code != 429:
+                # this record was rejected (422 invalid email etc.) — a
+                # RowError lets the engine count the row failed and keep
+                # syncing instead of aborting the whole run (std.ts parity;
+                # rps/429 handling lives in the stream's retry path)
+                raise RowError(message)
             raise RuntimeError(message)
         return resp.json() if resp.content else {}
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from syncmaven_spark.sinks import get_destination
-from syncmaven_spark.sinks.base import DestinationProvider
+from syncmaven_spark.sinks.base import DestinationProvider, RowError
 from syncmaven_spark.validate import RowValidator
 
 
@@ -166,7 +166,12 @@ def run_streaming_sync(
                             totals["skipped"] += 1
                 out_rows = next_rows
             for r in out_rows:
-                out.handle_row(r)
+                try:
+                    out.handle_row(r)
+                except RowError:
+                    # sink-declared per-row rejection: count failed and
+                    # continue (std.ts:147-175); other errors abort
+                    totals["failed"] += 1
         stats = out.finish()
         totals["received"] += stats.received
         totals["success"] += stats.success

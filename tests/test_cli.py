@@ -14,9 +14,10 @@ def test_streams_verb(capsys):
     assert "* email" in out  # required marker
 
 
-def test_streams_unknown_package():
-    with pytest.raises(KeyError):
-        cli.main(["streams", "nope"])
+def test_streams_unknown_package(capsys):
+    # user-input errors print one line and exit 1, not a raw traceback
+    assert cli.main(["streams", "nope"]) == 1
+    assert "error:" in capsys.readouterr().out
 
 
 def test_ad_hoc_sync_and_preview(tmp_path, capsys, spark):

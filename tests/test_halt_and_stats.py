@@ -65,3 +65,56 @@ def test_halt_stops_feeding_and_preserves_state(spark):
     # only one stream was opened; no rows after the halt
     assert len(dest.opened) == 1
     assert dest.opened[0].stats.received == 11  # 10 ok + the halting row
+
+
+def test_row_error_counts_failed_and_continues(spark):
+    """A sink-declared per-row rejection (RowError) counts failed and the
+    sync keeps going — one bad record must not abort a million-row run —
+    while undeclared exceptions still abort without persisting the cursor
+    (covered by test_failed_delivery_does_not_advance_cursor)."""
+    from syncmaven_spark.runner import ModelDefinition, SyncDefinition, run_sync
+    from syncmaven_spark.sinks.base import (
+        DestinationProvider,
+        OutputStream,
+        RowError,
+        StreamSpec,
+    )
+    from syncmaven_spark.state import InMemoryStore
+
+    class PickyStream(OutputStream):
+        def handle_row(self, row):
+            self.stats.received += 1
+            if row["id"] == 3:
+                raise RowError("record rejected: id 3")
+            self.stats.success += 1
+
+    class PickyDestination(DestinationProvider):
+        name = "picky"
+
+        def streams(self):
+            return [StreamSpec(name="s", row_type=None)]
+
+        def create_output_stream(self, *a, **kw):
+            return PickyStream()
+
+    spark.sql("select id from range(10)").createOrReplaceTempView("picky_src")
+    store = InMemoryStore()
+    result = run_sync(
+        spark,
+        SyncDefinition(
+            id="picky1",
+            model=ModelDefinition(
+                id="m",
+                query="select id from picky_src where :cursor is null or id >= :cursor order by id",
+                cursor="id",
+            ),
+            destination=PickyDestination(),
+            stream="s",
+        ),
+        store,
+    )
+    assert result.stats.received == 10
+    assert result.stats.success == 9
+    assert result.stats.failed == 1
+    # the sync completed, so the cursor advanced (reference semantics)
+    assert store.get(["syncId=picky1", "$lastCursor=id"])["val"] == 9

@@ -138,3 +138,54 @@ def test_end_to_end_project_sync(spark, project_dir, tmp_path):
 
     result2 = run_sync(spark, project.syncs["main"], store)
     assert result2.stats.received == 1  # inclusive boundary row only
+
+
+def test_top_level_checkpoint_every(tmp_path):
+    """checkpointEvery is a TOP-LEVEL sync field in the reference
+    (objects.ts:55) — it was silently dropped unless nested under
+    options, disabling mid-run checkpoints for ported projects."""
+    (tmp_path / "models").mkdir()
+    (tmp_path / "syncs").mkdir()
+    (tmp_path / "models" / "m.sql").write_text("select 1 as x")
+    (tmp_path / "syncs" / "s.yaml").write_text(
+        "model: m\ncheckpointEvery: 500\n"
+        "destination:\n  package: file\n  credentials: {filename: /tmp/x}\n"
+    )
+    project = read_project(str(tmp_path))
+    assert project.syncs["s"].checkpoint_every == 500
+
+
+def test_inline_destination_without_package_rejected(tmp_path):
+    (tmp_path / "models").mkdir()
+    (tmp_path / "syncs").mkdir()
+    (tmp_path / "models" / "m.sql").write_text("select 1 as x")
+    (tmp_path / "syncs" / "s.yaml").write_text(
+        "model: m\ndestination:\n  credentials: {filename: /tmp/x}\n"
+    )
+    with pytest.raises(ProjectError, match="package"):
+        read_project(str(tmp_path))
+
+
+def test_connection_without_id_falls_back_to_basename(tmp_path):
+    (tmp_path / "models").mkdir()
+    (tmp_path / "syncs").mkdir()
+    (tmp_path / "connections").mkdir()
+    (tmp_path / "models" / "m.sql").write_text("select 1 as x")
+    (tmp_path / "connections" / "file.yaml").write_text(
+        "credentials: {filename: /tmp/x}\n"
+    )
+    (tmp_path / "syncs" / "s.yaml").write_text("model: m\ndestination: file\n")
+    project = read_project(str(tmp_path))
+    assert project.connections["file"].package == "file"
+
+
+def test_enrichments_key_takes_precedence(tmp_path, monkeypatch):
+    """getEnrichments is enrichments OR enrichment (objects.ts:59-61) —
+    declaring both must not run the same enrichment twice per row."""
+    from syncmaven_spark.project import _compile_enrichments
+
+    raw = {
+        "enrichment": {"url": "http://e/one"},
+        "enrichments": [{"url": "http://e/one"}],
+    }
+    assert len(_compile_enrichments(raw)) == 1
