@@ -33,9 +33,22 @@ def salted_join(
     Left rows get a ``rand(seed)``-derived salt — NOT a content hash: the
     classic skew case is a hot key of byte-IDENTICAL rows (event/log
     spam), which a row hash would put on ONE salt, leaving the skew
-    intact. ``rand`` is deterministic per (partition, row offset) for a
-    fixed input partitioning, so task retries regenerate the same salts.
-    The right side replicates each row once per salt value. Result equals
+    intact.
+
+    Determinism contract: the join RESULT never depends on which salt a
+    row draws (every salt matches the replicated right copy), only the
+    physical row distribution does. Salt values themselves are
+    reproducible only when the left input's partition contents AND order
+    are reproducible (``rand`` is seeded per (partition, row offset)); if
+    the left side is itself shuffle output, a fetch-failure stage retry
+    may regenerate different salts. That is safe on Spark 3+/4 because
+    ``rand`` is flagged nondeterministic, so the retry invalidates and
+    reruns the downstream (indeterminate-stage) stages rather than mixing
+    old and new salt assignments — but it also means this plan subtree is
+    excluded from exchange/plan reuse: don't route a branch through
+    ``salted_join`` if the same branch must share a reused exchange
+    elsewhere. The right side replicates each row once per salt value.
+    Result equals
     ``left.join(right, key, how)`` for inner/left joins ONLY — in a
     right/full outer join every unmatched replicated right copy would
     surface as a spurious NULL-padded row, so those reject.
@@ -86,9 +99,12 @@ def salted_aggregate(
     if unsupported:
         raise ValueError(f"non-decomposable aggregate(s): {unsupported}")
     # rand(seed), NOT a content hash: duplicate rows (the classic skew
-    # case) must land on different salts. rand is deterministic per
-    # (partition, row offset) for a fixed input partitioning, so task
-    # retries regenerate the same salts.
+    # case) must land on different salts. The aggregate RESULT is salt-
+    # independent (phase 2 merges all partials per key); salt values are
+    # reproducible only for a reproducible input partitioning, and on a
+    # stage retry Spark's indeterminate-stage machinery reruns the
+    # downstream stages (rand is flagged nondeterministic) — see
+    # salted_join's determinism contract.
     salt = F.floor(F.rand(0x5A17) * factor).cast("long")
     phase1 = (
         df.withColumn("_salt", salt)

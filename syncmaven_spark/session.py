@@ -25,6 +25,18 @@ def get_spark(
 
     ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS`` so that
     the bench driver controls parallelism without code changes.
+
+    .. warning:: **Process-global side effect** — unless
+       ``SYNCMAVEN_SPARK_NO_TZSET=1`` is set, this call pins the HOST
+       PROCESS to UTC (``os.environ['TZ'] = 'UTC'`` + ``time.tzset()``),
+       changing ``datetime.fromtimestamp()`` / ``time.localtime()``
+       behavior for ALL code in the embedding application, not just this
+       library. This is load-bearing for cursor correctness (see the
+       comment below); embedders that already run their process in UTC —
+       or that accept responsibility for pinning it themselves — can opt
+       out with ``SYNCMAVEN_SPARK_NO_TZSET=1``. Running with the opt-out
+       on a non-UTC host breaks incremental-cursor and golden-file
+       semantics.
     """
     # Pin the PYTHON process to UTC, not just the Spark session: PySpark's
     # non-Arrow driver conversion (toLocalIterator/collect/Observation row
@@ -35,9 +47,10 @@ def get_spark(
     # skip two hours of rows. The engine's semantics are UTC end-to-end
     # (golden files, DuckDB oracle, ISO-millis sinks) — documented in
     # README; tzset is a no-op guard on platforms without it (Windows).
-    os.environ["TZ"] = "UTC"
-    if hasattr(time, "tzset"):
-        time.tzset()
+    if os.environ.get("SYNCMAVEN_SPARK_NO_TZSET") != "1":
+        os.environ["TZ"] = "UTC"
+        if hasattr(time, "tzset"):
+            time.tzset()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
@@ -176,11 +189,13 @@ def load_tables(
     # parity). The round driver may hand us a session with a different zone —
     # pin it here so LTZ values (e.g. the nanos-cast events.ts) and
     # epoch/date functions are deterministic regardless of the host session.
-    # Python's process tz is pinned too (see get_spark): driver-side row
-    # conversion ignores the session zone on non-UTC hosts.
-    os.environ["TZ"] = "UTC"
-    if hasattr(time, "tzset"):
-        time.tzset()
+    # Python's process tz is pinned too (see get_spark — a PROCESS-GLOBAL
+    # side effect; embedders opt out with SYNCMAVEN_SPARK_NO_TZSET=1):
+    # driver-side row conversion ignores the session zone on non-UTC hosts.
+    if os.environ.get("SYNCMAVEN_SPARK_NO_TZSET") != "1":
+        os.environ["TZ"] = "UTC"
+        if hasattr(time, "tzset"):
+            time.tzset()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Testdata parquet stores timestamps as timestamp[us] with
     # isAdjustedToUTC=false; Spark 4 would infer TIMESTAMP_NTZ, which breaks

@@ -48,6 +48,7 @@ class ErrorThreshold:
         self.min_total = min_total
         self.errors = 0
         self.total = 0
+        self._exceeded = False
 
     def success(self, n: int = 1) -> None:
         self.total += n
@@ -55,19 +56,27 @@ class ErrorThreshold:
     def fail(self, n: int = 1) -> None:
         self.errors += n
         self.total += n
-
-    @property
-    def exceeded(self) -> bool:
-        # the reference gates on the PRE-increment total (error-threshold.ts
-        # computes total = errors + success BEFORE errors++): with 80
-        # successes it aborts on the 21st error (21/100), not the 20th —
-        # mirrored here so the abort boundary and final stats match
+        # The reference evaluates the gate ONLY inside fail() (error-
+        # threshold.ts computes total = errors + success BEFORE errors++,
+        # then increments): with 80 successes it aborts on the 21st error
+        # (21/100), not the 20th — and a sync sitting at the boundary
+        # (20 errors / 80 successes) keeps running through further
+        # SUCCESSES until another failure re-evaluates. The verdict is
+        # therefore latched here, never recomputed from current totals.
+        # Batched n is the fold of n single failures; both the ratio
+        # (errors grow as fast as total) and the min_total gate are
+        # monotone over the fold, so checking the final state suffices.
         pre_total = self.total - 1
-        return (
+        if (
             pre_total >= self.min_total
             and pre_total > 0
             and self.errors / pre_total >= self.max_ratio
-        )
+        ):
+            self._exceeded = True
+
+    @property
+    def exceeded(self) -> bool:
+        return self._exceeded
 
     def check(self) -> None:
         if self.exceeded:

@@ -454,3 +454,99 @@ def test_enrichment_generator_failure_drops_whole_row(spark):
     got = sorted((r.id, r.part) for r in out)
     # row 2 contributes NOTHING — not even its first yielded expansion
     assert got == [(1, 1), (1, 2), (3, 1), (3, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE fixes
+
+
+def test_error_threshold_latched_at_fail_not_recomputed():
+    """ADVICE r5: the reference evaluates the threshold ONLY inside fail().
+    A sync sitting exactly at the boundary (20 errors / 80 successes) must
+    keep running through further SUCCESSES — only another failure may trip
+    it."""
+    from syncmaven_spark.validate import ErrorThreshold
+
+    t = ErrorThreshold()  # 0.2 / 100
+    for _ in range(80):
+        t.success()
+    for _ in range(20):
+        t.fail()
+    assert not t.exceeded
+    # successes past the boundary: ratio vs current totals would now be
+    # 20/100 >= 0.2, but the reference never re-evaluates on success
+    for _ in range(50):
+        t.success()
+        assert not t.exceeded, "success must never trip the threshold"
+    t.fail()  # 21/150 < 0.2 — still fine
+    assert not t.exceeded
+    # drive errors up until a FAILURE trips it: at e errors, pre-total
+    # 150 + (e - 21) + ... keep failing; eventually errors/pre >= 0.2
+    while not t.exceeded:
+        t.fail()
+    assert t.errors / (t.total - 1) >= 0.2
+
+
+def test_error_threshold_batched_fail_matches_sequential():
+    from syncmaven_spark.validate import ErrorThreshold
+
+    a, b = ErrorThreshold(), ErrorThreshold()
+    a.success(80)
+    b.success(80)
+    a.fail(21)
+    for _ in range(21):
+        b.fail()
+    assert a.exceeded == b.exceeded == True  # noqa: E712
+
+
+def test_ndjson_distributed_scrubs_nested_nonfinite(spark, tmp_path):
+    """ADVICE r5: NaN/Infinity inside struct/array/map fields must
+    serialize as null (JSON.stringify semantics), not literal NaN."""
+    import glob
+    import json
+    import math
+
+    from pyspark.sql import functions as F
+
+    from syncmaven_spark.sinks.file import write_ndjson_distributed
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            (1, nan, {"a": nan, "b": 2.0}, [1.0, inf, 3.0], {"k": nan}, None),
+            (2, 5.0, None, None, None, {"a": 1.5, "b": 1.0}),
+        ],
+        "id long, top double, s struct<a:double,b:double>, "
+        "arr array<double>, m map<string,double>, s2 struct<a:double,b:double>",
+    ).repartition(1)
+    out = str(tmp_path / "nested")
+    write_ndjson_distributed(df, out)
+    lines = []
+    for p in glob.glob(out + "/part-*"):
+        with open(p) as f:
+            lines += [json.loads(ln) for ln in f if ln.strip()]  # must PARSE
+    rows = {r["id"]: r for r in lines}
+    assert rows[1]["top"] is None
+    assert rows[1]["s"] == {"a": None, "b": 2.0}
+    assert rows[1]["arr"] == [1.0, None, 3.0]
+    assert rows[1]["m"] == {"k": None}
+    assert rows[1]["s2"] is None  # NULL struct stays NULL, not {a:null,...}
+    assert rows[2]["top"] == 5.0 and rows[2]["s"] is None
+    assert rows[2]["s2"] == {"a": 1.5, "b": 1.0}
+
+
+def test_no_tzset_env_var_skips_process_tz_mutation(spark, monkeypatch):
+    """ADVICE r5: embedders can opt out of the process-global TZ pin."""
+    import os
+
+    from syncmaven_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setenv("SYNCMAVEN_SPARK_NO_TZSET", "1")
+    # do NOT tzset() with this value — only the env mapping is probed
+    monkeypatch.setenv("TZ", "America/New_York")
+    load_tables(spark, SF_SMOKE, refresh=True)
+    assert os.environ["TZ"] == "America/New_York", (
+        "load_tables must not overwrite TZ when the opt-out is set"
+    )
+    # monkeypatch restores TZ=UTC on teardown; process tz was never re-set
