@@ -1,14 +1,15 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schemas, partition-aware batch processing, Arrow
-batch shapes, UDF signatures — is real and tested. Decoding is REAL for two
-containers parseable with the standard library alone: uncompressed BMP
-images (``struct``-parsed headers + raw pixel rows → pixel-statistic
-features, nearest-neighbor resize) and PCM WAV audio (``wave`` module →
-RMS/zero-crossing/envelope features). Other formats (png/jpeg/mp4/...)
-need media libraries absent from this environment and fall back to a
-clearly-marked deterministic fake; swapping in a real decoder is a
-one-argument change. Everything around the decoder (the expensive part to
+batch shapes, UDF signatures — is real and tested. Decoding is REAL for
+three containers parseable with the standard library alone: uncompressed
+BMP images (``struct``-parsed headers + raw pixel rows), 8-bit
+non-interlaced PNG (``zlib`` inflate + scanline unfiltering, filters 0-4)
+— both feeding pixel-statistic features and nearest-neighbor resize — and
+PCM WAV audio (``wave`` module → RMS/zero-crossing/envelope features).
+Other formats (jpeg/mp4/...) need media libraries absent from this
+environment and fall back to a clearly-marked deterministic fake;
+swapping in a real decoder is a one-argument change. Everything around the decoder (the expensive part to
 get right at 100 TB) is identical for real and fake paths:
 
 - media rides as a ``binary`` column next to a metadata struct — never
@@ -116,6 +117,122 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced PNG (grayscale / gray+alpha / RGB /
+    RGBA, color types 0/4/2/6) into an ``(h, w, 3)`` uint8 RGB array,
+    standard library only: chunk walk via ``struct``, ``zlib`` inflate of
+    the concatenated IDAT stream, then scanline unfiltering (filters
+    0-4: None/Sub/Up/Average/Paeth per the PNG spec §9). Palette,
+    16-bit, and Adam7-interlaced images raise (no media libs here; a
+    real decoder slots in as the ``decoder=`` argument upstream).
+
+    Sub/Up unfilter vectorized (cumsum-mod-256 / row add); Average and
+    Paeth fall back to a per-byte loop — fine for fixture-sized images,
+    the documented bound of this stdlib decoder.
+    """
+    import zlib
+
+    if blob is None or len(blob) < 8 or blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(blob):
+        (length,), ctype = struct.unpack_from(">I", blob, pos), blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}); only 8-bit non-interlaced 0/2/4/6"
+        )
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("invalid PNG dimensions")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 1:  # Sub: per-channel-offset cumsum, uint8 wraps mod 256
+            cur = line.copy().reshape(-1, bpp)
+            np.cumsum(cur, axis=0, dtype=np.uint8, out=cur)
+            cur = cur.reshape(-1)
+        elif f == 2:  # Up
+            cur = line + prior
+        elif f in (3, 4):  # Average / Paeth: sequential by definition
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[y] = cur
+        prior = cur
+    px = recon.reshape(h, w, channels)
+    if color == 0:  # grayscale → replicate
+        return np.repeat(px, 3, axis=2)
+    if color == 4:  # gray+alpha → replicate luminance, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGB / RGBA (alpha dropped, as decode_bmp)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_png`: ``(h, w, 3)`` uint8 RGB → a minimal
+    8-bit color-type-2 PNG (filter 0 scanlines, one zlib IDAT)."""
+    import binascii
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected an (h, w, 3) array")
+    h, w, _ = px.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", binascii.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """Parse a PCM WAV (8/16/32-bit int) via the stdlib ``wave`` module into
     ``(mono float samples in [-1, 1], sample_rate)``."""
@@ -191,11 +308,14 @@ def _audio_features(samples: np.ndarray, rate: int, feature_dim: int) -> np.ndar
 
 def default_decode(blob: bytes, feature_dim: int) -> np.ndarray:
     """Format-sniffing decoder: REAL pixel/sample-derived features for BMP
-    (``BM`` magic) and WAV (``RIFF....WAVE``); every other format falls
-    back to the deterministic content-hash fake (no media libraries in
-    this environment — the fallback is the documented stub)."""
+    (``BM`` magic), PNG (8-byte signature), and WAV (``RIFF....WAVE``);
+    every other format falls back to the deterministic content-hash fake
+    (no media libraries in this environment — the fallback is the
+    documented stub)."""
     if blob is not None and blob[:2] == b"BM":
         return _image_features(decode_bmp(blob), feature_dim)
+    if blob is not None and blob[:8] == _PNG_SIG:
+        return _image_features(decode_png(blob), feature_dim)
     if blob is not None and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return _audio_features(*decode_wav(blob), feature_dim)
     return _fake_decode(blob, feature_dim)
@@ -258,19 +378,26 @@ def resize_images(
     """
     if resizer is None:
         def resizer(blob: bytes, w: int, h: int) -> bytes:  # noqa: ANN001
-            if blob is not None and blob[:2] == b"BM":
+            is_bmp = blob is not None and blob[:2] == b"BM"
+            is_png = blob is not None and blob[:8] == _PNG_SIG
+            if is_bmp or is_png:
+                import zlib
+
                 try:
-                    px = decode_bmp(blob)
-                except ValueError:
-                    # malformed / unsupported BMP variant: fall through to
-                    # the marker stub instead of failing the whole task
-                    # (one bad blob must not abort a corpus-wide pass)
+                    px = decode_bmp(blob) if is_bmp else decode_png(blob)
+                except (ValueError, zlib.error):
+                    # malformed / unsupported variant: fall through to the
+                    # marker stub instead of failing the whole task (one
+                    # bad blob must not abort a corpus-wide pass)
                     pass
                 else:
                     src_h, src_w, _ = px.shape
                     ys = (np.arange(h) * src_h) // h
                     xs = (np.arange(w) * src_w) // w
-                    return encode_bmp(px[ys][:, xs])
+                    resized = px[ys][:, xs]
+                    return (
+                        encode_bmp(resized) if is_bmp else encode_png(resized)
+                    )
             return b"RESIZED:%dx%d:" % (w, h) + (blob or b"")
 
     out_schema = df.schema

@@ -2,7 +2,9 @@
 
 Reference: ``packages/connectors/google-sheets/src/`` —
 - buffers **all** rows, writes once on finish (google-sheets.ts:50-52 —
-  documented whole-result-in-RAM bound; this sink is for small syncs),
+  documented whole-result-in-RAM bound; this sink is for small syncs).
+  ``streamingAppend: true`` in stream options opts into a bounded-memory
+  chunked ``values.append`` mode instead (see GoogleSheetsAppendStream),
 - ``to_table``: pivot row objects into a 2-D array with ragged-schema union
   (columns appear in first-seen order, missing cells filled with the empty
   value) and per-column type inference — string/number/boolean/date, ``?``
@@ -147,6 +149,15 @@ class SheetsClient(Protocol):
     ) -> None:
         """Clear the sheet, then write header + rows."""
 
+    def append_rows(
+        self,
+        spreadsheet_id: str,
+        sheet_name: str,
+        rows: list[list[Any]],
+    ) -> None:
+        """Append rows below existing content (streamingAppend mode only;
+        buffered-mode injected clients don't need to implement it)."""
+
 
 class GoogleSheetsStream(OutputStream):
     def __init__(
@@ -187,6 +198,101 @@ class GoogleSheetsStream(OutputStream):
         report = self.stats
         report.success = len(self._rows) - self._reported
         self._reported = len(self._rows)
+        self.stats = StreamStats()
+        return report
+
+
+def _format_cell(v: Any) -> Any:
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return format_date_for_sheets(v)
+    return "" if v is None else v
+
+
+class GoogleSheetsAppendStream(OutputStream):
+    """Opt-in bounded-memory mode (``streamingAppend: true`` stream option).
+
+    The reference's sheet write is clear-then-rewrite-everything, which
+    requires buffering the whole result driver-side (google-sheets.ts:50-52)
+    — fine for the small syncs it targets, an unbounded driver buffer at
+    scale. This mode holds at most ``appendBatchSize`` rows: the first
+    flush clears the sheet and writes header + batch (same two requests as
+    the buffered mode), every later flush is one ``values.append``. Dates
+    format identically (``YYYY-MM-DD HH:mm:ss``, parseDates semantics).
+
+    The column set is LOCKED when the header is written — either from the
+    explicit ``columns`` stream option or from the first batch's first-seen
+    key order (the same order ``to_table`` would assign). A later row
+    introducing an unknown column raises: an appended sheet can't grow new
+    columns retroactively, so the error names the remedies instead of
+    silently dropping the value.
+    """
+
+    def __init__(
+        self,
+        client: SheetsClient,
+        spreadsheet_id: str,
+        sheet_name: str,
+        batch_size: int = 1000,
+        columns: list[str] | None = None,
+    ) -> None:
+        super().__init__()
+        self.client = client
+        self.spreadsheet_id = spreadsheet_id
+        self.sheet_name = sheet_name
+        self.batch_size = max(1, int(batch_size))
+        self._columns: list[str] | None = list(columns) if columns else None
+        self._header_written = False
+        self._buf: list[dict[str, Any]] = []
+
+    def handle_row(self, row: dict[str, Any]) -> None:
+        self.stats.received += 1
+        self._buf.append(row)
+        if len(self._buf) >= self.batch_size:
+            self._flush()
+
+    def _project(self, row: dict[str, Any]) -> list[Any]:
+        assert self._columns is not None
+        unknown = [k for k in row if k not in self._columns]
+        if unknown:
+            raise ValueError(
+                f"google-sheets streamingAppend: row has column(s) {unknown} "
+                f"not in the locked header {self._columns}. Declare the full "
+                "column set up front with the 'columns' stream option, or "
+                "use the default buffered mode (streamingAppend: false), "
+                "which unions ragged schemas before writing."
+            )
+        return [
+            _format_cell(_try_parse_date(row.get(c))) for c in self._columns
+        ]
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        if self._columns is None:
+            # first-seen key order across the first batch — the order
+            # to_table would assign these rows
+            cols: list[str] = []
+            for r in self._buf:
+                for k in r:
+                    if k not in cols:
+                        cols.append(k)
+            self._columns = cols
+        data = [self._project(r) for r in self._buf]
+        if not self._header_written:
+            self.client.write_table(
+                self.spreadsheet_id, self.sheet_name, self._columns, data
+            )
+            self._header_written = True
+        else:
+            self.client.append_rows(self.spreadsheet_id, self.sheet_name, data)
+        self.stats.success += len(data)
+        self._buf = []
+
+    def finish(self):
+        from syncmaven_spark.sinks.base import StreamStats
+
+        self._flush()
+        report = self.stats
         self.stats = StreamStats()
         return report
 
@@ -252,6 +358,23 @@ class LiveSheetsClient:
             body={"values": [header, *rows]},
         ).execute()
 
+    def append_rows(
+        self,
+        spreadsheet_id: str,
+        sheet_name: str,
+        rows: list[list[Any]],
+    ) -> None:
+        # streamingAppend mode: one values.append per batch; the API finds
+        # the first empty row after the existing table (INSERT_ROWS keeps
+        # content below the table, if any, untouched)
+        self._service.spreadsheets().values().append(
+            spreadsheetId=spreadsheet_id,
+            range=sheet_name,
+            valueInputOption="RAW",
+            insertDataOption="INSERT_ROWS",
+            body={"values": rows},
+        ).execute()
+
 
 @register("google-sheets")
 class GoogleSheetsDestination(DestinationProvider):
@@ -264,7 +387,7 @@ class GoogleSheetsDestination(DestinationProvider):
     }
 
     def __init__(self) -> None:
-        self._live: dict[tuple[str, str], GoogleSheetsStream] = {}
+        self._live: dict[tuple[str, str], OutputStream] = {}
 
     def streams(self) -> list[StreamSpec]:
         return [StreamSpec(name="sheet", row_type=ANY_OBJECT_SCHEMA)]
@@ -308,6 +431,16 @@ class GoogleSheetsDestination(DestinationProvider):
             or credentials.get("sheetName")
             or "Sheet1"
         )
-        stream = GoogleSheetsStream(client, spreadsheet_id, sheet_name)
+        if opts.get("streamingAppend"):
+            cols = opts.get("columns")
+            stream: OutputStream = GoogleSheetsAppendStream(
+                client,
+                spreadsheet_id,
+                sheet_name,
+                batch_size=int(opts.get("appendBatchSize", 1000)),
+                columns=list(cols) if cols else None,
+            )
+        else:
+            stream = GoogleSheetsStream(client, spreadsheet_id, sheet_name)
         self._live[key] = stream
         return stream

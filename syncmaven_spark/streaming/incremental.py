@@ -24,6 +24,16 @@ from syncmaven_spark.sinks import get_destination
 from syncmaven_spark.sinks.base import DestinationProvider, RowError
 from syncmaven_spark.validate import RowValidator
 
+#: default per-micro-batch row cap for the driver-delivery (state-backed
+#: sink) path — large enough for any API-bound sink's realistic batch,
+#: small enough that the driver never silently OOMs on a misrouted stream
+DEFAULT_MAX_DRIVER_BATCH_ROWS = 100_000
+
+
+class DriverBatchTooLarge(RuntimeError):
+    """A micro-batch exceeded the driver-delivery row cap (fail-fast guard
+    instead of an unbounded ``collect()``)."""
+
 
 def run_streaming_sync(
     spark: SparkSession,
@@ -39,6 +49,7 @@ def run_streaming_sync(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     executor_side: bool | None = None,
     enrichments: list[Any] | None = None,
+    max_driver_batch_rows: int = DEFAULT_MAX_DRIVER_BATCH_ROWS,
 ) -> dict[str, int]:
     """Incrementally sync a growing parquet directory into a destination.
 
@@ -57,7 +68,12 @@ def run_streaming_sync(
       single-file NDJSON sink): rows are collected to the driver where the
       shared store lives — correct but driver-bounded, exactly the
       reference's own delivery model (one row at a time through one
-      process, sync.ts:493-573).
+      process, sync.ts:493-573). That collection is guarded by
+      ``max_driver_batch_rows`` (default 100k): a micro-batch larger than
+      the cap fails fast with :class:`DriverBatchTooLarge` instead of
+      OOMing the driver — re-route to a stateless sink
+      (``executor_side=True``), raise the cap explicitly, or shrink
+      micro-batches (``maxFilesPerTrigger`` on the source).
     """
     from syncmaven_spark.runner import deliver_partitions
     from syncmaven_spark.validate import with_validation_column
@@ -133,7 +149,20 @@ def run_streaming_sync(
             )
             return
 
-        rows = [r.asDict(recursive=True) for r in batch_df.collect()]
+        # Bounded driver delivery: LIMIT cap+1 (not collect-then-count) so
+        # an oversized batch fails after materializing at most cap+1 rows,
+        # never the whole micro-batch.
+        collected = batch_df.limit(max_driver_batch_rows + 1).collect()
+        if len(collected) > max_driver_batch_rows:
+            raise DriverBatchTooLarge(
+                f"micro-batch epoch {epoch_id} exceeds the driver-delivery "
+                f"cap of {max_driver_batch_rows} rows for state-backed sink "
+                f"{provider.name!r}. Remedies: deliver executor-side with a "
+                "stateless sink (executor_side=True), raise "
+                "max_driver_batch_rows explicitly, or bound micro-batch "
+                "size at the source (e.g. maxFilesPerTrigger)."
+            )
+        rows = [r.asDict(recursive=True) for r in collected]
         if not rows:
             return
         out = provider.create_output_stream(

@@ -181,3 +181,136 @@ def test_resize_really_resizes_bmp(media, spark):
     assert out.meta.width == 32 and out.meta.height == 24
     # nearest-neighbor: every output pixel exists in the source
     assert resized[0, 0] in px.reshape(-1, 3)
+
+
+def test_png_codec_roundtrip_and_filters():
+    """decode_png is a real stdlib parser: round-trip via encode_png, plus
+    a hand-filtered image exercising every PNG filter type (Sub/Up/
+    Average/Paeth) against the spec's recurrences."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from syncmaven_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(px)) == px).all()
+
+    # hand-build a PNG whose 5 scanlines use filters 0,1,2,3,4: forward-
+    # filter the known recon per the spec, then decode must invert exactly
+    h, w, bpp = px.shape[0], px.shape[1], 3
+    recon = px.reshape(h, w * bpp).astype(np.int32)
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw.append(f)
+        prior = recon[y - 1] if y > 0 else np.zeros(w * bpp, dtype=np.int32)
+        for x in range(w * bpp):
+            a = recon[y][x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((int(recon[y][x]) - int(pred)) & 0xFF)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", binascii.crc32(body) & 0xFFFFFFFF)
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert (decode_png(blob) == px).all()
+
+    # RGBA: alpha dropped, RGB planes pixel-true
+    rgba = rng.randint(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    raw4 = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    blob4 = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 6, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(raw4))
+             + chunk(b"IEND", b""))
+    assert (decode_png(blob4) == rgba[:, :, :3]).all()
+
+    # grayscale replicates to 3 channels
+    gray = rng.randint(0, 256, size=(3, 5, 1), dtype=np.uint8)
+    rawg = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    blobg = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(rawg))
+             + chunk(b"IEND", b""))
+    assert (decode_png(blobg) == np.repeat(gray, 3, axis=2)).all()
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks
+    with pytest.raises(ValueError):
+        # 16-bit depth rejected
+        decode_png(b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+                   + chunk(b"IEND", b""))
+
+
+def test_extract_features_png_pixel_true(spark):
+    """PNG features must be derived from PIXELS, not bytes: the same image
+    encoded as PNG and BMP (different bytes) must produce IDENTICAL
+    features, and differ from a different image's features."""
+    import numpy as np
+
+    from syncmaven_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_png,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(3)
+    img_a = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    img_b = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    meta = {"media_type": "image", "format": "png", "width": 12,
+            "height": 16, "duration_ms": None}
+    df = spark.createDataFrame(
+        [(0, encode_png(img_a), meta), (1, encode_bmp(img_a), meta),
+         (2, encode_png(img_b), meta)],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in extract_features(df, feature_dim=32).collect()}
+    assert all(out[i].decode_ok for i in range(3))
+    assert out[0].features == out[1].features  # same pixels, two containers
+    assert out[0].features != out[2].features
+
+
+def test_resize_really_resizes_png(spark):
+    import numpy as np
+
+    from syncmaven_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    rows = [(0, encode_png(px), {"media_type": "image", "format": "png",
+                                 "width": 6, "height": 8, "duration_ms": None})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, width=3, height=4).collect()[0]
+    resized = decode_png(bytes(out.content))
+    ys, xs = (np.arange(4) * 8) // 4, (np.arange(3) * 6) // 3
+    assert (resized == px[ys][:, xs]).all()  # exact nearest-neighbor remap
+    assert out.meta.width == 3 and out.meta.height == 4

@@ -131,3 +131,117 @@ def test_live_client_missing_library_message():
 
     with pytest.raises(NotImplementedError, match="googleapiclient"):
         LiveSheetsClient({"client_email": "x"})
+
+
+class FakeAppendSheets(FakeSheets):
+    def __init__(self):
+        super().__init__()
+        self.appended = []
+
+    def append_rows(self, spreadsheet_id, sheet_name, rows):
+        self.appended.append((spreadsheet_id, sheet_name, rows))
+
+
+def test_streaming_append_mode_chunked_writes():
+    """Round-5 task: streamingAppend=true writes per-batch values.append
+    with the same date formatting, bounding the driver buffer to one
+    batch. First flush = clear + header + batch (write_table), later
+    flushes = append_rows."""
+    client = FakeAppendSheets()
+    out = GoogleSheetsDestination().create_output_stream(
+        "sheet", {"_client": client, "spreadsheetId": "ss1"}, "s1",
+        InMemoryStore(),
+        options={"sheetName": "Data", "streamingAppend": True,
+                 "appendBatchSize": 2},
+    )
+    out.handle_row({"a": 1, "t": dt.datetime(2024, 5, 15, 1, 2, 3)})
+    assert client.written is None  # under batch size: nothing yet
+    out.handle_row({"a": 2, "t": "2024-05-16T00:00:00Z"})  # ISO parses as date
+    ss, sheet, header, rows = client.written
+    assert (ss, sheet, header) == ("ss1", "Data", ["a", "t"])
+    assert rows == [[1, "2024-05-15 01:02:03"], [2, "2024-05-16 00:00:00"]]
+    assert client.appended == []
+    out.handle_row({"a": 3})
+    out.handle_row({"a": 4, "t": None})
+    assert client.appended == [("ss1", "Data", [[3, ""], [4, ""]])]
+    out.handle_row({"a": 5})
+    stats = out.finish()  # flushes the 1-row remainder
+    assert client.appended[-1] == ("ss1", "Data", [[5, ""]])
+    assert stats.received == 5 and stats.success == 5
+    # at most appendBatchSize rows were ever buffered
+    assert out._buf == []
+
+
+def test_streaming_append_locked_header_rejects_new_column():
+    client = FakeAppendSheets()
+    out = GoogleSheetsDestination().create_output_stream(
+        "sheet", {"_client": client, "spreadsheetId": "ss1"}, "s2",
+        InMemoryStore(),
+        options={"streamingAppend": True, "appendBatchSize": 1},
+    )
+    out.handle_row({"a": 1})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="locked header"):
+        out.handle_row({"a": 2, "surprise": True})
+
+
+def test_streaming_append_explicit_columns_and_restart_continuation():
+    client = FakeAppendSheets()
+    dest = GoogleSheetsDestination()
+    opts = {"streamingAppend": True, "appendBatchSize": 10,
+            "columns": ["a", "b"]}
+    out = dest.create_output_stream(
+        "sheet", {"_client": client, "spreadsheetId": "ss1"}, "s3",
+        InMemoryStore(), options=opts,
+    )
+    out.handle_row({"b": "x"})  # missing 'a' fills empty via locked columns
+    out.finish()
+    assert client.written[2] == ["a", "b"]
+    assert client.written[3] == [["", "x"]]
+    # checkpoint reopen: same instance, header NOT rewritten — appends
+    out2 = dest.create_output_stream(
+        "sheet", {"_client": client, "spreadsheetId": "ss1"}, "s3",
+        InMemoryStore(), restart=True, options=opts,
+    )
+    assert out2 is out
+    out2.handle_row({"a": 9, "b": "y"})
+    stats = out2.finish()
+    assert client.appended == [("ss1", None, [[9, "y"]])] or client.appended == [
+        ("ss1", "Sheet1", [[9, "y"]])
+    ]
+    assert stats.success == 1  # delta stats per checkpointed finish
+
+
+def test_live_client_append_payload():
+    from syncmaven_spark.sinks.google_sheets import LiveSheetsClient
+
+    calls = []
+
+    class FakeCall:
+        def __init__(self, kind, kwargs):
+            self.kind, self.kwargs = kind, kwargs
+
+        def execute(self):
+            calls.append((self.kind, self.kwargs))
+
+    class FakeValues:
+        def append(self, **kw):
+            return FakeCall("append", kw)
+
+    class FakeService:
+        def spreadsheets(self):
+            return self
+
+        def values(self):
+            return FakeValues()
+
+    LiveSheetsClient(service=FakeService()).append_rows(
+        "sheet-123", "Sheet1", [[1, "x"]]
+    )
+    kind, kw = calls[0]
+    assert kind == "append"
+    assert kw["range"] == "Sheet1"
+    assert kw["valueInputOption"] == "RAW"
+    assert kw["insertDataOption"] == "INSERT_ROWS"
+    assert kw["body"] == {"values": [[1, "x"]]}

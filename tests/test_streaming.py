@@ -323,3 +323,41 @@ def test_streaming_revalidation_drops_counted_both_paths(spark, tmp_path):
         )
         assert totals["success"] == 2, label   # valid originals delivered
         assert totals["skipped"] == 2, label   # dropped twins accounted for
+
+
+def test_streaming_driver_batch_cap_fails_fast(spark, tmp_path):
+    """Round-5 task: the state-backed (driver-delivery) path must fail fast
+    with a remediation message when a micro-batch exceeds the row cap,
+    instead of collecting unbounded rows to the driver."""
+    import pytest
+
+    from syncmaven_spark.state import InMemoryStore
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        spark, src, [(i, "click", float(i)) for i in range(20)]
+    )
+    schema = spark.read.parquet(src).schema
+
+    with pytest.raises(Exception) as exc_info:
+        run_streaming_sync(
+            spark, src, schema, "file", "raw",
+            {"filename": str(tmp_path / "out.ndjson")},
+            InMemoryStore(), "cap1", ckpt,
+            max_driver_batch_rows=10,
+        )
+    # the DriverBatchTooLarge message survives the StreamingQueryException
+    # wrapping — users see the cap and the remedies
+    msg = str(exc_info.value)
+    assert "driver-delivery cap of 10 rows" in msg
+    assert "executor_side=True" in msg
+
+    # under the cap the same stream syncs fine from a fresh checkpoint
+    out2 = tmp_path / "out2.ndjson"
+    totals = run_streaming_sync(
+        spark, src, schema, "file", "raw", {"filename": str(out2)},
+        InMemoryStore(), "cap2", str(tmp_path / "ckpt2"),
+        max_driver_batch_rows=20,
+    )
+    assert totals["success"] == 20
