@@ -56,6 +56,9 @@ def test_query_matches_oracle(spark, con, name):
 # and an exact min-label oracle over the (verified) edge list for the
 # clustering — the only unchecked link at scale is LSH recall outside the
 # sample, which is the documented ≈2e-10 per-pair band-miss bound.
+# ALWAYS-ON complement: tests/test_scale_gate.py gates the PRODUCTION-
+# default recipe (bucket cap included) at sf0.1 with 200 planted
+# known-Jaccard pairs + the full pipeline, in every plain pytest run.
 _SCALE_QUADRATIC_ORACLES = {"dedup_minhash_candidates", "dedup_cluster_pipeline"}
 
 scale = pytest.mark.skipif(
