@@ -339,8 +339,17 @@ def run_sync_distributed(
     store: StateStore,
     full_refresh: bool = False,
     num_chunks: int = 8,
+    cache_input_max_rows: int = 5_000_000,
 ) -> SyncResult:
     """The 100-TB execution path for one sync.
+
+    ``cache_input_max_rows``: when the chunk planner's row count is at or
+    under this bound (and more than one chunk will run), the validated scan
+    is persisted (MEMORY_AND_DISK) for the duration of the chunk loop so the
+    N sequential chunk jobs don't each re-decode the row groups the range
+    predicate can't prune. Set to 0 to always re-scan (the pure-pushdown
+    behavior a 100 TB input gets regardless, since its row count exceeds
+    any sane bound).
 
     Differences from parity-mode ``run_sync``:
     - **No driver materialization, no global sort.** Checkpoint chunks are
@@ -409,11 +418,24 @@ def run_sync_distributed(
     # plan for every chunk, paying the py4j construction cost 10×.
     tagged_full = with_validation_column(df, spec.row_type)
     planned_total: int | None = None
+    cached_input: DataFrame | None = None
     if cursor_col:
         ranges, planned_total = plan_cursor_chunks(df, cursor_col, num_chunks)
         if planned_total == 0:
             # nothing to sync; leave any previous run's output untouched
             ranges = []
+        # Cache the validated scan across the N sequential chunk jobs when
+        # the planner says the whole input is small (row-count-bounded,
+        # MEMORY_AND_DISK so a misestimate spills instead of OOMing). Each
+        # chunk job otherwise re-decodes every row group the range
+        # predicate cannot prune — irrelevant at 100 TB (thousands of row
+        # groups, pushdown prunes per chunk) but the dominant cost when the
+        # whole sync fits in a handful of row groups. Bonus: all chunks
+        # then read ONE snapshot, so a live source changing mid-sync can't
+        # make chunk boundaries overlap or gap.
+        if len(ranges) > 1 and planned_total <= cache_input_max_rows:
+            cached_input = tagged_full.persist()
+            tagged_full = cached_input
         chunk_iter = iter(
             (
                 tagged_full
@@ -436,100 +458,104 @@ def run_sync_distributed(
         )
 
     first_chunk = True
-    for chunk_idx, (tagged, _hi) in enumerate(chunk_iter):
-        agg_cols = [
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
-        ]
-        if cursor_col:
-            agg_cols.append(F.max(cursor_col).alias("max_cursor"))
+    try:
+        for chunk_idx, (tagged, _hi) in enumerate(chunk_iter):
+            agg_cols = [
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(F.col("_valid"), 1).otherwise(0)).alias("valid"),
+            ]
+            if cursor_col:
+                agg_cols.append(F.max(cursor_col).alias("max_cursor"))
 
-        if is_file:
-            # observe(): the row/validity counts and the cursor max ride the
-            # write action itself — ONE evaluation of the scan + validation
-            # UDF per chunk (no persist, no separate aggregate job), and the
-            # counts cannot diverge from what was written if the source
-            # moves between jobs
-            if first_chunk and tagged.isEmpty():
-                # probe IMMEDIATELY before the destructive overwrite: an
-                # empty first chunk must leave the previous run's output
-                # untouched (append-mode chunks below are harmless on empty
-                # input). The planner's row count cannot stand in for this
-                # — a live source can lose its rows between the planning
-                # job and this write (the same source-moves-between-jobs
-                # window the observe() comment below covers for counts).
-                continue
-            obs = Observation(f"chunk_{chunk_idx}")
-            tagged = tagged.observe(obs, *agg_cols)
-            valid = tagged.filter(F.col("_valid")).drop("_valid")
-            out_obs = None
-            drop_acc = None
-            if sync.enrichments:
-                drop_acc = spark.sparkContext.accumulator(0)
-                valid = _enrich_distributed(valid, sync, spec, drop_acc)
-                # enrichment changes cardinality (row → 0..N): count what
-                # was actually written with a second observation on the
-                # enriched plan, still one job
-                out_obs = Observation(f"chunk_{chunk_idx}_out")
-                valid = valid.observe(out_obs, F.count(F.lit(1)).alias("n"))
-            write_ndjson_distributed(
-                valid, out_dir, mode="overwrite" if first_chunk else "append"
-            )
-            counts = obs.get  # resolves when the write's job completes
-            n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
-            if n_total == 0:
-                # the append saw zero rows — keep first_chunk/checkpoint
-                # semantics identical to a skipped chunk
-                continue
-            # the distributed write either commits all valid rows or raises
-            written = out_obs.get["n"] if out_obs is not None else n_valid
-            delivered_success, delivered_failed = written, 0
-            # enriched rows the re-validation dropped never reach the file;
-            # without this they vanish from received/success/skipped/failed
-            extra_skipped = drop_acc.value if drop_acc is not None else 0
-        else:
-            # foreachPartition is RDD-backed: observed metrics never reach
-            # the listener (measured — obs.get blocks forever), so this
-            # path pays one persisted pre-count instead; sink-reported stats
-            # ride accumulators back so failed deliveries are not silently
-            # folded into success
-            tagged = tagged.persist()
-            sc = spark.sparkContext
-            acc = {k: sc.accumulator(0)
-                   for k in ("received", "success", "skipped", "failed")}
-            drop_acc = sc.accumulator(0)
-            try:
-                counts = tagged.agg(*agg_cols).first()
+            if is_file:
+                # observe(): the row/validity counts and the cursor max ride the
+                # write action itself — ONE evaluation of the scan + validation
+                # UDF per chunk (no persist, no separate aggregate job), and the
+                # counts cannot diverge from what was written if the source
+                # moves between jobs
+                if first_chunk and tagged.isEmpty():
+                    # probe IMMEDIATELY before the destructive overwrite: an
+                    # empty first chunk must leave the previous run's output
+                    # untouched (append-mode chunks below are harmless on empty
+                    # input). The planner's row count cannot stand in for this
+                    # — a live source can lose its rows between the planning
+                    # job and this write (the same source-moves-between-jobs
+                    # window the observe() comment below covers for counts).
+                    continue
+                obs = Observation(f"chunk_{chunk_idx}")
+                tagged = tagged.observe(obs, *agg_cols)
+                valid = tagged.filter(F.col("_valid")).drop("_valid")
+                out_obs = None
+                drop_acc = None
+                if sync.enrichments:
+                    drop_acc = spark.sparkContext.accumulator(0)
+                    valid = _enrich_distributed(valid, sync, spec, drop_acc)
+                    # enrichment changes cardinality (row → 0..N): count what
+                    # was actually written with a second observation on the
+                    # enriched plan, still one job
+                    out_obs = Observation(f"chunk_{chunk_idx}_out")
+                    valid = valid.observe(out_obs, F.count(F.lit(1)).alias("n"))
+                write_ndjson_distributed(
+                    valid, out_dir, mode="overwrite" if first_chunk else "append"
+                )
+                counts = obs.get  # resolves when the write's job completes
                 n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
                 if n_total == 0:
+                    # the append saw zero rows — keep first_chunk/checkpoint
+                    # semantics identical to a skipped chunk
                     continue
-                valid = tagged.filter(F.col("_valid")).drop("_valid")
-                if sync.enrichments:
-                    valid = _enrich_distributed(valid, sync, spec, drop_acc)
-                deliver_partitions(
-                    valid, provider, sync.stream, sync.credentials, sync.id,
-                    sync.options, restart=not first_chunk, stats_acc=acc,
-                )
-            finally:
-                tagged.unpersist()
-            delivered_success = acc["success"].value
-            delivered_failed = acc["failed"].value
-            extra_skipped = acc["skipped"].value + drop_acc.value
+                # the distributed write either commits all valid rows or raises
+                written = out_obs.get["n"] if out_obs is not None else n_valid
+                delivered_success, delivered_failed = written, 0
+                # enriched rows the re-validation dropped never reach the file;
+                # without this they vanish from received/success/skipped/failed
+                extra_skipped = drop_acc.value if drop_acc is not None else 0
+            else:
+                # foreachPartition is RDD-backed: observed metrics never reach
+                # the listener (measured — obs.get blocks forever), so this
+                # path pays one persisted pre-count instead; sink-reported stats
+                # ride accumulators back so failed deliveries are not silently
+                # folded into success
+                tagged = tagged.persist()
+                sc = spark.sparkContext
+                acc = {k: sc.accumulator(0)
+                       for k in ("received", "success", "skipped", "failed")}
+                drop_acc = sc.accumulator(0)
+                try:
+                    counts = tagged.agg(*agg_cols).first()
+                    n_total, n_valid = counts["total"] or 0, counts["valid"] or 0
+                    if n_total == 0:
+                        continue
+                    valid = tagged.filter(F.col("_valid")).drop("_valid")
+                    if sync.enrichments:
+                        valid = _enrich_distributed(valid, sync, spec, drop_acc)
+                    deliver_partitions(
+                        valid, provider, sync.stream, sync.credentials, sync.id,
+                        sync.options, restart=not first_chunk, stats_acc=acc,
+                    )
+                finally:
+                    tagged.unpersist()
+                delivered_success = acc["success"].value
+                delivered_failed = acc["failed"].value
+                extra_skipped = acc["skipped"].value + drop_acc.value
 
-        threshold.success(n_valid)
-        threshold.fail(n_total - n_valid)
-        total_stats.received += n_total
-        total_stats.skipped += (n_total - n_valid) + extra_skipped
-        total_stats.success += delivered_success
-        total_stats.failed += delivered_failed
+            threshold.success(n_valid)
+            threshold.fail(n_total - n_valid)
+            total_stats.received += n_total
+            total_stats.skipped += (n_total - n_valid) + extra_skipped
+            total_stats.success += delivered_success
+            total_stats.failed += delivered_failed
 
-        if cursor_col and counts["max_cursor"] is not None:
-            # `is not None`, not truthiness: 0 / 0.0 are valid cursor values
-            final_cursor = counts["max_cursor"]
-            save_cursor(store, sync.id, cursor_col, final_cursor)
-        checkpoints += 1
-        first_chunk = False
-        threshold.check()  # abort between chunk commits (B6 at scale)
+            if cursor_col and counts["max_cursor"] is not None:
+                # `is not None`, not truthiness: 0 / 0.0 are valid cursor values
+                final_cursor = counts["max_cursor"]
+                save_cursor(store, sync.id, cursor_col, final_cursor)
+            checkpoints += 1
+            first_chunk = False
+            threshold.check()  # abort between chunk commits (B6 at scale)
+    finally:
+        if cached_input is not None:
+            cached_input.unpersist()
 
     return SyncResult(
         sync_id=sync.id,

@@ -159,3 +159,45 @@ def test_cursor_chunks_partition_rows_exactly(spark, vals, k):
         for r in chunk_df.select("i").collect()
     ]
     assert sorted(ids) == list(range(len(vals)))
+
+
+def test_chunk_input_cache_scoped_to_sync(spark, tmp_path):
+    """Round-5 perf: the bounded input cache a multi-chunk sync takes out
+    must be released by sync end (success AND failure paths), and
+    cache_input_max_rows=0 must disable it entirely."""
+    from syncmaven_spark.runner import (
+        ModelDefinition,
+        SyncDefinition,
+        run_sync_distributed,
+    )
+    from syncmaven_spark.state import InMemoryStore
+
+    df = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v")
+    df.createOrReplaceTempView("cache_scope_src")
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    sync = SyncDefinition(
+        id="cs",
+        model=ModelDefinition(
+            id="m",
+            query="select k, v from cache_scope_src "
+            "where :cursor is null or k >= :cursor",
+            cursor="k",
+        ),
+        destination="file",
+        stream="raw",
+        credentials={"directory": str(tmp_path / "out")},
+    )
+    res = run_sync_distributed(spark, sync, InMemoryStore(), num_chunks=4)
+    assert res.checkpoints == 4 and res.stats.success == 5000
+    assert n_cached() == before, "input cache leaked past the sync"
+
+    res2 = run_sync_distributed(
+        spark, sync, InMemoryStore(), full_refresh=True, num_chunks=4,
+        cache_input_max_rows=0,
+    )
+    assert res2.stats.success == 5000
+    assert n_cached() == before
