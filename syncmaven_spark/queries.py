@@ -3215,10 +3215,10 @@ def text_char_entropy(spark, sf_dir):
 
 
 # Catalog entries that already carry a green driver CORRECTNESS row from a
-# prior round (union of the err-free keys across CORRECTNESS_r01–r03.json;
-# r01 rows that ERRORED — the three list-column canonicalizer crashes, since
-# fixed to scalar-only output — are deliberately NOT listed, so those entries
-# re-sort to the front until a green row exists).
+# prior round (union of the err-free keys across CORRECTNESS_r01–r04.json —
+# ALL 103 entries as of round 4, so the prefix order is now purely the
+# family interleave; the set stays explicit so a future new entry sorts
+# first until its own driver row lands).
 # Used only as a scheduling hint: entries NOT in this set sort first within
 # their family so the driver's sampled prefix reaches them before re-checking
 # entries it has already verified.  Correctness itself is unaffected — every
@@ -3261,6 +3261,9 @@ _DRIVER_CHECKED = frozenset({
     'ts_gap_fill', 'ts_ohlc_resample', 'win_lag_lead_delta',
     'win_ntile_buckets', 'win_range_frame', 'win_rank_family',
     'win_sliding_avg',
+    # newly green in CORRECTNESS_r04.json:
+    'fn_array_functions', 'rel_approx_distinct', 'rel_approx_percentiles',
+    'rel_global_sales_opportunity', 'text_char_entropy',
 })
 
 
