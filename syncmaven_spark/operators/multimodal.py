@@ -144,6 +144,10 @@ def decode_png(blob: bytes) -> np.ndarray:
         if len(data) < length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                # wrong-length IHDR would raise struct.error, which escapes
+                # the callers' (ValueError, zlib.error) malformed-blob catch
+                raise ValueError("malformed PNG IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -161,9 +165,12 @@ def decode_png(blob: bytes) -> np.ndarray:
         )
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise ValueError("invalid PNG dimensions")
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    # bounded inflate: a decompression-bomb IDAT must not allocate past the
+    # declared image size (the dims cap above bounds `need` itself)
+    raw = zlib.decompressobj().decompress(b"".join(idat), need)
+    if len(raw) < need:
         raise ValueError("truncated PNG pixel data")
     recon = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
@@ -385,7 +392,7 @@ def resize_images(
 
                 try:
                     px = decode_bmp(blob) if is_bmp else decode_png(blob)
-                except (ValueError, zlib.error):
+                except (ValueError, zlib.error, struct.error):
                     # malformed / unsupported variant: fall through to the
                     # marker stub instead of failing the whole task (one
                     # bad blob must not abort a corpus-wide pass)

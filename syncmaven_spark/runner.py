@@ -515,8 +515,12 @@ def run_sync_distributed(
                 # the listener (measured — obs.get blocks forever), so this
                 # path pays one persisted pre-count instead; sink-reported stats
                 # ride accumulators back so failed deliveries are not silently
-                # folded into success
-                tagged = tagged.persist()
+                # folded into success. With the sync-wide input cache active
+                # the chunk is already a cheap filter over cached partitions —
+                # a second per-chunk persist would double-cache every row.
+                chunk_persisted = cached_input is None
+                if chunk_persisted:
+                    tagged = tagged.persist()
                 sc = spark.sparkContext
                 acc = {k: sc.accumulator(0)
                        for k in ("received", "success", "skipped", "failed")}
@@ -534,7 +538,8 @@ def run_sync_distributed(
                         sync.options, restart=not first_chunk, stats_acc=acc,
                     )
                 finally:
-                    tagged.unpersist()
+                    if chunk_persisted:
+                        tagged.unpersist()
                 delivered_success = acc["success"].value
                 delivered_failed = acc["failed"].value
                 extra_skipped = acc["skipped"].value + drop_acc.value

@@ -241,6 +241,7 @@ class GoogleSheetsAppendStream(OutputStream):
         self.sheet_name = sheet_name
         self.batch_size = max(1, int(batch_size))
         self._columns: list[str] | None = list(columns) if columns else None
+        self._colset: frozenset[str] = frozenset(self._columns or ())
         self._header_written = False
         self._buf: list[dict[str, Any]] = []
 
@@ -252,7 +253,15 @@ class GoogleSheetsAppendStream(OutputStream):
 
     def _project(self, row: dict[str, Any]) -> list[Any]:
         assert self._columns is not None
-        unknown = [k for k in row if k not in self._columns]
+        # same per-value contract as the buffered path's to_table: nested
+        # dict/list/bytes cells raise a clean row error here instead of an
+        # opaque 400 from the live values.append
+        for key, val in row.items():
+            if not _is_allowed(val, None):
+                raise ValueError(
+                    f"Invalid value for {key!r}: {type(val).__name__} - {val!r}"
+                )
+        unknown = [k for k in row if k not in self._colset]
         if unknown:
             raise ValueError(
                 f"google-sheets streamingAppend: row has column(s) {unknown} "
@@ -272,11 +281,14 @@ class GoogleSheetsAppendStream(OutputStream):
             # first-seen key order across the first batch — the order
             # to_table would assign these rows
             cols: list[str] = []
+            seen: set[str] = set()
             for r in self._buf:
                 for k in r:
-                    if k not in cols:
+                    if k not in seen:
+                        seen.add(k)
                         cols.append(k)
             self._columns = cols
+            self._colset = frozenset(cols)
         data = [self._project(r) for r in self._buf]
         if not self._header_written:
             self.client.write_table(

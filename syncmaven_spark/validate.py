@@ -54,6 +54,12 @@ class ErrorThreshold:
         self.total += n
 
     def fail(self, n: int = 1) -> None:
+        if n <= 0:
+            # a zero-failure batch is not a failure event: evaluating the
+            # gate here would let an all-valid chunk trip a threshold the
+            # reference only re-evaluates on a real errors++ (callers pass
+            # fail(n_invalid) unconditionally)
+            return
         self.errors += n
         self.total += n
         # The reference evaluates the gate ONLY inside fail() (error-

@@ -550,3 +550,98 @@ def test_no_tzset_env_var_skips_process_tz_mutation(spark, monkeypatch):
         "load_tables must not overwrite TZ when the opt-out is set"
     )
     # monkeypatch restores TZ=UTC on teardown; process tz was never re-set
+
+
+def test_error_threshold_fail_zero_is_not_a_failure_event():
+    """Round-5 review: fail(0) (an all-valid chunk) must not evaluate the
+    gate — only a real failure may latch it."""
+    from syncmaven_spark.validate import ErrorThreshold
+
+    t = ErrorThreshold()
+    t.success(49)
+    t.fail(25)  # pre_total 73 < 100 — not exceeded
+    assert not t.exceeded
+    t.success(40)
+    t.fail(0)  # all-valid chunk: errors=25, pre_total would be 113 -> 0.22
+    assert not t.exceeded, "fail(0) must not latch the threshold"
+    t.fail(4)  # a real failure re-evaluates: 29/117 >= 0.2 -> latches
+    assert t.exceeded
+
+
+def test_png_malformed_ihdr_raises_value_error_and_resize_falls_back(spark):
+    """Round-5 review: a wrong-length IHDR raised struct.error, escaping
+    the resizer's malformed-blob catch and killing the whole task."""
+    import binascii
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from syncmaven_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        resize_images,
+    )
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return _struct.pack(">I", len(data)) + body + _struct.pack(
+            ">I", binascii.crc32(body) & 0xFFFFFFFF)
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", b"\x00" * 10)  # 10-byte IHDR payload, not 13
+           + chunk(b"IDAT", b"x")
+           + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="IHDR"):
+        decode_png(bad)
+    # one bad blob must not abort a corpus-wide resize pass
+    df = spark.createDataFrame(
+        [(0, bad, {"media_type": "image", "format": "png", "width": 1,
+                   "height": 1, "duration_ms": None})], MEDIA_SCHEMA)
+    out = resize_images(df, width=2, height=2).collect()[0]
+    assert bytes(out.content).startswith(b"RESIZED:2x2:")
+
+
+def test_png_inflate_bounded_to_declared_size():
+    """Round-5 review: the IDAT inflate is capped at the declared pixel
+    size, so a decompression bomb cannot allocate past it (trailing
+    inflated bytes beyond the declared size are ignored, as before)."""
+    import binascii
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from syncmaven_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return _struct.pack(">I", len(data)) + body + _struct.pack(
+            ">I", binascii.crc32(body) & 0xFFFFFFFF)
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+    # append 64 MB of zeros INSIDE the compressed stream: decode must
+    # still succeed, reading only the declared 2x2 image
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw + b"\x00" * (64 << 20)))
+            + chunk(b"IEND", b""))
+    assert len(blob) < 200_000  # the bomb compresses tiny
+    assert (decode_png(blob) == px).all()
+
+
+def test_sheets_append_rejects_nested_values_like_buffered_mode():
+    from syncmaven_spark.sinks.google_sheets import GoogleSheetsDestination
+    from syncmaven_spark.state import InMemoryStore
+
+    class C:
+        def write_table(self, *a): ...
+        def append_rows(self, *a): ...
+
+    out = GoogleSheetsDestination().create_output_stream(
+        "sheet", {"_client": C(), "spreadsheetId": "s"}, "sx",
+        InMemoryStore(),
+        options={"streamingAppend": True, "appendBatchSize": 1},
+    )
+    with pytest.raises(ValueError, match="Invalid value"):
+        out.handle_row({"a": {"nested": 1}})
