@@ -49,6 +49,7 @@ pytestmark = pytest.mark.skipif(
 
 PLANT_N = 200
 PLANT_OFFSET = 10_000_000
+DECOY_OFFSET = 20_000_000
 REPLICA_OFFSET = 1_000_000
 
 
@@ -88,7 +89,22 @@ def planted(spark, docs):
         "lang",
         "source",
     )
-    aug = docs.select("doc_id", "text", "lang", "source").union(copies)
+    # below-threshold DECOYS (the false-positive leg, same single run):
+    # keep only the first third of the token sequence — its shingle set is
+    # a subset of the base's with |decoy| <= (|base|+2)/3 - 2 shingles, so
+    # jaccard <= ~0.36 < 0.8 by construction — none may be emitted
+    decoys = base.select(
+        (F.col("doc_id") + DECOY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) / 3, F.lit(5)).cast("int")),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    aug = (
+        docs.select("doc_id", "text", "lang", "source").union(copies).union(decoys)
+    )
     return base_ids, aug
 
 
@@ -157,6 +173,46 @@ def test_production_default_recall_on_planted_pairs(spark, planted, production_p
         if got[(base, base + PLANT_OFFSET)] != exact[base]
     }
     assert not wrong, f"emitted jaccard diverges from exact: {wrong}"
+
+    # false-positive leg: decoys keep only the first third of their base's
+    # tokens (typically jaccard ≈ 0.3; a highly repetitive base CAN push a
+    # decoy past 0.8, so the gate is the per-pair EXACT jaccard, not the
+    # construction bound): every (base, decoy) pair must be emitted iff its
+    # exact jaccard ≥ 0.8 — the exact-verification stage enforces the
+    # boundary even when LSH banding (correctly, ~(1-0.3²)³² ≈ 5%)
+    # surfaces a below-threshold candidate
+    decoy_sets = aug.filter(
+        (F.col("doc_id") >= DECOY_OFFSET)
+        & (F.col("doc_id") - DECOY_OFFSET).isin(base_ids)
+    ).select((F.col("doc_id") - DECOY_OFFSET).alias("id_a"), hashed.alias("sd"))
+    decoy_exact = {
+        r.id_a: r.j
+        for r in a.join(decoy_sets, "id_a")
+        .select(
+            "id_a",
+            F.round(
+                F.size(F.array_intersect("sa", "sd")).cast("double")
+                / F.size(F.array_union("sa", "sd")),
+                4,
+            ).alias("j"),
+        )
+        .collect()
+    }
+    emitted_decoys = {
+        r.id_a
+        for r in production_pairs.filter(
+            (F.col("id_b") - F.col("id_a") == DECOY_OFFSET)
+            & (F.col("id_b") >= DECOY_OFFSET)
+            & F.col("id_a").isin(base_ids)
+        ).collect()
+    }
+    should = {b for b, j in decoy_exact.items() if j >= 0.8}
+    false_pos = emitted_decoys - should
+    false_neg = should - emitted_decoys
+    assert not false_pos, f"below-threshold decoy pairs emitted: {false_pos}"
+    assert not false_neg, f"≥0.8 decoy pairs missed: {false_neg}"
+    # the decoy population must actually exercise the below-threshold side
+    assert sum(1 for j in decoy_exact.values() if j < 0.8) >= PLANT_N * 0.9
 
 
 # ~8 s: CC over the (persisted, reused) verified pairs
