@@ -317,14 +317,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]+", " ")), r"\s+"
     )
-    tokens = _spread(df, id_col).select(F.col(id_col), F.explode(words).alias("tok"))
+    # hash each token ONCE in the projection below the aggregate — the 64
+    # per-bit aggregates then read the shared long instead of each
+    # recomputing xxhash64(tok) (Catalyst does not guarantee CSE across
+    # aggregate expressions; at corpus scale that is 63 redundant 64-bit
+    # hashes per token)
+    tokens = _spread(df, id_col).select(
+        F.col(id_col), F.explode(words).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
     # expressions are built as SQL strings: a Column-API construction of 64
     # aggregates costs ~6 py4j round-trips per bit (~1.5 s of driver time
     # per plan build, dominating warm runs); one parsed expression per
     # aggregate is a single round-trip and yields the identical plan
     aggs = [
         F.expr(
-            f"sum(CASE WHEN (shiftright(xxhash64(tok), {bit}) & 1) = 1 "
+            f"sum(CASE WHEN (shiftright(h, {bit}) & 1) = 1 "
             f"THEN 1 ELSE -1 END) AS b{bit}"
         )
         for bit in range(64)
