@@ -364,3 +364,79 @@ def test_derby_literal_encoding_fuzz(spark, tmp_path):
         st.close()
     finally:
         conn.close()
+
+
+def test_crash_resume_with_warehouse_source_and_warehouse_state(
+    spark, tmp_path, monkeypatch
+):
+    """Round-5 addition: the full production failure story on live JDBC at
+    BOTH ends — model reads from Derby, cursors persist into a Derby-backed
+    JdbcStateStore, the sink dies mid-sync, and the resumed run continues
+    from the last warehouse-committed cursor (at-least-once: only the
+    boundary row may re-deliver)."""
+    import json
+
+    import syncmaven_spark.sinks.file as file_mod
+    from syncmaven_spark.cursor import load_cursor, save_cursor
+    from syncmaven_spark.runner import run_sync_distributed
+    from syncmaven_spark.state import JdbcStateStore
+
+    src_url = f"jdbc:derby:{tmp_path}/wh_src;create=true"
+    state_url = f"jdbc:derby:{tmp_path}/wh_state;create=true"
+    _seed_derby(spark, src_url, PART1 + PART2)
+    store = JdbcStateStore(state_url, spark)
+    save_cursor(store, "crash", "id", 0)
+
+    out = tmp_path / "out"
+    sync = SyncDefinition(
+        id="crash",
+        model=ModelDefinition(
+            id="m",
+            query=(
+                "select "
+                + ", ".join(f'"{c}"' for c in COLUMNS)
+                + ' from syncmaven_test_table where "id" >= :cursor'
+            ),
+            cursor="id",
+            datasource=src_url,
+        ),
+        destination="file",
+        stream="raw",
+        credentials={"directory": str(out)},
+    )
+
+    orig = file_mod.write_ndjson_distributed
+    calls = {"n": 0}
+
+    def flaky(df, path, mode="overwrite"):
+        calls["n"] += 1
+        if calls["n"] == 3:  # third chunk write dies mid-sync
+            raise RuntimeError("sink crashed")
+        return orig(df, path, mode)
+
+    monkeypatch.setattr(file_mod, "write_ndjson_distributed", flaky)
+    with pytest.raises(RuntimeError, match="sink crashed"):
+        run_sync_distributed(spark, sync, store, num_chunks=4)
+
+    # the cursor in the WAREHOUSE store is exactly the last committed
+    # chunk's max — crash after 2 committed chunks of 7 rows over 4 ranges
+    resumed_from = load_cursor(store, "crash", "id")
+    assert 0 < resumed_from < 7, resumed_from
+
+    monkeypatch.setattr(file_mod, "write_ndjson_distributed", orig)
+    out2 = tmp_path / "out2"
+    sync2 = SyncDefinition(
+        id="crash", model=sync.model, destination="file", stream="raw",
+        credentials={"directory": str(out2)},
+    )
+    result = run_sync_distributed(spark, sync2, store, num_chunks=4)
+    ids = sorted(
+        json.loads(line)["id"]
+        for f in out2.glob("*.json")
+        for line in f.read_text().splitlines()
+    )
+    # resume re-reads from the inclusive boundary: everything from the
+    # persisted cursor through 7, nothing before it skipped, no gaps
+    assert ids == list(range(resumed_from, 8))
+    assert result.last_cursor == 7
+    assert load_cursor(store, "crash", "id") == 7
