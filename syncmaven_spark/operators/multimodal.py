@@ -471,21 +471,40 @@ def sample_video_frames(
 
 def synthetic_media_df(spark, n: int = 20, media_type: str = "image") -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA (for tests
-    and benchmarks; the driver testdata has no binary tables)."""
+    and benchmarks; the driver testdata has no binary tables).
+
+    Since round 5 the blobs are REAL containers wherever a real stdlib
+    codec exists, so the default pipeline exercises actual decoding:
+    images alternate PNG / BMP (seeded random 12×16 RGB pixels), audio is
+    16-bit PCM WAV (seeded random samples); video has no stdlib container
+    and stays a content-hash blob feeding the deterministic fake decoder.
+    """
     rows = []
     for i in range(n):
-        blob = hashlib.sha256(f"media-{i}".encode()).digest() * 8
-        rows.append(
-            (
-                i,
-                blob,
-                {
-                    "media_type": media_type,
-                    "format": "png" if media_type == "image" else "wav",
-                    "width": 64,
-                    "height": 48,
-                    "duration_ms": 4000 + i * 500,
-                },
-            )
-        )
+        rng = np.random.RandomState(1000 + i)
+        if media_type == "image":
+            px = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+            fmt = "png" if i % 2 == 0 else "bmp"
+            blob = encode_png(px) if fmt == "png" else encode_bmp(px)
+            meta = {"media_type": "image", "format": fmt, "width": 12,
+                    "height": 16, "duration_ms": None}
+        elif media_type == "audio":
+            import io
+            import wave
+
+            samples = (rng.standard_normal(800) * 8000).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(samples.tobytes())
+            blob = buf.getvalue()
+            meta = {"media_type": "audio", "format": "wav", "width": None,
+                    "height": None, "duration_ms": 100}
+        else:
+            blob = hashlib.sha256(f"media-{i}".encode()).digest() * 8
+            meta = {"media_type": media_type, "format": "mp4", "width": 64,
+                    "height": 48, "duration_ms": 4000 + i * 500}
+        rows.append((i, blob, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1627,15 +1627,18 @@ def text_rolling_fingerprint(spark, sf_dir):
     "multimodal_features",
     "SELECT 'image' AS media_type, count(*) AS n, count(*) AS n_decoded, "
     "CAST(16.0 AS DOUBLE) AS avg_dim FROM generate_series(0, 49)",
-    doc="Multimodal plumbing: synthetic binary media → mapInPandas feature "
-    "extraction (stubbed decoder) → per-type aggregate. Exercises the "
-    "binary-column schema, Arrow batch shape, and failure-tolerant decode. "
-    "The oracle checks the decode contract, recomputed (not hardcoded "
-    "counts) over the same 50-element id range: every non-null blob "
-    "decodes, and every feature vector has the requested fixed dimension "
-    "(16) — a decode failure or wrong batch shape changes n_decoded/"
-    "avg_dim and fails the compare. Feature *values* are stub-dependent "
-    "by design and tested in tests/test_operators_multimodal.py.",
+    doc="Multimodal plumbing: synthetic binary media — REAL containers "
+    "since round 5 (alternating PNG/BMP with actual pixels, decoded by "
+    "the stdlib zlib/struct codecs) → mapInPandas feature extraction → "
+    "per-type aggregate. Exercises the binary-column schema, Arrow batch "
+    "shape, real image decoding, and failure-tolerant decode. The oracle "
+    "checks the decode contract, recomputed (not hardcoded counts) over "
+    "the same 50-element id range: every blob decodes, and every feature "
+    "vector has the requested fixed dimension (16) — a decode failure or "
+    "wrong batch shape changes n_decoded/avg_dim and fails the compare. "
+    "Feature *values* are pixel-statistics, container-independent "
+    "(PNG==BMP for equal pixels), tested in "
+    "tests/test_operators_multimodal.py.",
     tags=("multimodal",),
 )
 def multimodal_features(spark, sf_dir):

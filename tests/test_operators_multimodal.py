@@ -1,4 +1,6 @@
-"""Multimodal plumbing tests (decode stubbed; schemas/batching real)."""
+"""Multimodal tests: real stdlib PNG/BMP/WAV codecs over real containers
+(the synthetic media table emits actual images/audio since round 5);
+formats without a stdlib codec exercise the deterministic fake path."""
 
 import pytest
 
@@ -30,7 +32,8 @@ def test_extract_features_deterministic_and_unit_norm(media):
 
 def test_extract_features_decode_failure_nulls_row(spark, media):
     def flaky_decoder(blob, dim):
-        if blob[0] % 2 == 0:
+        # synthetic images alternate PNG/BMP containers: fail the BMPs
+        if blob[:2] == b"BM":
             raise ValueError("corrupt media")
         from syncmaven_spark.operators.multimodal import _fake_decode
 
@@ -45,10 +48,19 @@ def test_extract_features_decode_failure_nulls_row(spark, media):
 
 
 def test_resize_updates_meta_and_content(media):
+    from syncmaven_spark.operators.multimodal import decode_bmp, decode_png
+
     out = resize_images(media, 32, 24).collect()
     for r in out:
         assert r.meta.width == 32 and r.meta.height == 24
-        assert bytes(r.content).startswith(b"RESIZED:32x24:")
+        blob = bytes(r.content)
+        # real containers really resize; anything else gets the marker
+        if blob[:2] == b"BM":
+            assert decode_bmp(blob).shape == (24, 32, 3)
+        elif blob[:8] == b"\x89PNG\r\n\x1a\n":
+            assert decode_png(blob).shape == (24, 32, 3)
+        else:
+            assert blob.startswith(b"RESIZED:32x24:")
 
 
 def test_sample_video_frames_expands_rows(spark):
