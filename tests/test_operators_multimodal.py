@@ -326,3 +326,35 @@ def test_resize_really_resizes_png(spark):
     ys, xs = (np.arange(4) * 8) // 4, (np.arange(3) * 6) // 3
     assert (resized == px[ys][:, xs]).all()  # exact nearest-neighbor remap
     assert out.meta.width == 3 and out.meta.height == 4
+
+
+def test_image_codec_roundtrip_property():
+    """Property: encode→decode is the identity for any 8-bit RGB image
+    (both containers, odd/even dims exercising BMP row padding and PNG
+    scanline boundaries)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from syncmaven_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(h, w, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert (decode_png(encode_png(px)) == px).all()
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    check()

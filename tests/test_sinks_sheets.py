@@ -245,3 +245,38 @@ def test_live_client_append_payload():
     assert kw["valueInputOption"] == "RAW"
     assert kw["insertDataOption"] == "INSERT_ROWS"
     assert kw["body"] == {"values": [[1, "x"]]}
+
+
+def test_streaming_append_through_run_sync(spark):
+    """Integration: stream options flow from the SyncDefinition through
+    run_sync's parity delivery into the append-mode stream."""
+    from syncmaven_spark.runner import (
+        ModelDefinition,
+        SyncDefinition,
+        run_sync,
+    )
+    from syncmaven_spark.sinks.google_sheets import GoogleSheetsDestination
+
+    client = FakeAppendSheets()
+    spark.range(0, 7).selectExpr(
+        "id AS k", "concat('u', id) AS name"
+    ).createOrReplaceTempView("sheet_rows")
+    sync = SyncDefinition(
+        id="sheets-append",
+        model=ModelDefinition(id="m", query="select k, name from sheet_rows"),
+        destination=GoogleSheetsDestination(),
+        stream="sheet",
+        credentials={"_client": client, "spreadsheetId": "ss9"},
+        options={"streamingAppend": True, "appendBatchSize": 3,
+                 "sheetName": "Out"},
+    )
+    from syncmaven_spark.state import InMemoryStore
+
+    result = run_sync(spark, sync, InMemoryStore())
+    assert result.stats.success == 7
+    # 7 rows at batch 3: header write (3 rows) + appends (3, then 1)
+    assert client.written[1] == "Out" and client.written[2] == ["k", "name"]
+    assert len(client.written[3]) == 3
+    assert [len(r) for _, _, r in client.appended] == [3, 1]
+    all_rows = client.written[3] + [row for _, _, rs in client.appended for row in rs]
+    assert sorted(r[0] for r in all_rows) == list(range(7))
