@@ -172,6 +172,8 @@ def _parse_model_file(path: str, env: dict[str, str]) -> ModelDefinition:
             cursor=fields.get("cursor"),
             datasource=fields.get("datasource"),
             dialect=fields.get("dialect"),
+            page_size=_opt_int(fields.get("pageSize")),
+            pause_between_pages_ms=_opt_int(fields.get("pauseBetweenPagesMs")),
         )
     content = _render_deep(content, env=env, file_name=path)
     return ModelDefinition(
@@ -180,7 +182,13 @@ def _parse_model_file(path: str, env: dict[str, str]) -> ModelDefinition:
         cursor=content.get("cursor"),
         datasource=content.get("datasource"),
         dialect=content.get("dialect"),
+        page_size=_opt_int(content.get("pageSize")),
+        pause_between_pages_ms=_opt_int(content.get("pauseBetweenPagesMs")),
     )
+
+
+def _opt_int(v):
+    return int(v) if v is not None else None
 
 
 def _parse_connection_file(path: str, env: dict[str, str]) -> ConnectionDefinition:

@@ -67,6 +67,14 @@ class ModelDefinition:
     # explicit "spark" is respected even with a datasource — e.g. a pg-wire
     # proxy fronting a Spark-SQL engine.
     dialect: str | None = None
+    # Reference model knobs for the HTTP-paged BigQuery scan
+    # (objects.ts:11-12, bigquery.ts:56-96). Accepted so ported projects
+    # load unchanged, but intentionally NOT translated: Spark's BigQuery
+    # connector reads through the Storage Read API, where server-side
+    # stream partitioning replaces HTTP result paging — there is no page
+    # loop to size or pause. A set value logs an info once at compile.
+    page_size: int | None = None
+    pause_between_pages_ms: int | None = None
 
 
 @dataclass
@@ -116,6 +124,13 @@ def compile_model(
     """
     from syncmaven_spark.sql import to_spark_sql
 
+    if model.page_size or model.pause_between_pages_ms:
+        log.info(
+            "model %s sets pageSize/pauseBetweenPagesMs — no-ops on Spark "
+            "(Storage Read API has no HTTP page loop); accepted for "
+            "project compatibility",
+            model.id,
+        )
     if for_spark is None:
         for_spark = not model.datasource
     dialect = model.dialect

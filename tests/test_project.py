@@ -189,3 +189,27 @@ def test_enrichments_key_takes_precedence(tmp_path, monkeypatch):
         "enrichments": [{"url": "http://e/one"}],
     }
     assert len(_compile_enrichments(raw)) == 1
+
+
+def test_model_page_size_fields_accepted(tmp_path):
+    """Reference model knobs pageSize/pauseBetweenPagesMs (objects.ts:11-12)
+    parse without error and surface on the model — no-ops on Spark (the
+    Storage Read API has no HTTP page loop), accepted so ported projects
+    load unchanged."""
+    import os
+
+    from syncmaven_spark.project import read_project
+
+    proj = tmp_path / "p"
+    for sub in ("models", "syncs", "connections"):
+        os.makedirs(proj / sub)
+    (proj / "models" / "m.yml").write_text(
+        "query: select 1 as x\npageSize: 500\npauseBetweenPagesMs: 250\n"
+    )
+    (proj / "connections" / "f.yml").write_text(
+        'kind: file\ncredentials:\n  filename: out.ndjson\n'
+    )
+    (proj / "syncs" / "s.yml").write_text("model: m\ndestination: f\n")
+    p = read_project(str(proj))
+    m = p.models["m"]
+    assert m.page_size == 500 and m.pause_between_pages_ms == 250
