@@ -32,6 +32,12 @@ from syncmaven_spark.runner import ModelDefinition, SyncDefinition
 
 _ENV_NEW_RE = re.compile(r"\{\{\s*env\.([A-Za-z0-9_]+)\s*\}\}")
 _ENV_LEGACY_RE = re.compile(r"\$\{([a-zA-Z0-9_.-]+)(?::([^}]*))?\}")
+# one combined scan so a substituted VALUE is never re-parsed as a template
+# (an env var containing '${cd}' used to abort loading, and one containing
+# '${env.OTHER}' silently expanded — round-5 review)
+_ENV_BOTH_RE = re.compile(
+    rf"(?:{_ENV_NEW_RE.pattern})|(?:{_ENV_LEGACY_RE.pattern})"
+)
 _CONFIG_RE = re.compile(r"\{\{\s*config\s+\"([^\"]+)\"\s+\"([^\"]*)\"\s*\}\}")
 _RESULT_RE = re.compile(r"\{\{\s*result\.(rows|row|length)\s*\}\}")
 _RESULT_MACROS = {
@@ -80,10 +86,11 @@ def render_template(
     text = _CONFIG_RE.sub(config_sub, text)
     if result_macros:
         text = _RESULT_RE.sub(lambda m: _RESULT_MACROS[m.group(1)], text)
-    text = _ENV_NEW_RE.sub(lambda m: env.get(m.group(1), ""), text)
 
-    def legacy_sub(m: re.Match) -> str:
-        var, default = m.group(1).strip(), m.group(2)
+    def env_sub(m: re.Match) -> str:
+        if m.group(1) is not None:  # {{ env.NAME }}
+            return env.get(m.group(1), "")
+        var, default = m.group(2).strip(), m.group(3)  # ${env.NAME[:default]}
         prefix, _, name = var.partition(".")
         if prefix != "env":
             raise ProjectError(
@@ -99,7 +106,9 @@ def render_template(
             return default.strip()
         return value
 
-    return _ENV_LEGACY_RE.sub(legacy_sub, text)
+    # both syntaxes substitute in ONE pass over the original text: a value
+    # containing '${...}' or '{{ env... }}' passes through verbatim
+    return _ENV_BOTH_RE.sub(env_sub, text)
 
 
 def _render_deep(obj: Any, **kw) -> Any:
@@ -224,10 +233,16 @@ def read_project(project_dir: str, env: dict[str, str] | None = None) -> Project
 
     for path in _list_dir(os.path.join(project_dir, "models")):
         model = _parse_model_file(path, env)
+        if model.id in project.models:
+            # last-writer-wins would silently ignore one of the files
+            # (e.g. users.sql + users.yaml both resolve to id 'users')
+            raise ProjectError(f"Duplicate model id {model.id!r} ({path})")
         project.models[model.id] = model
 
     for path in _list_dir(os.path.join(project_dir, "connections")):
         conn = _parse_connection_file(path, env)
+        if conn.id in project.connections:
+            raise ProjectError(f"Duplicate connection id {conn.id!r} ({path})")
         project.connections[conn.id] = conn
 
     raw_syncs = []
@@ -276,6 +291,8 @@ def read_project(project_dir: str, env: dict[str, str] | None = None) -> Project
         # checkpoints for reference-style projects
         if "checkpointEvery" in raw and "checkpointEvery" not in options:
             options["checkpointEvery"] = raw["checkpointEvery"]
+        if raw["id"] in project.syncs:
+            raise ProjectError(f"Duplicate sync id {raw['id']!r}")
         project.syncs[raw["id"]] = SyncDefinition(
             id=raw["id"],
             model=project.models[model_id],
@@ -398,13 +415,19 @@ def project_from_files(
             f"Sync references destination {content['destination']!r} but the "
             f"connection file defines {conn.id!r} (package {conn.package!r})"
         )
+    options = dict(content.get("options") or {})
+    # top-level checkpointEvery hoists into options exactly like
+    # read_project (objects.ts:55) — the fix had been applied to only one
+    # of the two sync-compilation paths (round-5 review)
+    if "checkpointEvery" in content and "checkpointEvery" not in options:
+        options["checkpointEvery"] = content["checkpointEvery"]
     sync_def = SyncDefinition(
         id=content["id"],
         model=model,
         destination=conn.package,
         stream=content.get("stream") or _default_stream(conn.package),
         credentials=conn.credentials,
-        options=content.get("options", {}),
+        options=options,
         enrichments=_compile_enrichments(content),
     )
     return Project(

@@ -672,14 +672,23 @@ def deliver_partitions(
             restart=restart,
             options=options,
         )
+        row_errors = 0
         for row in rows:
-            out.handle_row(row.asDict(recursive=True))
+            try:
+                out.handle_row(row.asDict(recursive=True))
+            except RowError:
+                # sink-declared PER-ROW rejection: count failed and keep
+                # going, matching both driver delivery paths
+                # (std.ts:147-175) — before this, one rejected row failed
+                # the whole Spark task, which was then RETRIED, re-sending
+                # every prior row of the partition to the API
+                row_errors += 1
         stats = out.finish()
         if stats_acc is not None:
             stats_acc["received"].add(stats.received)
             stats_acc["success"].add(stats.success)
             stats_acc["skipped"].add(stats.skipped)
-            stats_acc["failed"].add(stats.failed)
+            stats_acc["failed"].add(stats.failed + row_errors)
 
     df.foreachPartition(deliver)
 

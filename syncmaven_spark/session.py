@@ -146,12 +146,40 @@ def read_parquet(spark: SparkSession, path: str):
 _TABLES_CACHE_ATTR = "_syncmaven_table_cache"
 
 
+_IDENTIFIER_RE = None
+
+
+def _table_names_in(sf_dir: str) -> list[str]:
+    """Every ``<name>.parquet`` entry in the directory whose stem is a
+    plain SQL identifier (registerable as a temp view without quoting) —
+    NOT just the benchmark ``TABLE_NAMES`` tuple: user source directories
+    carry arbitrary table names (round-5 review finding: a model over
+    ``users.parquet`` was never registered). Sorted for deterministic
+    fingerprints."""
+    global _IDENTIFIER_RE
+    if _IDENTIFIER_RE is None:
+        import re
+
+        _IDENTIFIER_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+    try:
+        entries = os.listdir(sf_dir)
+    except OSError:
+        return []
+    names = set()
+    for e in entries:
+        if e.endswith(".parquet"):
+            stem = e[: -len(".parquet")]
+            if _IDENTIFIER_RE.match(stem):
+                names.add(stem)
+    return sorted(names)
+
+
 def _dir_fingerprint(sf_dir: str) -> tuple:
     """Cheap staleness key for a table directory: (name, mtime_ns, size)
     per ``<table>.parquet`` entry. A handful of stat calls, vs the ~1s a
     cold ``read_parquet`` spends probing footers and analyzing plans."""
     parts = []
-    for name in TABLE_NAMES:
+    for name in _table_names_in(sf_dir):
         path = os.path.join(sf_dir, f"{name}.parquet")
         try:
             st = os.stat(path)
@@ -213,14 +241,13 @@ def load_tables(
     tables = cached[1] if cached is not None and cached[0] == fingerprint else None
     if tables is None:
         tables = {}
-        for name in TABLE_NAMES:
-            path = os.path.join(sf_dir, f"{name}.parquet")
-            if not os.path.exists(path):
-                continue
-            tables[name] = read_parquet(spark, path)
+        for name in _table_names_in(sf_dir):
+            tables[name] = read_parquet(
+                spark, os.path.join(sf_dir, f"{name}.parquet")
+            )
         if not tables:
             raise FileNotFoundError(
-                f"no testdata parquet tables found in {sf_dir!r}"
+                f"no parquet tables found in {sf_dir!r}"
             )
         per_session[cache_key] = (fingerprint, tables)
     if register_views:

@@ -46,13 +46,16 @@ def stringify_key(key: KeyLike) -> str:
 def _like_prefix(prefix: str) -> str:
     """LIKE pattern matching exactly ``prefix + '::' + anything``.
 
-    ``%``/``_``/``\\`` in key segments are escaped (pair with ``ESCAPE '\\'``)
+    ``%``/``_``/``!`` in key segments are escaped (pair with ``ESCAPE '!'``)
     so prefix scans have plain-startswith semantics like InMemoryStore — the
     reference's raw ``LIKE 'prefix::%'`` (store.ts:75-88,205-216) treats an
     underscore in a sync id as a single-char wildcard, which we deliberately
-    do not reproduce."""
+    do not reproduce. The escape char is ``!``, NOT backslash: MySQL's
+    default sql_mode lexes ``'\\'`` in the SQL text as an escaped quote, so
+    the statement never parses there, while ``ESCAPE '!'`` is plain ANSI
+    accepted by SQLite/Postgres/Derby/MySQL alike (round-5 review)."""
     escaped = (
-        prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        prefix.replace("!", "!!").replace("%", "!%").replace("_", "!_")
     )
     return escaped + SEPARATOR + "%"
 
@@ -168,7 +171,7 @@ class SqliteStore(StateStore):
         with self._lock:
             rows = self._conn.execute(
                 "SELECT key, value FROM store WHERE key = ? "
-                "OR key LIKE ? ESCAPE '\\' ORDER BY key ASC",
+                "OR key LIKE ? ESCAPE '!' ORDER BY key ASC",
                 (p, _like_prefix(p)),
             ).fetchall()
         for k, v in rows:
@@ -178,7 +181,7 @@ class SqliteStore(StateStore):
         p = stringify_key(prefix)
         with self._lock:
             self._conn.execute(
-                "DELETE FROM store WHERE key = ? OR key LIKE ? ESCAPE '\\'",
+                "DELETE FROM store WHERE key = ? OR key LIKE ? ESCAPE '!'",
                 (p, _like_prefix(p)),
             )
             self._conn.commit()
@@ -283,7 +286,7 @@ class PostgresStore(StateStore):
             cur = self._conn.cursor()
             cur.execute(
                 "SELECT key, value FROM syncmaven_store "
-                "WHERE key LIKE %s ESCAPE '\\' OR key = %s ORDER BY key ASC",
+                "WHERE key LIKE %s ESCAPE '!' OR key = %s ORDER BY key ASC",
                 (_like_prefix(p), p),
             )
             rows = cur.fetchall()
@@ -296,7 +299,7 @@ class PostgresStore(StateStore):
             cur = self._conn.cursor()
             cur.execute(
                 "DELETE FROM syncmaven_store "
-                "WHERE key LIKE %s ESCAPE '\\' OR key = %s",
+                "WHERE key LIKE %s ESCAPE '!' OR key = %s",
                 (_like_prefix(p), p),
             )
             self._conn.commit()
@@ -420,7 +423,7 @@ class JdbcStateStore(StateStore):
         with self._lock:
             rows = self._execute(
                 f"SELECT skey, svalue FROM {self._table} "
-                "WHERE skey = ? OR skey LIKE ? ESCAPE '\\' ORDER BY skey ASC",
+                "WHERE skey = ? OR skey LIKE ? ESCAPE '!' ORDER BY skey ASC",
                 (p, _like_prefix(p)),
                 query=True,
             )
@@ -432,7 +435,7 @@ class JdbcStateStore(StateStore):
         with self._lock:
             self._execute(
                 f"DELETE FROM {self._table} "
-                "WHERE skey = ? OR skey LIKE ? ESCAPE '\\'",
+                "WHERE skey = ? OR skey LIKE ? ESCAPE '!'",
                 (p, _like_prefix(p)),
                 query=False,
             )

@@ -213,3 +213,56 @@ def test_model_page_size_fields_accepted(tmp_path):
     p = read_project(str(proj))
     m = p.models["m"]
     assert m.page_size == 500 and m.pause_between_pages_ms == 250
+
+
+def test_project_from_files_hoists_checkpoint_every(tmp_path):
+    """Round-5 review: the connector-dev path must hoist top-level
+    checkpointEvery like read_project does."""
+    from syncmaven_spark.project import project_from_files
+
+    (tmp_path / "m.sql").write_text("select 1 as x")
+    (tmp_path / "c.yml").write_text(
+        "kind: file\ncredentials:\n  filename: o.ndjson\n"
+    )
+    (tmp_path / "s.yml").write_text("model: m\ncheckpointEvery: 1000\n")
+    p = project_from_files(
+        str(tmp_path / "m.sql"), str(tmp_path / "c.yml"), str(tmp_path / "s.yml")
+    )
+    sync = next(iter(p.syncs.values()))
+    assert sync.checkpoint_every == 1000
+
+
+def test_env_value_containing_placeholder_passes_verbatim(tmp_path):
+    """Round-5 review: a substituted env VALUE must not be re-parsed as a
+    template — '${cd}' in a password used to abort project loading, and
+    '${env.OTHER}' silently expanded."""
+    from syncmaven_spark.project import render_template
+
+    env = {"PW": "ab${cd}ef", "SNEAKY": "x${env.PW}y", "BRACES": "a{{ env.PW }}b"}
+    assert render_template("{{ env.PW }}", env=env) == "ab${cd}ef"
+    assert render_template("${env.SNEAKY}", env=env) == "x${env.PW}y"
+    assert render_template("{{ env.BRACES }}", env=env) == "a{{ env.PW }}b"
+    # original-text placeholders of both syntaxes still substitute
+    assert render_template("p=${env.PW} q={{ env.PW }}", env=env) == (
+        "p=ab${cd}ef q=ab${cd}ef"
+    )
+
+
+def test_duplicate_ids_raise(tmp_path):
+    """Round-5 review: two files resolving to the same model id must error,
+    not silently last-writer-win."""
+    import pytest
+
+    from syncmaven_spark.project import ProjectError, read_project
+
+    proj = tmp_path / "p"
+    for sub in ("models", "syncs", "connections"):
+        (proj / sub).mkdir(parents=True)
+    (proj / "models" / "users.sql").write_text("select 1 as a")
+    (proj / "models" / "users.yaml").write_text("query: select 2 as a\n")
+    (proj / "connections" / "f.yml").write_text(
+        "kind: file\ncredentials:\n  filename: o.ndjson\n"
+    )
+    (proj / "syncs" / "s.yml").write_text("model: users\ndestination: f\n")
+    with pytest.raises(ProjectError, match="Duplicate model id"):
+        read_project(str(proj))

@@ -416,3 +416,44 @@ def test_distributed_sync_timestamp_cursor(spark, tmp_path):
     max_ts = max(r["ts"] for r in rows)
     assert {r["ts"] for r in rows2} == {max_ts}
     assert result2.stats.received == len(rows2) >= 1
+
+
+def test_deliver_partitions_row_error_continues(spark):
+    """Round-5 review: a sink-declared RowError on the executor path must
+    count failed and continue — before, it failed (and Spark retried) the
+    whole task, re-POSTing every prior row of the partition."""
+    from syncmaven_spark.runner import deliver_partitions
+    from syncmaven_spark.sinks.base import (
+        ANY_OBJECT_SCHEMA,
+        DestinationProvider,
+        OutputStream,
+        RowError,
+        StreamSpec,
+    )
+
+    class RejectingStream(OutputStream):
+        def handle_row(self, row):
+            self.stats.received += 1
+            if row["k"] % 3 == 0:
+                raise RowError(f"rejected {row['k']}")
+            self.stats.success += 1
+
+    class RejectingDest(DestinationProvider):
+        name = "rejecting"
+        stateless = True
+
+        def streams(self):
+            return [StreamSpec(name="s", row_type=ANY_OBJECT_SCHEMA)]
+
+        def create_output_stream(self, *a, **kw):
+            return RejectingStream()
+
+    df = spark.range(0, 30).selectExpr("id AS k").repartition(4)
+    sc = spark.sparkContext
+    acc = {n: sc.accumulator(0) for n in ("received", "success", "skipped", "failed")}
+    deliver_partitions(
+        df, RejectingDest(), "s", {}, "sync1", {}, restart=False, stats_acc=acc
+    )
+    assert acc["received"].value == 30
+    assert acc["success"].value == 20   # 10 of 30 are divisible by 3
+    assert acc["failed"].value == 10

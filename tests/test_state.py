@@ -250,3 +250,20 @@ def test_jdbc_store_large_values(tmp_path, request):
         assert s.list(["syncId=x"]) == [("syncId=x::idmap", big)]
     finally:
         s.close()
+
+
+def test_prefix_scan_with_like_metachars_and_escape_char(tmp_path):
+    """Round-5 review: the LIKE escape char is '!' (portable ANSI — MySQL's
+    default sql_mode lexes a backslash ESCAPE literal as an escaped quote);
+    keys containing %, _, and ! must still prefix-scan exactly."""
+    from syncmaven_spark.state import SqliteStore
+
+    store = SqliteStore(str(tmp_path / "s.db"))
+    store.set(["100%_do!ne", "a"], 1)
+    store.set(["100%_do!ne", "b"], 2)
+    store.set(["100x_doyne", "a"], 99)  # would match if % or _ were wild
+    got = dict(store.stream(["100%_do!ne"]))
+    assert got == {"100%_do!ne::a": 1, "100%_do!ne::b": 2}
+    store.delete_by_prefix(["100%_do!ne"])
+    assert dict(store.stream(["100%_do!ne"])) == {}
+    assert dict(store.stream(["100x_doyne"]))  # untouched
