@@ -182,6 +182,46 @@ def minhash_lsh_candidates(
     )
 
 
+def _hashed_shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(extra_cols…, id, _set)`` with ``_set`` the distinct xxhash64-hashed
+    shingle set — the shared input of both exact-Jaccard verification paths
+    (blocked n-gram and MinHash-candidate).
+
+    Hashing shingles to longs keeps Jaccard invariant (injective modulo
+    ~2^-64 collisions) while long arrays shuffle and intersect far cheaper
+    than string arrays. Persisted through the pool: O(n) rows feeding both
+    sides of whichever pair join consumes them.
+    """
+    hashed = F.array_distinct(
+        F.transform(
+            _shingles(F.col(text_col), shingle_k), lambda w: F.xxhash64(w)
+        )
+    )
+    return _persist_scoped(
+        df.select(
+            *[F.col(c) for c in extra_cols], F.col(id_col), hashed.alias("_set")
+        )
+    )
+
+
+def _jaccard_verified(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard scoring over a pair table carrying ``_set_a``/``_set_b``
+    → ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold (rounded to 4)."""
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size(F.array_union("_set_a", "_set_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -195,21 +235,9 @@ def ngram_jaccard_pairs(
     ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold. The blocking join is
     the scale lever: pair count is bounded per block, not global.
     """
-    # hash shingles to longs: jaccard is invariant under the (injective
-    # modulo ~2^-64 collisions) mapping, and long arrays shuffle and
-    # intersect far cheaper than string arrays
-    hashed = F.array_distinct(
-        F.transform(
-            _shingles(F.col(text_col), shingle_k), lambda w: F.xxhash64(w)
-        )
-    )
-    # persisted: O(n) hashed-set rows, computed once for both join sides
-    with_sets = _persist_scoped(
-        _spread(df, id_col).select(
-            *[F.col(c) for c in block_cols],
-            F.col(id_col),
-            hashed.alias("_set"),
-        )
+    with_sets = _hashed_shingle_sets(
+        _spread(df, id_col), text_col, id_col, shingle_k,
+        extra_cols=tuple(block_cols),
     )
     a = with_sets.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
@@ -217,18 +245,13 @@ def ngram_jaccard_pairs(
     b = with_sets.select(
         *block_cols, F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b")
     )
-    inter = F.size(F.array_intersect("_set_a", "_set_b"))
-    union = F.size(F.array_union("_set_a", "_set_b"))
     n_a, n_b = F.size("_set_a"), F.size("_set_b")
     # size-ratio prune: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
     # so most pairs skip the expensive intersection entirely
     size_ok = F.least(n_a, n_b).cast("double") / F.greatest(n_a, n_b) >= threshold
-    return (
-        a.join(b, block_cols)
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
-        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _jaccard_verified(
+        a.join(b, block_cols).filter((F.col("id_a") < F.col("id_b")) & size_ok),
+        threshold,
     )
 
 
@@ -284,16 +307,9 @@ def minhash_verified_pairs(
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
-    # hash shingles to longs (jaccard-invariant, cf. ngram_jaccard_pairs);
-    # persisted: O(n) rows feeding both sides of the candidate join
-    hashed = F.array_distinct(
-        F.transform(_shingles(F.col(text_col), shingle_k), lambda w: F.xxhash64(w))
-    )
-    sets = _persist_scoped(df.select(F.col(id_col), hashed.alias("_set")))
+    sets = _hashed_shingle_sets(df, text_col, id_col, shingle_k)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
-    inter = F.size(F.array_intersect("_set_a", "_set_b"))
-    union = F.size(F.array_union("_set_a", "_set_b"))
     # the verified pair table is itself persisted through the pool: it is
     # O(near-dup pairs) — far smaller than the corpus — and downstream
     # consumers (connected-components clustering, canonical assignment)
@@ -301,10 +317,7 @@ def minhash_verified_pairs(
     # pipeline reuse the pairs the candidates query already verified
     # instead of re-running the band join + verification.
     return _persist_scoped(
-        cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        _jaccard_verified(cands.join(a, "id_a").join(b, "id_b"), threshold)
     )
 
 

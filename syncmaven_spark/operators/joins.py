@@ -44,7 +44,18 @@ def asof_join(
     ``on`` is the ordering (timestamp) column present in both sides; ``by``
     the equi-key. Returns all left columns + the matched right value columns
     (null when nothing precedes / outside tolerance).
+
+    NULL semantics follow SQL ASOF (DuckDB ``ASOF LEFT JOIN ... ON l.k =
+    r.k``): a NULL ``by`` key matches nothing (the equi-predicate is never
+    true), and a NULL right ``on`` never satisfies ``r.on <= l.on`` — such
+    right rows are dropped before the union; null-keyed/null-ts LEFT rows
+    still pass through with NULL right columns.
     """
+    if direction != "backward":
+        raise ValueError(
+            "asof_join supports direction='backward' only; use "
+            f"asof_join_grouped for {direction!r}"
+        )
     if right_value_cols is None:
         right_value_cols = [
             c for c in right.columns if c not in (on, by)
@@ -65,7 +76,13 @@ def asof_join(
             right.select(r_struct.alias("_r")).schema["_r"].dataType
         ).alias("_r"),
     )
-    r_tag = right.select(
+    # SQL NULL semantics: null-keyed or null-ts right rows can never be the
+    # match of any left row (NULL = NULL and r.on <= l.on are both unknown);
+    # without this filter the window's partitionBy would group NULL keys
+    # together and "match" them, diverging from the ASOF oracle.
+    r_tag = right.filter(
+        F.col(by).isNotNull() & F.col(on).isNotNull()
+    ).select(
         F.col(by), F.col(on), F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
         r_struct.alias("_r"),
@@ -114,9 +131,16 @@ def asof_join_grouped(
 
     Arrow-batched; each key group must fit in executor memory (the usual
     applyInPandas contract). Supports merge_asof's full direction set.
+
+    NULL semantics match :func:`asof_join` (and SQL ASOF): null-keyed or
+    null-ts right rows are dropped up front; null-ts left rows pass through
+    unmatched (``pd.merge_asof`` rejects null merge keys, so they are split
+    out before the merge).
     """
     import pandas as pd
     from pyspark.sql import types as T
+
+    right = right.filter(F.col(by).isNotNull() & F.col(on).isNotNull())
 
     right_value_cols = [c for c in right.columns if c not in (on, by)]
     out_schema = T.StructType(
@@ -127,12 +151,17 @@ def asof_join_grouped(
     left_cols = list(left.columns)
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        l_sorted = l_pdf.sort_values(on)
+        # null-ts left rows can never match (r.on <= NULL is unknown) and
+        # merge_asof rejects null merge keys — split them out, re-append
+        # with NULL right columns at the end
+        null_mask = l_pdf[on].isna()
+        l_null = l_pdf[null_mask]
+        l_sorted = l_pdf[~null_mask].sort_values(on)
         r_sorted = r_pdf.sort_values(on)[[on, *right_value_cols]].rename(
             columns={c: f"right_{c}" for c in right_value_cols}
         )
-        if r_sorted.empty:
-            out = l_sorted.copy()
+        if r_sorted.empty or l_sorted.empty:
+            out = pd.concat([l_sorted, l_null])
             for c in right_value_cols:
                 out[f"right_{c}"] = None
             return out
@@ -149,6 +178,11 @@ def asof_join_grouped(
         merged = pd.merge_asof(
             l_sorted, r_sorted, on=on, direction=direction, **kwargs
         )
+        if not l_null.empty:
+            tail = l_null.copy()
+            for c in right_value_cols:
+                tail[f"right_{c}"] = None
+            merged = pd.concat([merged, tail])
         return merged[[*left_cols, *[f"right_{c}" for c in right_value_cols]]]
 
     return (

@@ -303,7 +303,14 @@ def _audio_features(samples: np.ndarray, rate: int, feature_dim: int) -> np.ndar
     16-segment RMS envelope."""
     if samples.size == 0:
         samples = np.zeros(1)
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    # a 0/1-sample clip has no sign transitions: np.diff is empty and
+    # np.mean([]) is NaN, which would poison the whole unit-normalized
+    # vector (and NaN compares greater-than-everything in Spark, making the
+    # clip a "near-duplicate" of every row downstream)
+    if samples.size < 2:
+        zcr = 0.0
+    else:
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
     segs = np.array_split(samples, 16)
     envelope = np.array([float(np.sqrt(np.mean(s**2))) if s.size else 0.0 for s in segs])
     return _pad_unit(

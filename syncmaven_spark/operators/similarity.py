@@ -48,9 +48,16 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query: ``(q_id, n_id, cos_sim, rank)``.
-    Null embeddings are excluded (a null vector has no similarity)."""
+    Null embeddings are excluded (a null vector has no similarity).
+
+    ``exclude_self=True`` (the default) assumes queries are drawn from the
+    corpus and drops neighbors whose id equals the query id. Pass ``False``
+    when the query table is a SEPARATE id space — otherwise a corpus row
+    whose id coincidentally equals a query id is silently unretrievable.
+    """
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
     ).withColumn("n_norm", F.sqrt(_dot(F.col("n_vec"), F.col("n_vec"))))
@@ -58,7 +65,8 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
 
-    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+    cond = F.col("q_id") != F.col("n_id") if exclude_self else F.lit(True)
+    pairs = c.join(F.broadcast(q), cond).select(
         "q_id",
         "n_id",
         _cosine(
@@ -86,12 +94,18 @@ def train_centroids(
 
     Centroids are the only state that leaves the cluster — n_centroids × dim
     floats — so this scales to any corpus size; the sample bound keeps driver
-    memory flat. Pass ``order_col`` for a reproducible sample (plain limit()
-    order depends on partition layout).
+    memory flat. Pass ``order_col`` for a reproducible sample: rows are taken
+    in ``xxhash64(order_col)`` order, which is both deterministic AND spread
+    uniformly across the corpus — ordering by the raw column would take an
+    ordered *prefix*, and on corpora where the id correlates with embedding
+    structure (ids assigned per source/shard) a prefix covers only the head
+    cluster and collapses the centroids onto it.
     """
     sampled = df.filter(F.col(vec_col).isNotNull())
     if order_col is not None:
-        sampled = sampled.orderBy(order_col)
+        # hash first, raw column second: ties (dup order_col values or a
+        # 64-bit collision) stay deterministic
+        sampled = sampled.orderBy(F.xxhash64(order_col), order_col)
     sample = sampled.select(vec_col).limit(sample_size).collect()
     if not sample:
         raise ValueError(
@@ -326,12 +340,17 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     centroids: np.ndarray | None = None,
     round_to: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-partitioned approximate top-k: ``(q_id, n_id, cos_sim, rank)``.
 
     Corpus vectors live in exactly one cell; queries probe ``n_probe`` cells.
     The candidate join is an equi-join on cell id — shuffle keyed by cell —
     then the same windowed top-k as brute force scores only candidates.
+
+    ``exclude_self`` as in :func:`cosine_topk_bruteforce`: the default drops
+    same-id neighbors (queries ⊆ corpus); pass ``False`` for a disjoint
+    query id space.
     """
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
@@ -363,9 +382,9 @@ def cosine_topk_ivf(
         .withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
     )
 
-    pairs = c_assigned.join(F.broadcast(q_assigned), "cell").filter(
-        F.col("q_id") != F.col("n_id")
-    )
+    pairs = c_assigned.join(F.broadcast(q_assigned), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
         "q_id",
         "n_id",

@@ -645,3 +645,111 @@ def test_sheets_append_rejects_nested_values_like_buffered_mode():
     )
     with pytest.raises(ValueError, match="Invalid value"):
         out.handle_row({"a": {"nested": 1}})
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Round-5 operator review: NULL by-keys matched each other through the
+    window partitionBy, diverging from SQL ASOF (NULL = NULL is never true).
+    Null-keyed/null-ts LEFT rows must pass through unmatched; null-keyed or
+    null-ts RIGHT rows must never be carried into any match."""
+    from syncmaven_spark.operators.joins import asof_join, asof_join_grouped
+
+    left = spark.createDataFrame(
+        [(None, 10.0), ("u1", 10.0), ("u1", None)],
+        "user_id string, ts double",
+    )
+    right = spark.createDataFrame(
+        [(None, 5.0, 99.0), ("u1", 5.0, 7.0), ("u1", None, 42.0)],
+        "user_id string, ts double, value double",
+    )
+    for fn in (asof_join, asof_join_grouped):
+        rows = {
+            (r["user_id"], r["ts"]): r["right_value"]
+            for r in fn(left, right, on="ts", by="user_id").collect()
+        }
+        assert len(rows) == 3, fn.__name__
+        # null key: no match even though a null-keyed right row exists
+        assert rows[(None, 10.0)] is None, fn.__name__
+        # normal match unaffected; the null-ts right row (42.0) never wins
+        assert rows[("u1", 10.0)] == 7.0, fn.__name__
+        # null left ts: r.ts <= NULL is unknown -> unmatched
+        assert rows[("u1", None)] is None, fn.__name__
+
+
+def test_asof_join_rejects_non_backward_direction(spark):
+    from syncmaven_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame([("u", 1.0)], "user_id string, ts double")
+    with pytest.raises(ValueError, match="backward"):
+        asof_join(df, df, on="ts", by="user_id", direction="forward")
+
+
+def test_audio_features_short_clip_has_no_nan():
+    """Round-5 operator review: a valid 0- or 1-frame WAV produced an
+    all-NaN feature vector (np.mean of an empty diff) with decode_ok=True —
+    and NaN sorts above every double in Spark, so the clip became a
+    'near-duplicate' of the whole corpus downstream."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from syncmaven_spark.operators.multimodal import _audio_features, decode_wav
+
+    for n_frames in (0, 1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x01\x00" * n_frames)
+        samples, rate = decode_wav(buf.getvalue())
+        feats = _audio_features(samples, rate, 16)
+        assert np.isfinite(feats).all(), f"NaN/inf at n_frames={n_frames}"
+
+
+def test_cosine_topk_disjoint_id_space_opt_out(spark):
+    """Round-5 operator review: the implicit q_id != n_id self-exclusion
+    silently dropped a corpus row whose id collides with a query id from a
+    SEPARATE table; exclude_self=False must retrieve it."""
+    from syncmaven_spark.operators import cosine_topk_bruteforce, cosine_topk_ivf
+
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(5, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    top_default = cosine_topk_bruteforce(corpus, queries, k=1).collect()
+    assert [r["n_id"] for r in top_default] == [6]  # documented default
+    top = cosine_topk_bruteforce(corpus, queries, k=1, exclude_self=False).collect()
+    assert [r["n_id"] for r in top] == [5]
+    import numpy as np
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    ivf = cosine_topk_ivf(
+        corpus, queries, k=1, centroids=cents, n_probe=2, exclude_self=False
+    ).collect()
+    assert [r["n_id"] for r in ivf] == [5]
+
+
+def test_train_centroids_sample_is_spread_not_prefix(spark):
+    """Round-5 operator review: the order_col 'reproducible sample' took an
+    ordered PREFIX — on a corpus whose ids correlate with embedding
+    structure the 2-centroid fit collapsed onto the head cluster. The
+    hash-ordered sample must cover both clusters."""
+    import numpy as np
+
+    from syncmaven_spark.operators.similarity import train_centroids
+
+    rows = [(i, [10.0, 0.0]) for i in range(100)] + [
+        (100 + i, [0.0, 10.0]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids(
+        df, n_centroids=2, sample_size=50, order_col="vec_id"
+    )
+    # each cluster axis must own one centroid; a prefix sample puts both
+    # centroids on the x-axis cluster
+    axis = {int(np.argmax(np.abs(c))) for c in cents}
+    assert axis == {0, 1}, cents
