@@ -60,14 +60,17 @@ from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql import types as T
 
 
-def _roundtrip(df: DataFrame, path: str) -> DataFrame:
+def _roundtrip(df: DataFrame, path: str, read_with=None) -> DataFrame:
     df.write.mode("overwrite").parquet(path)
-    # explicit schema: skips the footer-sampling pass on every re-read
-    return df.sparkSession.read.schema(df.schema).parquet(path)
+    # explicit schema: skips the footer-sampling pass on every re-read.
+    # ``read_with`` rebinds the re-read to another session (the loop's
+    # private tuned session, or back to the caller's for the final result).
+    spark = read_with or df.sparkSession
+    return spark.read.schema(df.schema).parquet(path)
 
 
 def _roundtrip_with_fingerprint(
-    df: DataFrame, path: str
+    df: DataFrame, path: str, read_with=None
 ) -> tuple[DataFrame, tuple[int, int]]:
     """Lineage-cutting parquet round-trip that also returns the edge-set
     fingerprint (count, xxhash64 xor) of what was written. The fingerprint
@@ -82,8 +85,9 @@ def _roundtrip_with_fingerprint(
     )
     observed.write.mode("overwrite").parquet(path)
     vals = obs.get
+    spark = read_with or df.sparkSession
     return (
-        df.sparkSession.read.schema(df.schema).parquet(path),
+        spark.read.schema(df.schema).parquet(path),
         (vals["n"], vals["h"]),
     )
 
@@ -136,9 +140,38 @@ _SMALL_GRAPH_EDGES = 10_000_000
 _EDGES_PER_PARTITION = 2_000_000
 
 
+def _loop_session(spark):
+    """A private session for the iteration loop — shared SparkContext (so
+    executors, cached blocks, and the event log are all shared), isolated
+    SQLConf — so the per-round conf tuning below can never leak into
+    queries planned concurrently on the caller's session by another
+    job-submission thread. The confs the rounds depend on are copied over
+    (``newSession`` starts from the context defaults, not the caller's
+    runtime confs). Falls back to the caller's session where ``newSession``
+    is unavailable (Spark Connect), restoring the old shared-session
+    behavior (tuning still restores on exit there)."""
+    try:
+        s = spark.newSession()
+    except Exception:
+        return spark
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.session.timeZone",
+        "spark.sql.ansi.enabled",
+    ):
+        try:
+            s.conf.set(k, spark.conf.get(k))
+        except Exception:
+            pass
+    return s
+
+
 class _LoopConfs:
     """Scoped override of shuffle confs for small iteration rounds; always
-    restores the session's originals (the loop runs inside a shared session)."""
+    restores the session's originals (a belt-and-braces no-op on the
+    private loop session, load-bearing on the Spark Connect fallback where
+    the loop shares the caller's session)."""
 
     _KEYS = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
 
@@ -162,7 +195,7 @@ class _LoopConfs:
         self._overridden = False
 
 
-def _local_components(cur: DataFrame) -> DataFrame:
+def _local_components(cur: DataFrame, session=None) -> DataFrame:
     """Driver-local union-find over a SMALL edge list → ``(v, component)``.
 
     Union-by-min with path compression: the root of every tree is the
@@ -170,13 +203,16 @@ def _local_components(cur: DataFrame) -> DataFrame:
     smaller of the two roots), so labels fall out of one final find() pass.
     Pure Python handles ~1M edges in ≈1 s; callers gate on the exact edge
     count before calling. Returns a LocalRelation — no files, no lineage.
+    ``session`` overrides which session owns the result (the caller's, when
+    ``cur`` lives on the loop's private tuned session).
     """
-    return _components_from_pdf(cur, cur.toPandas())
+    return _components_from_pdf(cur, cur.toPandas(), session=session)
 
 
-def _components_from_pdf(cur: DataFrame, pdf) -> DataFrame:
+def _components_from_pdf(cur: DataFrame, pdf, session=None) -> DataFrame:
     """Union-find over an already-collected canonical edge list (columns
-    ``a``/``b``); ``cur`` supplies the session and id type."""
+    ``a``/``b``); ``cur`` supplies the id type, and ``session`` (default:
+    ``cur``'s session) owns the result."""
     parent: dict = {}
 
     def find(x):
@@ -204,7 +240,8 @@ def _components_from_pdf(cur: DataFrame, pdf) -> DataFrame:
         [T.StructField("v", id_type), T.StructField("component", id_type)]
     )
     labels = [(x, find(x)) for x in parent]
-    return cur.sparkSession.createDataFrame(labels, schema)
+    spark = session or cur.sparkSession
+    return spark.createDataFrame(labels, schema)
 
 
 # Collecting fewer edges than this and finishing with driver-side union-find
@@ -316,14 +353,24 @@ def connected_components(
         work_dir = tempfile.mkdtemp(prefix="cc_")
         atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
 
-    cur, prev_fp = _roundtrip_with_fingerprint(cur, f"{work_dir}/it_0")
+    # The first (canonicalizing) write runs under the caller's session —
+    # the big-graph shuffle where its AQE/partitioning is wanted — and the
+    # re-read lands on a PRIVATE loop session, so the small-round conf
+    # tuning below never leaks into queries planned concurrently on the
+    # caller's session. The result is rebound to the caller's session
+    # before returning.
+    caller_spark = edges.sparkSession
+    loop_spark = _loop_session(caller_spark)
+    cur, prev_fp = _roundtrip_with_fingerprint(
+        cur, f"{work_dir}/it_0", read_with=loop_spark
+    )
 
     # Small rounds are scheduling-bound: once the edge count (known exactly
     # from the previous round's fingerprint) is small, each round runs with
     # AQE off and a count-derived shuffle-partition target — measured ~35%
     # per-round savings at bench scale, while big graphs keep the session's
     # AQE (skew-join splitting) and partitioning untouched.
-    confs = _LoopConfs(edges.sparkSession)
+    confs = _LoopConfs(loop_spark)
     final_it = 0
     converged = prev_fp[0] == 0  # no edges → already a (trivial) fixpoint
     try:
@@ -332,7 +379,9 @@ def connected_components(
                 break
             confs.tune_for(prev_fp[0])
             nxt = _star_iteration(cur)
-            cur, fp = _roundtrip_with_fingerprint(nxt, f"{work_dir}/it_{it}")
+            cur, fp = _roundtrip_with_fingerprint(
+                nxt, f"{work_dir}/it_{it}", read_with=loop_spark
+            )
             final_it = it
             if it >= 2:
                 shutil.rmtree(f"{work_dir}/it_{it - 2}", ignore_errors=True)
@@ -349,8 +398,9 @@ def connected_components(
 
         if local_finish:
             # small remainder: solved eagerly driver-side (materialized
-            # before the it_* files are removed below)
-            out = _local_components(cur)
+            # before the it_* files are removed below), result owned by the
+            # caller's session
+            out = _local_components(cur, session=caller_spark)
         else:
             # at fixpoint ``cur`` is a union of stars: label(a) = b, centers
             # and isolated vertices label themselves
@@ -363,11 +413,15 @@ def connected_components(
                 .join(labels, "v", "left_anti")
                 .select("v", F.col("v").alias("component"))
             )
-            out = labels.union(centers)
+            # the labels roundtrip (executed on the tuned loop session)
+            # rebinds the result to the caller's session; the isolated-node
+            # anti-join below then plans entirely on caller-session inputs
+            out = _roundtrip(
+                labels.union(centers), f"{work_dir}/labels",
+                read_with=caller_spark,
+            )
         if nodes is not None:
             out = _with_isolated(out, nodes)
-        if not local_finish:
-            out = _roundtrip(out, f"{work_dir}/labels")
     finally:
         confs.restore()
         # it_* rounds are dead once `out` is materialized (labels roundtrip
@@ -398,12 +452,20 @@ def dedup_cluster_assignments(
     all_ids: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    **cc_kwargs,
 ) -> DataFrame:
     """Near-dup clusters from candidate pairs: ``(v, component, is_canonical)``.
 
     The canonical (kept) doc per cluster is the minimum id — matching
     ``exact_dedup``'s keep-lowest-id policy — so downstream "drop
     duplicates" is ``filter(is_canonical)``.
+
+    ``cc_kwargs`` pass through to :func:`connected_components` — on a real
+    multi-node cluster set ``work_dir`` to SHARED storage (the default temp
+    dir is driver-local, which only a single-node deployment can read back),
+    and tune ``local_finish_edges``/``max_iter`` as documented there.
     """
-    cc = connected_components(candidate_pairs, id_a, id_b, nodes=all_ids)
+    cc = connected_components(
+        candidate_pairs, id_a, id_b, nodes=all_ids, **cc_kwargs
+    )
     return cc.withColumn("is_canonical", F.col("v") == F.col("component"))

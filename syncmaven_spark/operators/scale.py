@@ -21,6 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _reject_salt_column(op: str, *dfs: DataFrame) -> None:
+    """The salt rides an internal ``_salt`` column; an input that already
+    carries one would be silently overwritten (and then dropped / mis-
+    aggregated), so collide loudly instead."""
+    for df in dfs:
+        if "_salt" in df.columns:
+            raise ValueError(
+                f"{op}: input already has a '_salt' column, which the "
+                "salting would silently overwrite — rename it first"
+            )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -60,6 +72,7 @@ def salted_join(
             f"got how={how!r} (replicated right copies would emit spurious "
             "unmatched rows)"
         )
+    _reject_salt_column("salted_join", left, right)
     salted_left = left.withColumn(
         "_salt", F.floor(F.rand(0x5A17) * factor).cast("long")
     )
@@ -98,6 +111,7 @@ def salted_aggregate(
     unsupported = [f for f, _ in aggs.values() if f not in _MERGE]
     if unsupported:
         raise ValueError(f"non-decomposable aggregate(s): {unsupported}")
+    _reject_salt_column("salted_aggregate", df)
     # rand(seed), NOT a content hash: duplicate rows (the classic skew
     # case) must land on different salts. The aggregate RESULT is salt-
     # independent (phase 2 merges all partials per key); salt values are

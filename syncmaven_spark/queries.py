@@ -2090,9 +2090,6 @@ def text_vocab_topk(spark, sf_dir):
     )
 
 
-_TFIDF_CACHE: list[DataFrame] = []
-
-
 @q(
     "text_tfidf_topterms",
     "WITH tokens AS ("
@@ -2117,18 +2114,20 @@ _TFIDF_CACHE: list[DataFrame] = []
 )
 def text_tfidf_topterms(spark, sf_dir):
     t = _t(spark, sf_dir)
+    from syncmaven_spark.operators.cache import persist_scoped
+
     tokens = t["documents"].select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    # persisted: tf feeds both the DF aggregate and the scoring join —
-    # without it Catalyst re-expands the lineage and tokenizes the corpus
-    # twice (visible as a second Scan+Generate in the physical plan).
-    # Re-invocations in one session unpersist the previous call's cache so
-    # repeated bench/parity runs hold at most one cached copy.
-    while _TFIDF_CACHE:
-        _TFIDF_CACHE.pop().unpersist()
-    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf")).persist()
-    _TFIDF_CACHE.append(tf)
+    # persisted through the bounded pool: tf feeds both the DF aggregate and
+    # the scoring join — without it Catalyst re-expands the lineage and
+    # tokenizes the corpus twice (visible as a second Scan+Generate in the
+    # physical plan). The pool dedups re-invocations by plan equivalence and
+    # owns eviction, so the bytes count toward the app-wide budget instead
+    # of sitting outside it.
+    tf = persist_scoped(
+        tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    )
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = t["documents"].count()  # scalar — one number to the driver
     scored = tf.join(F.broadcast(df_), "word").select(

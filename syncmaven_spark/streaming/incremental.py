@@ -162,8 +162,7 @@ def run_streaming_sync(
                 "max_driver_batch_rows explicitly, or bound micro-batch "
                 "size at the source (e.g. maxFilesPerTrigger)."
             )
-        rows = [r.asDict(recursive=True) for r in collected]
-        if not rows:
+        if not collected:
             return
         out = provider.create_output_stream(
             stream,
@@ -174,7 +173,11 @@ def run_streaming_sync(
             options=options or {},
         )
         opened["n"] += 1
-        for row in rows:
+        # Rows convert to dicts one at a time inside the loop: a second
+        # up-front full-batch list would double peak driver memory and
+        # defeat the cap's bound.
+        for spark_row in collected:
+            row = spark_row.asDict(recursive=True)
             if not validator.is_valid(row):
                 totals["skipped"] += 1
                 continue

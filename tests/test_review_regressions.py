@@ -753,3 +753,92 @@ def test_train_centroids_sample_is_spread_not_prefix(spark):
     # centroids on the x-axis cluster
     axis = {int(np.argmax(np.abs(c))) for c in cents}
     assert axis == {0, 1}, cents
+
+
+def test_cc_loop_confs_isolated_from_caller_session(spark, tmp_path):
+    """Round-5 module review: the small-round conf tuning (AQE off,
+    shuffle.partitions ~ edges/2M) used to mutate the CALLER's session for
+    the duration of each round, so a query planned concurrently by another
+    thread silently ran with 1-3 shuffle partitions and no AQE. The loop
+    now runs on a private session; the caller's confs must be untouched at
+    every point the loop yields control, and the result must belong to the
+    caller's session."""
+    from syncmaven_spark.operators.graph import (
+        _loop_session,
+        connected_components,
+    )
+
+    loop = _loop_session(spark)
+    assert loop is not spark  # classic mode: a genuinely private session
+    # the confs the rounds depend on are copied from the caller
+    for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
+              "spark.sql.session.timeZone"):
+        assert loop.conf.get(k) == spark.conf.get(k)
+
+    orig = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    # chain forces several distributed rounds (local finish disabled)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    out = connected_components(
+        edges, work_dir=str(tmp_path), local_finish_edges=0
+    )
+    rows = {r["v"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(41)}
+    assert out.sparkSession is spark
+    for k, v in orig.items():
+        assert spark.conf.get(k) == v
+
+
+def test_dedup_cluster_assignments_forwards_cc_kwargs(spark, tmp_path):
+    """Round-5 module review: the pipeline entry point hardcoded
+    connected_components defaults, so a multi-node caller could not point
+    work_dir at shared storage (the module's own cluster requirement)."""
+    from syncmaven_spark.operators.graph import dedup_cluster_assignments
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(31)], "id long")
+    out = dedup_cluster_assignments(
+        pairs, ids, work_dir=str(tmp_path), local_finish_edges=0
+    )
+    assert out.filter("is_canonical").count() == 1
+    # the distributed loop actually used the supplied directory
+    assert (tmp_path / "labels").exists()
+
+
+def test_salted_ops_reject_preexisting_salt_column(spark):
+    """Round-5 module review: an input already carrying '_salt' was
+    silently overwritten (and then dropped / mis-aggregated)."""
+    from syncmaven_spark.operators.scale import salted_aggregate, salted_join
+
+    df = spark.createDataFrame([(1, 9)], "k long, _salt long")
+    clean = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(df, clean, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(clean, df, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_aggregate(df, ["k"], {"s": ("sum", "_salt")})
+
+
+def test_tfidf_cache_lives_in_bounded_pool(spark):
+    """Round-5 module review: text_tfidf_topterms kept a bespoke module
+    global whose bytes counted toward the pool budget but which the pool
+    could never evict, and whose eager unpersist yanked the cache from a
+    still-pending prior result. It now goes through persist_scoped, which
+    dedups re-invocations by plan equivalence."""
+    import syncmaven_spark.queries as q
+    from syncmaven_spark.operators.cache import _LIVE_CACHES
+
+    assert not hasattr(q, "_TFIDF_CACHE")
+    sf = "/root/testdata/sf0.001"
+    q.text_tfidf_topterms(spark, sf).limit(1).collect()
+    n_after_first = len(_LIVE_CACHES)
+    q.text_tfidf_topterms(spark, sf).limit(1).collect()
+    # plan-equivalent re-invocation refreshes, never appends a duplicate
+    assert len(_LIVE_CACHES) == n_after_first
