@@ -20,6 +20,8 @@ the value itself; ordering matters only for checkpointed prefix delivery
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
+import math
 from typing import Any
 
 from syncmaven_spark.state import KeyLike, StateStore
@@ -41,6 +43,8 @@ def cursor_type_of(value: Any) -> str:
         return "integer"
     if isinstance(value, float):
         return "float"
+    if isinstance(value, _decimal.Decimal):
+        return "decimal"
     if isinstance(value, (_dt.datetime, _dt.date)):
         return "date"
     return "string"
@@ -48,7 +52,21 @@ def cursor_type_of(value: Any) -> str:
 
 def serialize_cursor(value: Any) -> dict[str, Any]:
     """State-file representation: ``{"type": ..., "val": ...}`` with dates as
-    ISO-millis strings (sync.ts:328-332)."""
+    ISO-millis strings (sync.ts:328-332). Decimals persist as exact decimal
+    text (json can't carry Decimal, and float would lose precision); a
+    non-finite float cursor fails fast — json.dumps would write the
+    non-standard token ``NaN`` into the store and the next run's compile
+    would ship invalid SQL."""
+    if isinstance(value, float) and not math.isfinite(value):
+        raise CursorError(
+            f"cursor value {value!r} is not finite; filter NaN/Infinity "
+            "out of the cursor column (Spark's max() treats NaN as greater "
+            "than every double, so one NaN row poisons the cursor)"
+        )
+    if isinstance(value, _decimal.Decimal):
+        if not value.is_finite():
+            raise CursorError(f"cursor value {value!r} is not finite")
+        return {"type": "decimal", "val": format(value, "f")}
     if isinstance(value, (_dt.datetime, _dt.date)):
         return {"type": "date", "val": iso_millis(value)}
     return {"type": cursor_type_of(value), "val": value}
@@ -60,6 +78,8 @@ def deserialize_cursor(stored: dict[str, Any] | None) -> Any | None:
     val = stored.get("val")
     if stored.get("type") == "date" and isinstance(val, str):
         return _dt.datetime.strptime(val, "%Y-%m-%dT%H:%M:%S.%fZ")
+    if stored.get("type") == "decimal" and isinstance(val, str):
+        return _decimal.Decimal(val)
     return val
 
 

@@ -109,6 +109,42 @@ def enrich_dataframe(
         f.name for f in schema.fields if isinstance(f.dataType, T.DateType)
     ]
 
+    # INPUT temporal columns are parsed back to datetime/date objects before
+    # the enrichment sees the row: the parity path (runner.py driver loop)
+    # hands enrichments `row.asDict(recursive=True)` — datetime objects —
+    # and an enrichment written against that contract (row['ts'].year)
+    # would otherwise raise on every row here and be silently dropped
+    # (round-5 core review). Top-level columns only; nested temporal
+    # fields stay ISO strings on both paths' JSON images.
+    in_temporal: dict[str, str] = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            in_temporal[f.name] = "ltz"
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            in_temporal[f.name] = "ntz"
+        elif isinstance(f.dataType, T.DateType):
+            in_temporal[f.name] = "date"
+
+    def _revive(row: dict[str, Any]) -> dict[str, Any]:
+        import datetime as _dt
+
+        for name, kind in in_temporal.items():
+            v = row.get(name)
+            if not isinstance(v, str):
+                continue
+            if kind == "date":
+                row[name] = _dt.date.fromisoformat(v[:10])
+            else:
+                parsed = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+                if parsed.tzinfo is not None:
+                    # naive-UTC, matching Row.asDict under the pinned UTC
+                    # driver timezone
+                    parsed = parsed.astimezone(
+                        _dt.timezone.utc
+                    ).replace(tzinfo=None)
+                row[name] = parsed
+        return row
+
     def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enrichment = enrichment_factory()
         for pdf in batches:
@@ -121,7 +157,7 @@ def enrich_dataframe(
                     # error (partial delivery doubles up on restarts)
                     produced = [
                         [out.get(name) for name in field_names]
-                        for out in enrichment.enrich(json.loads(raw))
+                        for out in enrichment.enrich(_revive(json.loads(raw)))
                     ]
                 except Exception:
                     continue  # enrichment errors drop the row

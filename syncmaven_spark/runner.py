@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from syncmaven_spark.cursor import (
     CursorTracker,
     clear_cursor,
+    compare_cursor,
     load_cursor,
     save_cursor,
 )
@@ -246,6 +247,38 @@ def run_sync(
         if not final:
             log.info("checkpoint %d for sync %s", checkpoints, sync.id)
 
+    def halt_checkpoint() -> None:
+        """Post-halt close: fold stats, persist the cursor CLAMPED to the
+        smallest undelivered cursor. Persisting the plain observed max here
+        would lose data with a batching sink: a failed 1000-row flush has
+        been observed by the tracker but never delivered, and the inclusive
+        ``>=`` predicate would re-send only the boundary row — the other
+        999 would be skipped forever (round-5 core review). Clamping to the
+        sink's pending minimum re-sends exactly the undelivered suffix
+        (cursors are non-decreasing — CursorTracker enforces ORDER BY — so
+        the clamp never regresses below a prior checkpoint)."""
+        nonlocal out, checkpoints
+        pending: list[dict[str, Any]] = []
+        if out is not None:
+            try:
+                _fold_stats(total_stats, out.finish())
+            except Exception:  # noqa: BLE001 - halt path; keep going
+                log.warning(
+                    "final flush failed after halt; undelivered rows will "
+                    "be re-sent next run", exc_info=True,
+                )
+                _fold_stats(total_stats, out.stats)
+            pending = out.undelivered_rows()
+            out = None
+        if tracker is not None and tracker.max_value is not None:
+            safe = tracker.max_value
+            for r in pending:
+                c = r.get(cursor_col)
+                if c is not None and compare_cursor(c, safe) < 0:
+                    safe = c
+            save_cursor(store, sync.id, cursor_col, safe)
+        checkpoints += 1
+
     halted = False
     try:
         for spark_row in df.toLocalIterator():
@@ -325,8 +358,13 @@ def run_sync(
             out = None
         raise
     else:
-        # Success (including graceful halt): final flush + cursor persist.
-        checkpoint(final=True)
+        if halted:
+            # Graceful halt: delivered prefix checkpoints, but the cursor
+            # is clamped to the sink's undelivered rows (see halt_checkpoint)
+            halt_checkpoint()
+        else:
+            # Success: final flush + cursor persist.
+            checkpoint(final=True)
 
     return SyncResult(
         sync_id=sync.id,
@@ -691,15 +729,6 @@ def deliver_partitions(
             stats_acc["failed"].add(stats.failed + row_errors)
 
     df.foreachPartition(deliver)
-
-
-def _foreach_partition_deliver(
-    df: DataFrame, provider: DestinationProvider, sync: SyncDefinition, first: bool
-) -> None:
-    deliver_partitions(
-        df, provider, sync.stream, sync.credentials, sync.id, sync.options,
-        restart=not first,
-    )
 
 
 def _cursor_codec(dt) -> tuple[Any, Any] | None:

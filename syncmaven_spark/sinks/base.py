@@ -80,6 +80,15 @@ class OutputStream(ABC):
     def finish(self) -> StreamStats:
         return self.stats
 
+    def undelivered_rows(self) -> list[dict[str, Any]]:
+        """Rows handed to the stream that are known NOT to have reached the
+        destination (a batching sink's failed-flush batch plus whatever is
+        still buffered). The runner clamps the halt-time cursor checkpoint
+        to the minimum cursor among these, so a failed 1000-row flush can
+        never be skipped past. Non-buffering streams deliver in
+        ``handle_row`` and have nothing pending."""
+        return []
+
 
 class BatchingOutputStream(OutputStream):
     """Buffer rows; flush every ``max_batch_size`` and on finish
@@ -89,6 +98,7 @@ class BatchingOutputStream(OutputStream):
         super().__init__()
         self.max_batch_size = max_batch_size
         self._buffer: list[dict[str, Any]] = []
+        self._failed_batches: list[dict[str, Any]] = []
 
     def handle_row(self, row: dict[str, Any]) -> None:
         self.stats.received += 1
@@ -104,9 +114,28 @@ class BatchingOutputStream(OutputStream):
             # Rate-limit retry lives at the flush (API-call) layer: retrying
             # handle_row would re-append the row and drop the popped batch.
             with_rate_limit_retry(self.process_batch, batch)
+        except RowError as e:
+            # RowError is a PER-ROW contract (raise it from handle_row,
+            # before buffering): escaping process_batch it cannot identify
+            # WHICH row failed, and letting the runner "continue past one
+            # row" would silently discard the other N-1 rows of the popped
+            # batch and advance the cursor over them. Re-typed so the
+            # runner treats it as an undeclared batch failure — sync
+            # aborts, cursor not persisted, batch re-sent next run.
+            self.stats.failed += len(batch)
+            self._failed_batches.extend(batch)
+            raise RuntimeError(
+                f"process_batch raised RowError for a {len(batch)}-row "
+                "batch; RowError must be raised per-row from handle_row — "
+                "treating as a batch delivery failure"
+            ) from e
         except Exception:
             self.stats.failed += len(batch)
+            self._failed_batches.extend(batch)
             raise
+
+    def undelivered_rows(self) -> list[dict[str, Any]]:
+        return self._failed_batches + self._buffer
 
     @abstractmethod
     def process_batch(self, rows: list[dict[str, Any]]) -> None: ...

@@ -77,47 +77,6 @@ class FileDestination(DestinationProvider):
         return FileOutputStream(path, append=restart)
 
 
-def _contains_float(dtype) -> bool:
-    from pyspark.sql import types as T
-
-    if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return True
-    if isinstance(dtype, T.ArrayType):
-        return _contains_float(dtype.elementType)
-    if isinstance(dtype, T.MapType):
-        return _contains_float(dtype.valueType)
-    if isinstance(dtype, T.StructType):
-        return any(_contains_float(f.dataType) for f in dtype.fields)
-    return False
-
-
-def _scrub_nonfinite(col, dtype):
-    """NULL every non-finite float/double anywhere in the value —
-    recursing through struct/array/map — matching JSON.stringify, which
-    renders NaN/Infinity as null at any nesting depth."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return F.when(F.isnan(col) | (F.abs(col) == float("inf")), None).otherwise(col)
-    if isinstance(dtype, T.ArrayType) and _contains_float(dtype.elementType):
-        return F.transform(col, lambda x: _scrub_nonfinite(x, dtype.elementType))
-    if isinstance(dtype, T.MapType) and _contains_float(dtype.valueType):
-        return F.transform_values(
-            col, lambda _, v: _scrub_nonfinite(v, dtype.valueType)
-        )
-    if isinstance(dtype, T.StructType) and _contains_float(dtype):
-        rebuilt = F.struct(
-            *[
-                _scrub_nonfinite(col[f.name], f.dataType).alias(f.name)
-                for f in dtype.fields
-            ]
-        )
-        # a NULL struct must stay NULL, not become a struct of NULLs
-        return F.when(col.isNull(), F.lit(None).cast(dtype)).otherwise(rebuilt)
-    return col
-
-
 def write_ndjson_distributed(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Executor-parallel NDJSON, format-identical to the parity path's
     RowJSONEncoder: ISO-millis timestamps, dates widened to
@@ -125,16 +84,10 @@ def write_ndjson_distributed(df: DataFrame, path: str, mode: str = "overwrite") 
     nesting depth — top-level and inside struct/array/map — (the parity
     encoder applies JSON.stringify semantics; Spark's JSON writer would
     emit literal "NaN", which is invalid JSON)."""
-    from pyspark.sql import functions as F
+    from syncmaven_spark.types import scrubbed_columns
 
-    cols = []
-    for f in df.schema.fields:
-        if _contains_float(f.dataType):
-            cols.append(_scrub_nonfinite(F.col(f.name), f.dataType).alias(f.name))
-        else:
-            cols.append(F.col(f.name))
     (
-        df.select(*cols)
+        df.select(*scrubbed_columns(df))
         .write.mode(mode)
         .option("timestampFormat", ISO_MILLIS_SPARK_FMT)
         .option("timestampNTZFormat", ISO_MILLIS_SPARK_FMT)

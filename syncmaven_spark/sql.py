@@ -28,10 +28,28 @@ transpilation cannot disagree about where a literal ends.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
+import math
 import re
 from typing import Any
 
-_PARAM_RE = re.compile(r"[:@]([A-Za-z_][A-Za-z0-9_]*)")
+# `:name` everywhere; `@name` only where `@` has no native meaning
+# (BigQuery's own parameter syntax, and Spark where `@` is not valid SQL).
+# On MySQL/MariaDB (`@@session_vars`, `@user_vars`), Snowflake (`@stage`
+# references), and Postgres/Derby (`@` operators), treating `@name` as a
+# parameter compiled it to NULL — shipping syntactically broken SQL to the
+# warehouse (round-5 core review) — so those dialects are colon-only.
+_PARAM_RE_COLON = re.compile(r":([A-Za-z_][A-Za-z0-9_]*)")
+_PARAM_RE_AT = re.compile(r"[:@]([A-Za-z_][A-Za-z0-9_]*)")
+_AT_CONFLICT_DIALECTS = {
+    "mysql", "mariadb", "snowflake", "postgres", "postgresql", "derby",
+}
+
+
+def _param_re(dialect: str) -> re.Pattern[str]:
+    return (
+        _PARAM_RE_COLON if dialect in _AT_CONFLICT_DIALECTS else _PARAM_RE_AT
+    )
 
 # Dialects where backslash inside a plain single-quoted literal is a LITERAL
 # character (Postgres with standard_conforming_strings=on, the default since
@@ -291,19 +309,26 @@ class SqlQuery:
 
         Reference: ``sql.ts:44-50`` (AST walk collecting param nodes); here a
         lexical scan over the literal/comment-masked text. ``::`` type casts
-        are not parameters.
+        are not parameters (the regex can only match the SECOND colon of
+        ``::``, so checking the PREVIOUS character suffices — checking the
+        next one too would falsely skip a parameter followed by a cast,
+        ``:cursor::timestamptz``).
         """
         seen: list[str] = []
-        for m in _PARAM_RE.finditer(self._masked):
-            start = m.start()
-            if self._masked[start] == ":" and (
-                (start > 0 and self._masked[start - 1] == ":")
-                or self._masked[m.end() : m.end() + 1] == ":"
-            ):
+        for m in _param_re(self.dialect).finditer(self._masked):
+            if self._is_cast_colon(m):
                 continue  # postgres '::type' cast, not a parameter
             if m.group(1) not in seen:
                 seen.append(m.group(1))
         return seen
+
+    def _is_cast_colon(self, m: re.Match) -> bool:
+        start = m.start()
+        return (
+            self._masked[start] == ":"
+            and start > 0
+            and self._masked[start - 1] == ":"
+        )
 
     def compile(self, params: dict[str, Any] | None = None) -> str:
         """Substitute typed literals for every named parameter.
@@ -322,14 +347,10 @@ class SqlQuery:
 
         out: list[str] = []
         last = 0
-        for m in _PARAM_RE.finditer(self._masked):
-            start = m.start()
-            if self._masked[start] == ":" and (
-                (start > 0 and self._masked[start - 1] == ":")
-                or self._masked[m.end() : m.end() + 1] == ":"
-            ):
+        for m in _param_re(self.dialect).finditer(self._masked):
+            if self._is_cast_colon(m):
                 continue
-            out.append(self.query[last : start])
+            out.append(self.query[last : m.start()])
             out.append(encode_literal(params.get(m.group(1)), self.dialect))
             last = m.end()
         out.append(self.query[last:])
@@ -777,8 +798,21 @@ def encode_literal(val: Any, dialect: str = "spark") -> str:
         return "NULL"
     if isinstance(val, bool):
         return "TRUE" if val else "FALSE"
+    if isinstance(val, float) and not math.isfinite(val):
+        # repr() would emit the bare text 'nan'/'inf' — which Spark parses
+        # as an unresolved COLUMN reference, wedging every subsequent
+        # incremental run. Fail fast with the remediation instead.
+        raise SqlError(
+            f"cannot encode non-finite float literal {val!r}; filter "
+            "NaN/Infinity out of the cursor/parameter column"
+        )
     if isinstance(val, (int, float)):
         return repr(val)
+    if isinstance(val, _decimal.Decimal):
+        if not val.is_finite():
+            raise SqlError(f"cannot encode non-finite Decimal literal {val!r}")
+        # exact decimal text is a valid numeric literal in every dialect
+        return format(val, "f")
     if isinstance(val, _dt.datetime):
         if val.tzinfo is not None:
             val = val.astimezone(_dt.timezone.utc).replace(tzinfo=None)

@@ -204,3 +204,65 @@ def _sanitize_floats(o: Any) -> Any:
 def row_to_json(row: dict[str, Any]) -> str:
     """One NDJSON line for one row, key order preserved (JS object order)."""
     return json.dumps(row, cls=RowJSONEncoder, ensure_ascii=False, separators=(",", ":"))
+
+
+# --- parity JSON-image helpers ---------------------------------------------
+# Both sink serialization (sinks/file.py) and vectorized validation
+# (validate.py) must produce the SAME JSON image of a row as the driver
+# path's RowJSONEncoder: JSON.stringify renders NaN/Infinity as null at any
+# nesting depth, while Spark's JSON writer/to_json would emit the (invalid
+# JSON, and string-typed after re-parse) token "NaN".
+
+
+def contains_float(dtype: T.DataType) -> bool:
+    """True when ``dtype`` holds a float/double anywhere inside it."""
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return contains_float(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return contains_float(dtype.valueType)
+    if isinstance(dtype, T.StructType):
+        return any(contains_float(f.dataType) for f in dtype.fields)
+    return False
+
+
+def scrub_nonfinite(col, dtype: T.DataType):
+    """NULL every non-finite float/double anywhere in the value —
+    recursing through struct/array/map — matching JSON.stringify, which
+    renders NaN/Infinity as null at any nesting depth."""
+    from pyspark.sql import functions as F
+
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return F.when(
+            F.isnan(col) | (F.abs(col) == float("inf")), None
+        ).otherwise(col)
+    if isinstance(dtype, T.ArrayType) and contains_float(dtype.elementType):
+        return F.transform(col, lambda x: scrub_nonfinite(x, dtype.elementType))
+    if isinstance(dtype, T.MapType) and contains_float(dtype.valueType):
+        return F.transform_values(
+            col, lambda _, v: scrub_nonfinite(v, dtype.valueType)
+        )
+    if isinstance(dtype, T.StructType) and contains_float(dtype):
+        rebuilt = F.struct(
+            *[
+                scrub_nonfinite(col[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        # a NULL struct must stay NULL, not become a struct of NULLs
+        return F.when(col.isNull(), F.lit(None).cast(dtype)).otherwise(rebuilt)
+    return col
+
+
+def scrubbed_columns(df) -> list:
+    """The full column list of ``df`` with non-finite floats nulled —
+    drop-in projection for ``df.select(*scrubbed_columns(df))``."""
+    from pyspark.sql import functions as F
+
+    return [
+        scrub_nonfinite(F.col(f.name), f.dataType).alias(f.name)
+        if contains_float(f.dataType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]

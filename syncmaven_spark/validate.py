@@ -144,12 +144,17 @@ def with_validation_column(
                 [validator._validator.is_valid(json.loads(s)) if s else False for s in series]
             )
 
+    from syncmaven_spark.types import scrubbed_columns
+
     # date/NTZ formats pinned too: the vectorized JSON image must match
     # the driver path's RowJSONEncoder (iso_millis) byte-for-byte, or the
     # two execution paths would disagree on rows whose schema constrains
-    # such fields (pattern/format/enum)
+    # such fields (pattern/format/enum). NaN/Infinity doubles are nulled
+    # first: to_json would render them as the STRING "NaN", which a
+    # {'type': ['number','null']} schema rejects while the driver path
+    # (RowJSONEncoder → null) accepts — the paths must agree.
     row_json = F.to_json(
-        F.struct(*[F.col(c) for c in df.columns]),
+        F.struct(*scrubbed_columns(df)),
         {
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
             "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",

@@ -842,3 +842,204 @@ def test_tfidf_cache_lives_in_bounded_pool(spark):
     q.text_tfidf_topterms(spark, sf).limit(1).collect()
     # plan-equivalent re-invocation refreshes, never appends a duplicate
     assert len(_LIVE_CACHES) == n_after_first
+
+
+class _FlushFailBatchDestination(DestinationProvider):
+    """Batching sink whose flush raises — for halt/RowError batch contracts."""
+
+    name = "flush-fail"
+
+    def __init__(self, exc_factory, batch_size=3):
+        self.exc_factory = exc_factory
+        self.batch_size = batch_size
+        self.opened = []
+
+    def streams(self):
+        return [StreamSpec("raw", ANY_OBJECT_SCHEMA)]
+
+    def create_output_stream(self, stream_name, credentials, sync_id, store,
+                             full_refresh=False, restart=False, options=None):
+        provider = self
+
+        class S(BatchingOutputStream):
+            def process_batch(self, rows):
+                raise provider.exc_factory()
+
+        out = S(max_batch_size=self.batch_size)
+        self.opened.append(out)
+        return out
+
+
+def test_halt_during_batch_flush_clamps_cursor_to_undelivered(spark):
+    """Round-5 core review: a HaltError from a batching sink's flush was
+    treated as a graceful halt and checkpoint(final=True) persisted the
+    tracker's observed max — the cursor of the last row in the FAILED
+    batch. With the inclusive >= predicate only the boundary row would be
+    re-sent; the rest of the batch was lost forever. The halt checkpoint
+    must clamp to the smallest undelivered cursor."""
+    from syncmaven_spark.sinks.base import HaltError
+
+    spark.sql("select id from range(5)").createOrReplaceTempView("haltb_src")
+    dest = _FlushFailBatchDestination(lambda: HaltError("stop"), batch_size=3)
+    store = InMemoryStore()
+    sync = SyncDefinition(
+        id="haltb",
+        model=ModelDefinition(
+            id="m",
+            query="select id from haltb_src where :cursor is null "
+                  "or id >= :cursor order by id",
+            cursor="id",
+        ),
+        destination=dest,
+        stream="raw",
+        credentials={},
+    )
+    result = run_sync(spark, sync, store)
+    # rows 0,1,2 were popped into the failed flush — none delivered; the
+    # persisted cursor must be 0 (min undelivered), NOT 2 (observed max)
+    assert store.get(["syncId=haltb", "$lastCursor=id"])["val"] == 0
+    assert result.stats.failed == 3
+
+
+def test_rowerror_from_process_batch_aborts_without_cursor(spark):
+    """Round-5 core review: RowError escaping process_batch cannot name
+    WHICH row failed; 'continue past one row' semantics silently dropped
+    the whole popped batch and advanced the cursor over it. It must abort
+    as an undeclared batch failure with the cursor untouched."""
+    from syncmaven_spark.sinks.base import RowError
+
+    spark.sql("select id from range(5)").createOrReplaceTempView("rowb_src")
+    dest = _FlushFailBatchDestination(lambda: RowError("bad row"), batch_size=3)
+    store = InMemoryStore()
+    sync = SyncDefinition(
+        id="rowb",
+        model=ModelDefinition(
+            id="m",
+            query="select id from rowb_src where :cursor is null "
+                  "or id >= :cursor order by id",
+            cursor="id",
+        ),
+        destination=dest,
+        stream="raw",
+        credentials={},
+    )
+    with pytest.raises(RuntimeError, match="per-row"):
+        run_sync(spark, sync, store)
+    assert store.get(["syncId=rowb", "$lastCursor=id"]) is None
+
+
+def test_param_followed_by_pg_cast_is_recognized():
+    """Round-5 core review: the '::'-cast guard also skipped a parameter
+    FOLLOWED by a cast — ':cursor::timestamptz' discovered no parameters,
+    so the idiomatic postgres cursor model failed the :cursor guard."""
+    from syncmaven_spark.sql import SqlQuery
+
+    q = SqlQuery(
+        "select * from t where ts >= :cursor::timestamptz", "postgres"
+    )
+    assert q.named_parameters() == ["cursor"]
+    assert "::timestamptz" in q.compile({"cursor": 5})
+    assert ":cursor" not in q.compile({"cursor": 5})
+    # the cast-colon guard itself still holds
+    assert SqlQuery("select id::text from t", "postgres").named_parameters() == []
+
+
+def test_at_params_excluded_on_conflicting_dialects():
+    """Round-5 core review: '@name' was a parameter in EVERY dialect, so
+    MySQL '@@sql_mode', Snowflake '@mystage', and Postgres '@ x' compiled
+    their '@tokens' to NULL — broken SQL pushed to the warehouse."""
+    from syncmaven_spark.sql import SqlQuery
+
+    q = SqlQuery("select @@sql_mode as m from t where id >= :c", "mysql")
+    assert q.named_parameters() == ["c"]
+    assert "@@sql_mode" in q.compile({"c": 1})
+    q2 = SqlQuery("select * from @mystage where id >= :c", "snowflake")
+    assert q2.named_parameters() == ["c"]
+    assert "@mystage" in q2.compile({"c": 1})
+    # BigQuery and Spark keep the @-form
+    assert SqlQuery(
+        "select * from t where id >= @c", "bigquery"
+    ).named_parameters() == ["c"]
+
+
+def test_decimal_cursor_roundtrip_and_literal():
+    """Round-5 core review: Decimal cursors (an explicitly chunkable type)
+    crashed json.dumps at checkpoint and encode_literal on reload."""
+    import decimal
+
+    from syncmaven_spark.cursor import deserialize_cursor, serialize_cursor
+    from syncmaven_spark.sql import encode_literal
+
+    import json as _json
+
+    v = decimal.Decimal("12345.6789")
+    stored = serialize_cursor(v)
+    _json.dumps(stored)  # state stores persist via json
+    assert deserialize_cursor(stored) == v
+    assert encode_literal(v, "postgres") == "12345.6789"
+    assert encode_literal(decimal.Decimal("1E+2"), "spark") == "100"
+
+
+def test_nonfinite_cursor_and_literal_fail_fast():
+    """Round-5 core review: encode_literal(float('nan')) emitted the bare
+    text 'nan' (an unresolved column reference in Spark), wedging every
+    subsequent incremental run; json.dumps also wrote the non-standard
+    'NaN' token into the state store."""
+    from syncmaven_spark.cursor import CursorError, serialize_cursor
+    from syncmaven_spark.sql import SqlError, encode_literal
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(SqlError, match="non-finite"):
+            encode_literal(bad, "spark")
+        with pytest.raises(CursorError, match="finite"):
+            serialize_cursor(bad)
+
+
+def test_vectorized_validation_nan_matches_driver_path(spark):
+    """Round-5 core review: to_json rendered a NaN double as the STRING
+    "NaN", so with_validation_column rejected rows the driver-path
+    RowValidator (NaN -> null) accepted — the two documented execution
+    paths disagreed on the same sync."""
+    from syncmaven_spark.validate import RowValidator, with_validation_column
+
+    schema = {
+        "type": "object",
+        "properties": {"a": {"type": ["number", "null"]}},
+    }
+    df = spark.createDataFrame(
+        [(float("nan"),), (1.0,)], "a double"
+    )
+    got = {
+        r["a"]: r["_valid"]
+        for r in with_validation_column(df, schema).collect()
+    }
+    assert all(got.values()), got
+    # parity: the driver path agrees
+    assert RowValidator(schema).is_valid({"a": float("nan")})
+
+
+def test_enrich_dataframe_hands_datetime_objects_to_enrichment(spark):
+    """Round-5 core review: distributed enrichments received temporal
+    values as ISO STRINGS (JSON boundary) while the parity path hands
+    datetime objects — an enrichment using row['ts'].year raised on every
+    row and the rows were silently dropped."""
+    import datetime as dt
+
+    from syncmaven_spark.enrich import CallableEnrichment, enrich_dataframe
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1, 12, 0, 0), dt.date(2024, 3, 1))],
+        "id long, ts timestamp, d date",
+    )
+
+    def fn(row):
+        # the parity-path contract: temporal columns are objects
+        assert isinstance(row["ts"], dt.datetime), type(row["ts"])
+        assert isinstance(row["d"], dt.date), type(row["d"])
+        assert row["ts"].year == 2024
+        return [row]
+
+    out = enrich_dataframe(df, lambda: CallableEnrichment(fn)).collect()
+    assert len(out) == 1
+    assert out[0]["ts"] == dt.datetime(2024, 3, 1, 12, 0, 0)
+    assert out[0]["d"] == dt.date(2024, 3, 1)
