@@ -24,6 +24,10 @@ def split_name(full_name: Column | str) -> tuple[Column, Column]:
     This implementation trims first (("Ada", "Lovelace")), which is
     strictly more useful for the CRM field mapping it feeds; and a NULL
     name yields (NULL, NULL) rather than a fabricated empty last name.
+    INTERIOR whitespace is reference-exact: "Mary  Jane" → ("Mary",
+    " Jane") on both (the reference's rest.join(" ") re-emits the empty
+    split segment as a leading space; the regexp here strips exactly one
+    separator space).
     """
     col = F.col(full_name) if isinstance(full_name, str) else full_name
     trimmed = F.trim(col)

@@ -68,7 +68,16 @@ class RestFacebookClient:
         self.base = f"https://graph.facebook.com/{self.API_VERSION}"
 
     def _req(self, method: str, url: str, body: dict | None = None) -> dict:
+        from syncmaven_spark.sinks.base import RateLimitError, parse_retry_after
+
         resp = self._s.request(method, url, json=body, timeout=30)
+        if resp.status_code == 429:
+            # Graph API throttling backs off via the flush-layer retry
+            # instead of aborting the sync on a bare HTTPError
+            raise RateLimitError(
+                "facebook-ads rate limited",
+                retry_after_ms=parse_retry_after(resp.headers.get("Retry-After")),
+            )
         resp.raise_for_status()
         return resp.json()
 
@@ -140,6 +149,10 @@ class FacebookAudienceStream(BatchingOutputStream):
         for batch in self.store.stream_batch(self.rows_key, MAX_BATCH_SIZE):
             emails = [value["email"] for _, value in batch if isinstance(value, dict)]
             if emails:
+                # NOTE the flat `data` (vs add_users' nested [[hash]] rows)
+                # is REFERENCE PARITY — facebook-ads/src/index.ts:86-87
+                # deletes flat hashes while :143-144 adds nested rows; do
+                # not "fix" one to match the other.
                 self.client.delete_users(
                     self.audience_id,
                     {

@@ -17,6 +17,7 @@ Custom headers are ``"Name: value"`` strings; default method POST; timeout
 from __future__ import annotations
 
 import json
+import logging
 from typing import Any, Callable
 
 from syncmaven_spark.sinks import register
@@ -30,9 +31,22 @@ from syncmaven_spark.sinks.base import (
 )
 from syncmaven_spark.types import RowJSONEncoder
 
+log = logging.getLogger("syncmaven_spark.sinks.http")
+
 RESULT_ROWS = "[RESULT_ROWS]"
 RESULT_ROW = "[RESULT_ROW]"
 RESULT_LENGTH = "[RESULT_LENGTH]"
+
+
+def _has_row_macro(template: Any) -> bool:
+    """True when any [RESULT_*] macro appears anywhere in the template."""
+    if isinstance(template, str):
+        return template in (RESULT_ROWS, RESULT_ROW, RESULT_LENGTH)
+    if isinstance(template, list):
+        return any(_has_row_macro(v) for v in template)
+    if isinstance(template, dict):
+        return any(_has_row_macro(v) for v in template.values())
+    return False
 
 
 def process_template(
@@ -103,6 +117,16 @@ class _HttpBase:
         # never mutates its input (it rebuilds dicts/lists), so sharing is
         # safe.
         self.body_template = json.loads(body) if isinstance(body, str) else (body or {})
+        if self.format == "json" and not _has_row_macro(self.body_template):
+            # reference parity keeps sending the constant body, but a
+            # template with no [RESULT_*] macro means EVERY row is dropped
+            # while counting success — almost certainly a config mistake
+            log.warning(
+                "http sink: format='json' but the body template contains "
+                "no [RESULT_ROWS]/[RESULT_ROW]/[RESULT_LENGTH] macro — row "
+                "data will NOT be sent (constant body %r per request)",
+                body,
+            )
         self.headers = _parse_headers(credentials.get("headers"))
         timeout = credentials.get("timeout", 10_000)
         self.transport = credentials.get("_transport") or _default_transport(timeout)

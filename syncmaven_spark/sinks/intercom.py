@@ -134,7 +134,13 @@ def to_epoch_seconds(value: Any) -> int | None:
             .timestamp()
         )
     if isinstance(value, str):
-        return int(_dt.datetime.fromisoformat(value.replace("Z", "+00:00")).timestamp())
+        parsed = _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
+        if parsed.tzinfo is None:
+            # tz-less strings are UTC, same as the naive-datetime branch
+            # above — .timestamp() on a naive value would interpret it in
+            # the HOST's timezone, shifting epochs per deployment machine
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        return int(parsed.timestamp())
     raise ValueError(f"cannot convert {value!r} to epoch seconds")
 
 
@@ -228,8 +234,13 @@ class IntercomContactsStream(OutputStream):
             key = str(raw)
             intercom_id = self.companies_map.get(key)
             if not intercom_id:
+                from urllib.parse import quote
+
+                # URL-encode: a company_id containing '&'/'#'/'+'/' ' would
+                # otherwise change the query string (wrong company matched,
+                # or the id truncated at a fragment)
                 res = with_rate_limit_retry(
-                    self.client.get, f"/companies?company_id={key}"
+                    self.client.get, f"/companies?company_id={quote(key, safe='')}"
                 ) or {}
                 # the lookup may return the company object directly or a
                 # {data: {...}} wrapper depending on API version

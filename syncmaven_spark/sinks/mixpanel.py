@@ -249,7 +249,14 @@ class MixpanelAdDataStream(OutputStream):
     def _send_batch(self) -> None:
         """Import + commit state only on success (main.go:191-218).
         Rate-limited imports retry via the engine loop before counting as
-        failed."""
+        failed.
+
+        The blanket except below is REFERENCE PARITY, not an oversight:
+        the Go connector logs an import error, counts the batch failed,
+        and KEEPS GOING (main.go:196-204). The failed batch's dates are
+        deliberately NOT committed to the date-range state, so the next
+        run re-processes them — recovery is bounded by lookbackWindow,
+        exactly as in the reference's model."""
         from syncmaven_spark.sinks.base import with_rate_limit_retry
 
         if not self._batch:

@@ -24,7 +24,7 @@ from syncmaven_spark.sinks.base import (
     StreamSpec,
     with_rate_limit_retry,
 )
-from syncmaven_spark.sinks.util import normalize_email_py, split_name_py
+from syncmaven_spark.sinks.util import normalize_email_py, split_name_cdk_py
 
 RPS_RE = re.compile(r"(\d+) requests per second")
 
@@ -109,7 +109,10 @@ class ResendAudienceStream(OutputStream):
         self.stats.received += 1
         email = normalize_email_py(row["email"])
         if row.get("name"):
-            first, last = split_name_py(row["name"])
+            # node-cdk single-split variant (resend/src/index.ts:72), NOT
+            # hubspot's all-but-last/last split: "Jean Claude Van Damme" →
+            # ("Jean", "Claude Van Damme")
+            first, last = split_name_cdk_py(row["name"])
         else:
             first, last = email.split("@")[0], ""
         payload = {

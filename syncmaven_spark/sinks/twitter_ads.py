@@ -69,7 +69,17 @@ class RestTwitterClient:
         self.base = "https://ads-api.twitter.com/12"
 
     def _req(self, method: str, path: str, body=None) -> dict:
+        from syncmaven_spark.sinks.base import RateLimitError, parse_retry_after
+
         resp = self._s.request(method, self.base + path, json=body, timeout=30)
+        if resp.status_code == 429:
+            # surface throttling as RateLimitError so the flush-layer
+            # with_rate_limit_retry backs off (Retry-After honored) instead
+            # of aborting the sync on a bare HTTPError
+            raise RateLimitError(
+                "twitter-ads rate limited",
+                retry_after_ms=parse_retry_after(resp.headers.get("Retry-After")),
+            )
         resp.raise_for_status()
         return resp.json()
 
@@ -125,18 +135,21 @@ class TwitterAudienceStream(BatchingOutputStream):
 
         if not options.get("doNotClearAudience") and not restart:
             for batch in self.store.stream_batch(self.rows_key, self.max_batch_size):
+                users = [
+                    email_hash_py(value["email"])
+                    for _, value in batch
+                    if isinstance(value, dict)
+                ]
+                if not users:
+                    continue
+                # NOTE the asymmetric payload shape is REFERENCE PARITY:
+                # the Delete op sends a flat top-level `users` hash list
+                # (twitter-ads/src/index.ts:76-80) while Update nests
+                # {email: [hash]} objects under `params`
+                # (index.ts:164-178); do not "fix" one to match the other.
                 self.client.users_op(
                     self.audience_id,
-                    [
-                        {
-                            "operation_type": "Delete",
-                            "users": [
-                                email_hash_py(value["email"])
-                                for _, value in batch
-                                if isinstance(value, dict)
-                            ],
-                        }
-                    ],
+                    [{"operation_type": "Delete", "users": users}],
                 )
             self.store.delete_by_prefix(self.rows_key)
 

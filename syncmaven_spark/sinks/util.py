@@ -19,6 +19,18 @@ def split_name_py(full_name: str | None) -> tuple[str | None, str | None]:
     return " ".join(parts[:-1]), parts[-1]
 
 
+def split_name_cdk_py(full_name: str | None) -> tuple[str | None, str | None]:
+    """node-cdk splitName semantics (node-cdk/src/index.ts:131-137): single
+    split on the FIRST space — first word → first, the rest (verbatim,
+    interior spaces preserved) → last. This is the variant resend uses
+    (resend/src/index.ts:72); hubspot's all-but-last/last variant is
+    :func:`split_name_py`."""
+    if not full_name:
+        return None, None
+    first, _, rest = full_name.partition(" ")
+    return first, rest
+
+
 def normalize_email_py(email: str) -> str:
     return email.strip().lower()
 

@@ -1043,3 +1043,115 @@ def test_enrich_dataframe_hands_datetime_objects_to_enrichment(spark):
     assert len(out) == 1
     assert out[0]["ts"] == dt.datetime(2024, 3, 1, 12, 0, 0)
     assert out[0]["d"] == dt.date(2024, 3, 1)
+
+
+def test_intercom_epoch_seconds_naive_string_is_utc():
+    """Round-5 sink review: a tz-less ISO STRING went through naive
+    .timestamp() (host-local tz) while the datetime branch forces UTC —
+    the same wall-clock shifted per deployment machine."""
+    import datetime as dt
+    import os
+    import time
+
+    from syncmaven_spark.sinks.intercom import to_epoch_seconds
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "Asia/Karachi"  # UTC+05, no DST
+    time.tzset()
+    try:
+        got = to_epoch_seconds("2024-05-01T10:00:00")
+        # naive datetime branch (already UTC-forced) must agree
+        assert got == to_epoch_seconds(dt.datetime(2024, 5, 1, 10, 0, 0))
+        assert got == 1714557600  # 2024-05-01T10:00:00Z
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+
+def test_intercom_company_lookup_url_encodes_id():
+    """Round-5 sink review: company_id interpolated raw into the query
+    string — 'acme&dept=1' matched company 'acme' plus a stray param."""
+    from urllib.parse import parse_qs, urlsplit
+
+    from syncmaven_spark.sinks.intercom import IntercomDestination
+    from syncmaven_spark.state import InMemoryStore
+
+    class FakeIntercom:
+        def __init__(self):
+            self.gets = []
+
+        def get(self, path):
+            self.gets.append(path)
+            return {"id": "ic-1"}
+
+        def post(self, path, body):
+            return {"id": "ic-c1"}
+
+    client = FakeIntercom()
+    out = IntercomDestination().create_output_stream(
+        "contacts", {"_client": client}, "s1", InMemoryStore()
+    )
+    out.handle_row(
+        {"external_id": "u1", "email": "a@b.c", "company_ids": ["acme&dept=1"]}
+    )
+    lookup = [g for g in client.gets if g.startswith("/companies?")]
+    assert lookup, client.gets
+    q = parse_qs(urlsplit(lookup[0]).query)
+    assert q == {"company_id": ["acme&dept=1"]}, lookup
+
+
+def test_ads_clients_map_429_to_rate_limit_error():
+    """Round-5 sink review: facebook/twitter REST clients raised a bare
+    HTTPError on 429, so the flush-layer rate-limit retry never engaged
+    and throttling aborted the sync."""
+    from syncmaven_spark.sinks.base import RateLimitError
+    from syncmaven_spark.sinks.facebook_ads import RestFacebookClient
+    from syncmaven_spark.sinks.twitter_ads import RestTwitterClient
+
+    class Resp:
+        status_code = 429
+        headers = {"Retry-After": "2"}
+
+    class Sess:
+        def request(self, *a, **k):
+            return Resp()
+
+    fb = RestFacebookClient.__new__(RestFacebookClient)
+    fb._s = Sess()
+    fb.base, fb.account_id = "https://x", "act_1"
+    with pytest.raises(RateLimitError) as ei:
+        fb._req("GET", "https://x/y")
+    assert ei.value.retry_after_ms == 2000
+
+    tw = RestTwitterClient.__new__(RestTwitterClient)
+    tw._s = Sess()
+    tw.base, tw.account_id = "https://x", "1"
+    with pytest.raises(RateLimitError):
+        tw._req("GET", "/y")
+
+
+def test_http_json_without_row_macro_warns(caplog):
+    """Round-5 sink review: format='json' with no [RESULT_*] macro sends a
+    constant body for every row — success counted, data dropped. Reference
+    parity keeps the behavior; the config mistake must at least be loud."""
+    import logging
+
+    from syncmaven_spark.sinks.http import _HttpBase
+
+    with caplog.at_level(logging.WARNING, "syncmaven_spark.sinks.http"):
+        _HttpBase({"url": "https://h.example", "_transport": lambda *a: None})
+    assert any("no [RESULT_ROWS]" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "syncmaven_spark.sinks.http"):
+        _HttpBase(
+            {
+                "url": "https://h.example",
+                "body": '{"events": "[RESULT_ROWS]"}',
+                "_transport": lambda *a: None,
+            }
+        )
+    assert not caplog.records

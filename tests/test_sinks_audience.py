@@ -172,7 +172,10 @@ def test_resend_name_fallback_to_localpart():
     out.finish()
     c0, c1 = client.contacts
     assert c0["email"] == "jane.doe@x.com" and c0["firstName"] == "jane.doe"
-    assert c1["firstName"] == "Bob B" and c1["lastName"] == "Builder"
+    # node-cdk single-split semantics (resend/src/index.ts:72 +
+    # node-cdk/src/index.ts:131-137): first WORD → first, rest → last —
+    # NOT hubspot's all-but-last/last variant (round-5 sink review)
+    assert c1["firstName"] == "Bob" and c1["lastName"] == "B Builder"
     assert "unsubscribed" not in c1  # falsy → keep destination value
 
 
