@@ -272,11 +272,27 @@ def run_sync(
             out = None
         if tracker is not None and tracker.max_value is not None:
             safe = tracker.max_value
+            unknown = False
             for r in pending:
-                c = r.get(cursor_col)
-                if c is not None and compare_cursor(c, safe) < 0:
+                c = r.get(cursor_col) if isinstance(r, dict) else None
+                if c is None:
+                    # a pending row without a usable cursor (shape-changing
+                    # enrichment dropped the column, NULL cursor, or a sink
+                    # buffering non-dict rows): we cannot prove any cursor
+                    # value is safe — keep the last checkpointed cursor
+                    # rather than silently re-opening the skip-past hole
+                    unknown = True
+                    break
+                if compare_cursor(c, safe) < 0:
                     safe = c
-            save_cursor(store, sync.id, cursor_col, safe)
+            if unknown:
+                log.warning(
+                    "halt: undelivered rows do not carry cursor column %r; "
+                    "keeping the last checkpointed cursor (undelivered rows "
+                    "re-sent next run)", cursor_col,
+                )
+            else:
+                save_cursor(store, sync.id, cursor_col, safe)
         checkpoints += 1
 
     halted = False

@@ -9,10 +9,13 @@ external oracles and golden files.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 
 from pyspark.sql import SparkSession
+
+log = logging.getLogger("syncmaven_spark.session")
 
 
 def get_spark(
@@ -242,9 +245,21 @@ def load_tables(
     if tables is None:
         tables = {}
         for name in _table_names_in(sf_dir):
-            tables[name] = read_parquet(
-                spark, os.path.join(sf_dir, f"{name}.parquet")
-            )
+            try:
+                tables[name] = read_parquet(
+                    spark, os.path.join(sf_dir, f"{name}.parquet")
+                )
+            except Exception:
+                # a stray/corrupt NON-benchmark artifact (tmp_export.parquet,
+                # a zero-byte leftover) must not abort every query over the
+                # directory — skip it loudly; the canonical tables still
+                # fail hard because the catalog cannot run without them
+                if name in TABLE_NAMES:
+                    raise
+                log.warning(
+                    "skipping unreadable parquet %r in %s", name, sf_dir,
+                    exc_info=True,
+                )
         if not tables:
             raise FileNotFoundError(
                 f"no parquet tables found in {sf_dir!r}"

@@ -244,6 +244,7 @@ class GoogleSheetsAppendStream(OutputStream):
         self._colset: frozenset[str] = frozenset(self._columns or ())
         self._header_written = False
         self._buf: list[dict[str, Any]] = []
+        self._failed: list[dict[str, Any]] = []
 
     def handle_row(self, row: dict[str, Any]) -> None:
         self.stats.received += 1
@@ -275,30 +276,51 @@ class GoogleSheetsAppendStream(OutputStream):
         ]
 
     def _flush(self) -> None:
+        """Pop-then-send, like ``BatchingOutputStream._flush``: a failed
+        batch is stashed in ``_failed`` (and counted failed) so the halt
+        checkpoint's ``undelivered_rows`` contract holds — without it a
+        HaltError from the Sheets API would let the cursor advance past
+        rows that never reached the sheet (round-5 diff review). API calls
+        go through ``with_rate_limit_retry`` so a client raising
+        ``RateLimitError`` (429) backs off like every other API sink."""
+        from syncmaven_spark.sinks.base import with_rate_limit_retry
+
         if not self._buf:
             return
-        if self._columns is None:
-            # first-seen key order across the first batch — the order
-            # to_table would assign these rows
-            cols: list[str] = []
-            seen: set[str] = set()
-            for r in self._buf:
-                for k in r:
-                    if k not in seen:
-                        seen.add(k)
-                        cols.append(k)
-            self._columns = cols
-            self._colset = frozenset(cols)
-        data = [self._project(r) for r in self._buf]
-        if not self._header_written:
-            self.client.write_table(
-                self.spreadsheet_id, self.sheet_name, self._columns, data
-            )
-            self._header_written = True
-        else:
-            self.client.append_rows(self.spreadsheet_id, self.sheet_name, data)
+        batch, self._buf = self._buf, []
+        try:
+            if self._columns is None:
+                # first-seen key order across the first batch — the order
+                # to_table would assign these rows
+                cols: list[str] = []
+                seen: set[str] = set()
+                for r in batch:
+                    for k in r:
+                        if k not in seen:
+                            seen.add(k)
+                            cols.append(k)
+                self._columns = cols
+                self._colset = frozenset(cols)
+            data = [self._project(r) for r in batch]
+            if not self._header_written:
+                with_rate_limit_retry(
+                    self.client.write_table,
+                    self.spreadsheet_id, self.sheet_name, self._columns, data,
+                )
+                self._header_written = True
+            else:
+                with_rate_limit_retry(
+                    self.client.append_rows,
+                    self.spreadsheet_id, self.sheet_name, data,
+                )
+        except Exception:
+            self.stats.failed += len(batch)
+            self._failed.extend(batch)
+            raise
         self.stats.success += len(data)
-        self._buf = []
+
+    def undelivered_rows(self) -> list[dict[str, Any]]:
+        return self._failed + self._buf
 
     def finish(self):
         from syncmaven_spark.sinks.base import StreamStats

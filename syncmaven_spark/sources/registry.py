@@ -174,15 +174,21 @@ def _strip_userinfo(url: str) -> tuple[str, str | None, str | None]:
     from urllib.parse import unquote
 
     scheme, sep, rest = url.partition("://")
-    if not sep or "@" not in rest.split("/", 1)[0]:
+    if not sep:
         return url, None, None
-    userinfo, host_rest = rest.split("@", 1)
+    authority, slash, tail = rest.partition("/")
+    if "@" not in authority:
+        return url, None, None
+    # LAST '@' splits userinfo from host — libpq/node-postgres semantics,
+    # so a raw '@' inside the password ('alice:pa@ss@db') stays in the
+    # password instead of corrupting the host (round-5 diff review)
+    userinfo, host = authority.rsplit("@", 1)
     if ":" in userinfo:
         user, password = userinfo.split(":", 1)
     else:
         user, password = userinfo, None
     return (
-        f"{scheme}://{host_rest}",
+        f"{scheme}://{host}{slash}{tail}",
         unquote(user) if user else None,
         unquote(password) if password is not None else None,
     )

@@ -1155,3 +1155,103 @@ def test_http_json_without_row_macro_warns(caplog):
             }
         )
     assert not caplog.records
+
+
+def test_strip_userinfo_raw_at_in_password():
+    """Round-5 diff review: the authority was split at the FIRST '@', so a
+    raw '@' inside the password corrupted both password and host. libpq /
+    node-postgres split at the LAST '@' of the authority."""
+    from syncmaven_spark.sources.registry import _strip_userinfo
+
+    url, user, password = _strip_userinfo("postgres://alice:pa@ss@db:5432/app")
+    assert (user, password) == ("alice", "pa@ss")
+    assert url == "postgres://db:5432/app"
+    # percent-encoded form still works, and no-userinfo URLs pass through
+    url2, u2, p2 = _strip_userinfo("postgres://alice:p%40ss@db/app")
+    assert (u2, p2) == ("alice", "p@ss") and url2 == "postgres://db/app"
+    assert _strip_userinfo("postgres://db/app") == ("postgres://db/app", None, None)
+
+
+def test_halt_clamp_skips_save_when_cursor_not_in_sink_rows(spark):
+    """Round-5 diff review: the halt-time cursor clamp probed SINK rows for
+    the cursor column; a shape-changing enrichment drops it, making the
+    clamp a silent no-op that re-opened the skip-past-failed-batch hole.
+    With unknown pending cursors the final save must be skipped entirely."""
+    from syncmaven_spark.enrich import CallableEnrichment
+    from syncmaven_spark.sinks.base import HaltError
+
+    spark.sql("select id from range(5)").createOrReplaceTempView("haltr_src")
+    dest = _FlushFailBatchDestination(lambda: HaltError("stop"), batch_size=3)
+    store = InMemoryStore()
+    sync = SyncDefinition(
+        id="haltr",
+        model=ModelDefinition(
+            id="m",
+            query="select id from haltr_src where :cursor is null "
+                  "or id >= :cursor order by id",
+            cursor="id",
+        ),
+        destination=dest,
+        stream="raw",
+        credentials={},
+        enrichments=[CallableEnrichment(lambda r: [{"email": f"u{r['id']}@x"}])],
+    )
+    run_sync(spark, sync, store)
+    # the failed batch rows carry no 'id' -> no provably-safe cursor ->
+    # nothing persisted (next run re-sends everything; nothing lost)
+    assert store.get(["syncId=haltr", "$lastCursor=id"]) is None
+
+
+def test_sheets_append_tracks_undelivered_rows():
+    """Round-5 diff review: the streamingAppend sheets stream re-implemented
+    batching without the undelivered_rows() halt contract — a HaltError
+    from the Sheets API let the cursor advance past rows that never reached
+    the sheet."""
+    from syncmaven_spark.sinks.base import HaltError
+    from syncmaven_spark.sinks.google_sheets import GoogleSheetsAppendStream
+
+    class FakeSheets:
+        def __init__(self):
+            self.tables = []
+            self.fail_append = True
+
+        def write_table(self, sid, sheet, header, rows):
+            self.tables.append(("write", header, rows))
+
+        def append_rows(self, sid, sheet, rows):
+            if self.fail_append:
+                raise HaltError("sheets says stop")
+            self.tables.append(("append", rows))
+
+    client = FakeSheets()
+    out = GoogleSheetsAppendStream(client, "sid", "s1", batch_size=2)
+    out.handle_row({"a": 1})
+    out.handle_row({"a": 2})  # first flush: write_table, succeeds
+    out.handle_row({"a": 3})
+    with pytest.raises(HaltError):
+        out.handle_row({"a": 4})  # second flush: append fails
+    # the failed batch is known-undelivered; stats count it failed
+    assert [r["a"] for r in out.undelivered_rows()] == [3, 4]
+    assert out.stats.failed == 2 and out.stats.success == 2
+    out.handle_row({"a": 5})
+    assert [r["a"] for r in out.undelivered_rows()] == [3, 4, 5]
+
+
+def test_load_tables_skips_stray_unreadable_parquet(spark, tmp_path):
+    """Round-5 diff review: registering every *.parquet stem made ONE
+    stray/corrupt artifact abort every query over the directory. Non-
+    benchmark stems now skip with a warning; canonical tables still fail
+    hard."""
+    import os
+
+    from syncmaven_spark.session import TABLE_NAMES, load_tables
+
+    src = "/root/testdata/sf0.001"
+    for name in os.listdir(src):
+        if name.endswith(".parquet"):
+            os.link(os.path.join(src, name), str(tmp_path / name))
+    (tmp_path / "tmp_export.parquet").write_bytes(b"not a parquet file")
+
+    tables = load_tables(spark, str(tmp_path), register_views=False)
+    assert set(TABLE_NAMES) <= set(tables)
+    assert "tmp_export" not in tables
