@@ -125,25 +125,30 @@ def enrich_dataframe(
         elif isinstance(f.dataType, T.DateType):
             in_temporal[f.name] = "date"
 
-    def _revive(row: dict[str, Any]) -> dict[str, Any]:
-        import datetime as _dt
+    if in_temporal:
+        import datetime as _indt
 
-        for name, kind in in_temporal.items():
-            v = row.get(name)
-            if not isinstance(v, str):
-                continue
-            if kind == "date":
-                row[name] = _dt.date.fromisoformat(v[:10])
-            else:
-                parsed = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
-                if parsed.tzinfo is not None:
-                    # naive-UTC, matching Row.asDict under the pinned UTC
-                    # driver timezone
-                    parsed = parsed.astimezone(
-                        _dt.timezone.utc
-                    ).replace(tzinfo=None)
-                row[name] = parsed
-        return row
+        def _revive(row: dict[str, Any]) -> dict[str, Any]:
+            for name, kind in in_temporal.items():
+                v = row.get(name)
+                if not isinstance(v, str):
+                    continue
+                if kind == "date":
+                    row[name] = _indt.date.fromisoformat(v[:10])
+                else:
+                    parsed = _indt.datetime.fromisoformat(
+                        v.replace("Z", "+00:00")
+                    )
+                    if parsed.tzinfo is not None:
+                        # naive-UTC, matching Row.asDict under the pinned
+                        # UTC driver timezone
+                        parsed = parsed.astimezone(
+                            _indt.timezone.utc
+                        ).replace(tzinfo=None)
+                    row[name] = parsed
+            return row
+    else:
+        _revive = None  # no temporal inputs — skip the per-row pass
 
     def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enrichment = enrichment_factory()
@@ -151,13 +156,16 @@ def enrich_dataframe(
             out_rows = []
             for raw in pdf["_row"]:
                 try:
+                    row = json.loads(raw)
+                    if _revive is not None:
+                        row = _revive(row)
                     # materialize FIRST: a generator raising mid-iteration
                     # must drop the whole source row's output (sync.ts:
                     # 545-549), not deliver the rows it yielded before the
                     # error (partial delivery doubles up on restarts)
                     produced = [
                         [out.get(name) for name in field_names]
-                        for out in enrichment.enrich(_revive(json.loads(raw)))
+                        for out in enrichment.enrich(row)
                     ]
                 except Exception:
                     continue  # enrichment errors drop the row

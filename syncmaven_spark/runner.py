@@ -247,6 +247,25 @@ def run_sync(
         if not final:
             log.info("checkpoint %d for sync %s", checkpoints, sync.id)
 
+    def close_sink_tolerant(context: str) -> list[dict[str, Any]]:
+        """Close the sink for stats on a failure/halt path — a final-flush
+        error is logged, not raised (the sync is already stopping) — and
+        return the sink's known-undelivered rows."""
+        nonlocal out
+        if out is None:
+            return []
+        try:
+            _fold_stats(total_stats, out.finish())
+        except Exception:  # noqa: BLE001 - already stopping; keep going
+            log.warning(
+                "final flush failed during %s; undelivered rows will be "
+                "re-sent next run", context, exc_info=True,
+            )
+            _fold_stats(total_stats, out.stats)
+        pending = out.undelivered_rows()
+        out = None
+        return pending
+
     def halt_checkpoint() -> None:
         """Post-halt close: fold stats, persist the cursor CLAMPED to the
         smallest undelivered cursor. Persisting the plain observed max here
@@ -257,19 +276,8 @@ def run_sync(
         sink's pending minimum re-sends exactly the undelivered suffix
         (cursors are non-decreasing — CursorTracker enforces ORDER BY — so
         the clamp never regresses below a prior checkpoint)."""
-        nonlocal out, checkpoints
-        pending: list[dict[str, Any]] = []
-        if out is not None:
-            try:
-                _fold_stats(total_stats, out.finish())
-            except Exception:  # noqa: BLE001 - halt path; keep going
-                log.warning(
-                    "final flush failed after halt; undelivered rows will "
-                    "be re-sent next run", exc_info=True,
-                )
-                _fold_stats(total_stats, out.stats)
-            pending = out.undelivered_rows()
-            out = None
+        nonlocal checkpoints
+        pending = close_sink_tolerant("halt")
         if tracker is not None and tracker.max_value is not None:
             safe = tracker.max_value
             unknown = False
@@ -366,12 +374,7 @@ def run_sync(
         # (e.g. a batching sink's unflushed buffer). The reference only
         # checkpoints on success (sync.ts:573-577); saving here would make
         # the next incremental run skip undelivered rows permanently.
-        if out is not None:
-            try:
-                _fold_stats(total_stats, out.finish())
-            except Exception:  # noqa: BLE001 - already failing; keep original
-                log.warning("sink close failed during error handling", exc_info=True)
-            out = None
+        close_sink_tolerant("error handling")
         raise
     else:
         if halted:

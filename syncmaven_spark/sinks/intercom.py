@@ -20,6 +20,7 @@ import logging
 import datetime as _dt
 import re
 from typing import Any, Protocol
+from urllib.parse import quote as _quote
 
 from syncmaven_spark.sinks import register
 from syncmaven_spark.sinks.base import (
@@ -234,13 +235,12 @@ class IntercomContactsStream(OutputStream):
             key = str(raw)
             intercom_id = self.companies_map.get(key)
             if not intercom_id:
-                from urllib.parse import quote
-
                 # URL-encode: a company_id containing '&'/'#'/'+'/' ' would
                 # otherwise change the query string (wrong company matched,
                 # or the id truncated at a fragment)
                 res = with_rate_limit_retry(
-                    self.client.get, f"/companies?company_id={quote(key, safe='')}"
+                    self.client.get,
+                    f"/companies?company_id={_quote(key, safe='')}",
                 ) or {}
                 # the lookup may return the company object directly or a
                 # {data: {...}} wrapper depending on API version
