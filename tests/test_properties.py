@@ -195,3 +195,83 @@ def test_bigquery_literal_roundtrips_through_spark_encoding(lit):
 
     bq_sql = f"select {encode_literal(lit, 'bigquery')} as v"
     assert to_spark_sql(bq_sql, "bigquery") == f"select {_spark_string(lit)} as v"
+
+
+# --- round-5 additions: cursor codec, userinfo splitting, name splitting ---
+
+finite_decimals = st.decimals(allow_nan=False, allow_infinity=False, places=8)
+
+
+@given(value=st.one_of(
+    st.integers(),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=40),
+    st.booleans(),
+    finite_decimals,
+    st.datetimes(min_value=dt.datetime(1971, 1, 1),
+                 max_value=dt.datetime(2200, 1, 1)),
+))
+@settings(max_examples=200, deadline=None)
+def test_cursor_serialize_roundtrip_is_json_safe(value):
+    """Every supported cursor type must survive store persistence: the
+    serialized form json-dumps with allow_nan=False (what a strict store
+    would enforce) and deserializes to a value that compares EQUAL to the
+    original under the engine's comparator."""
+    import json as _json
+
+    from syncmaven_spark.cursor import (
+        compare_cursor,
+        deserialize_cursor,
+        serialize_cursor,
+    )
+
+    stored = serialize_cursor(value)
+    wire = _json.dumps(stored, allow_nan=False)
+    back = deserialize_cursor(_json.loads(wire))
+    if isinstance(value, dt.datetime):
+        # dates round-trip at millisecond precision (ISO-millis contract)
+        value = value.replace(microsecond=(value.microsecond // 1000) * 1000)
+    assert compare_cursor(back, value) == 0, (value, stored, back)
+
+
+_host_chars = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), whitelist_characters=".-"),
+    min_size=1, max_size=20,
+).filter(lambda s: "@" not in s and "/" not in s)
+_cred_chars = st.text(
+    alphabet=st.characters(blacklist_characters=":/\x00", min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=16,
+)
+
+
+@given(user=_cred_chars, password=_cred_chars, host=_host_chars,
+       path=st.text(alphabet="abc/", max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_strip_userinfo_recovers_raw_credentials(user, password, host, path):
+    """Whatever raw (non-colon, non-slash) credential text appears before
+    the LAST '@' of the authority must come back verbatim, with the URL
+    reduced to scheme://host/path — including '@' characters inside the
+    password (libpq semantics)."""
+    from syncmaven_spark.sources.registry import _strip_userinfo
+
+    url = f"postgres://{user}:{password}@{host}/{path}"
+    stripped, got_user, got_password = _strip_userinfo(url)
+    assert got_user == user
+    assert got_password == password
+    assert stripped == f"postgres://{host}/{path}"
+
+
+@given(name=st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_split_name_cdk_matches_js_single_split(name):
+    """split_name_cdk_py must equal the node-cdk reference exactly:
+    const [first, ...rest] = name.split(' '); last = rest.join(' ')."""
+    from syncmaven_spark.sinks.util import split_name_cdk_py
+
+    first, last = split_name_cdk_py(name)
+    if not name:
+        assert (first, last) == (None, None)
+    else:
+        parts = name.split(" ")
+        assert first == parts[0]
+        assert last == " ".join(parts[1:])
