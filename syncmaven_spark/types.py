@@ -15,6 +15,7 @@ Reference semantics being preserved (citations into /root/reference):
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import json
 import math
 from typing import Any
@@ -185,6 +186,13 @@ class RowJSONEncoder(json.JSONEncoder):
             return iso_millis(o)
         if isinstance(o, bytes):
             return o.decode("utf-8", errors="replace")
+        if isinstance(o, _decimal.Decimal):
+            # JS-number semantics (JSON.stringify drops decimal scale:
+            # Number("0.00") → 0). DecimalType rows otherwise crash the
+            # parity sink outright (round-5 end-to-end decimal sync test).
+            # Values beyond double precision lose digits HERE only — the
+            # distributed writer (Spark JSON) keeps exact decimal text.
+            return float(o)
         return super().default(o)
 
     def iterencode(self, o: Any, _one_shot: bool = False):

@@ -1255,3 +1255,37 @@ def test_load_tables_skips_stray_unreadable_parquet(spark, tmp_path):
     tables = load_tables(spark, str(tmp_path), register_views=False)
     assert set(TABLE_NAMES) <= set(tables)
     assert "tmp_export" not in tables
+
+
+def test_decimal_cursor_sync_end_to_end(spark, tmp_path):
+    """Round-5 core review follow-up: a DECIMAL cursor column must work
+    through the WHOLE loop — checkpoint into a persistent (json-backed)
+    store, reload, literal-encode into the next run's predicate — not just
+    the codec unit tests. Two runs: the second re-emits only the inclusive
+    boundary row."""
+    import decimal
+
+    from syncmaven_spark.state import create_store
+
+    spark.sql(
+        "select cast(id as decimal(12,2)) as amount, id from range(5)"
+    ).createOrReplaceTempView("dec_src")
+    store = create_store(str(tmp_path / ".state"))
+    sync = SyncDefinition(
+        id="dec1",
+        model=ModelDefinition(
+            id="m",
+            query="select amount, id from dec_src where :cursor is null "
+                  "or amount >= :cursor order by amount",
+            cursor="amount",
+        ),
+        destination="file",
+        stream="raw",
+        credentials={"filename": str(tmp_path / "out.ndjson")},
+    )
+    r1 = run_sync(spark, sync, store)
+    assert r1.stats.success == 5
+    assert r1.last_cursor == decimal.Decimal("4.00")
+    r2 = run_sync(spark, sync, store)
+    # inclusive >= boundary: exactly the max row re-emitted
+    assert r2.stats.success == 1
