@@ -184,8 +184,12 @@ class RowJSONEncoder(json.JSONEncoder):
     def default(self, o: Any) -> Any:
         if isinstance(o, (_dt.datetime, _dt.date)):
             return iso_millis(o)
-        if isinstance(o, bytes):
-            return o.decode("utf-8", errors="replace")
+        if isinstance(o, (bytes, bytearray)):
+            # bytearray too: Spark hands BinaryType columns to Python as
+            # bytearray, which is NOT an instance of bytes — without this
+            # any sync selecting a binary column crashed the driver-path
+            # validator and the parity sink (round-5 end-to-end test)
+            return bytes(o).decode("utf-8", errors="replace")
         if isinstance(o, _decimal.Decimal):
             # JS-number semantics (JSON.stringify drops decimal scale:
             # Number("0.00") → 0). DecimalType rows otherwise crash the

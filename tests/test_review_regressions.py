@@ -1289,3 +1289,34 @@ def test_decimal_cursor_sync_end_to_end(spark, tmp_path):
     r2 = run_sync(spark, sync, store)
     # inclusive >= boundary: exactly the max row re-emitted
     assert r2.stats.success == 1
+
+
+def test_binary_column_sync_end_to_end(spark, tmp_path):
+    """Round-5 follow-up to the Decimal crash: Spark hands BinaryType
+    columns to Python as BYTEARRAY (not bytes), which RowJSONEncoder's
+    bytes branch missed — any sync selecting a binary column crashed the
+    driver-path validator on the first row."""
+    import json
+
+    spark.sql(
+        "select id, cast(concat('blob-', id) as binary) as payload "
+        "from range(3)"
+    ).createOrReplaceTempView("bin_src")
+    store = InMemoryStore()
+    sync = SyncDefinition(
+        id="bin1",
+        model=ModelDefinition(
+            id="m",
+            query="select id, payload from bin_src where :cursor is null "
+                  "or id >= :cursor order by id",
+            cursor="id",
+        ),
+        destination="file",
+        stream="raw",
+        credentials={"filename": str(tmp_path / "out.ndjson")},
+    )
+    result = run_sync(spark, sync, store)
+    assert result.stats.success == 3
+    lines = [json.loads(ln) for ln in
+             (tmp_path / "out.ndjson").read_text().splitlines()]
+    assert [r["payload"] for r in lines] == ["blob-0", "blob-1", "blob-2"]
