@@ -11,7 +11,11 @@ Two execution paths:
 - driver-side (runner.py parity loop): any ``Enrichment.enrich(row)``,
 - scale path: ``enrich_dataframe`` runs the same enrichment inside
   ``mapInPandas`` — Arrow-batched, executor-parallel, 1→0..N row expansion
-  via JSON rows so arbitrary schema changes are possible.
+  via JSON rows so arbitrary schema changes are possible. Top-level
+  timestamp/date inputs are revived to datetime/date objects to match the
+  parity path's row contract; BinaryType inputs arrive as base64 strings
+  here (JSON boundary) vs bytearray on the parity path — enrichments over
+  binary columns should use the parity path or decode explicitly.
 """
 
 from __future__ import annotations

@@ -83,7 +83,14 @@ def write_ndjson_distributed(df: DataFrame, path: str, mode: str = "overwrite") 
     'yyyy-MM-ddT00:00:00.000Z', and NaN/Infinity doubles nulled at ANY
     nesting depth — top-level and inside struct/array/map — (the parity
     encoder applies JSON.stringify semantics; Spark's JSON writer would
-    emit literal "NaN", which is invalid JSON)."""
+    emit literal "NaN", which is invalid JSON).
+
+    Known divergences from the parity encoder, both documented rather than
+    papered over: BinaryType serializes as base64 here (Spark's JSON
+    writer) vs utf-8-with-replacement on the parity path, and DecimalType
+    keeps exact decimal text here vs JS-number formatting there. Neither
+    type appears in the reference's 5-type column model; pick ONE path per
+    sync if byte-identical output matters for such columns."""
     from syncmaven_spark.types import scrubbed_columns
 
     (
