@@ -1320,3 +1320,65 @@ def test_binary_column_sync_end_to_end(spark, tmp_path):
     lines = [json.loads(ln) for ln in
              (tmp_path / "out.ndjson").read_text().splitlines()]
     assert [r["payload"] for r in lines] == ["blob-0", "blob-1", "blob-2"]
+
+
+def test_halt_clamp_then_resume_delivers_everything(spark, tmp_path):
+    """The recovery half of the halt contract: after a batching sink halts
+    mid-flush (cursor clamped to the undelivered minimum), a re-run with a
+    healthy sink must deliver every undelivered row — the only acceptable
+    duplication is the inclusive >= boundary overlap."""
+    from syncmaven_spark.sinks.base import (
+        ANY_OBJECT_SCHEMA,
+        BatchingOutputStream,
+        DestinationProvider,
+        HaltError,
+        StreamSpec,
+    )
+
+    class FlakyBatchDestination(DestinationProvider):
+        name = "flaky-batch"
+
+        def __init__(self):
+            self.fail_next_flush = True
+            self.delivered: list[int] = []
+
+        def streams(self):
+            return [StreamSpec("raw", ANY_OBJECT_SCHEMA)]
+
+        def create_output_stream(self, stream_name, credentials, sync_id,
+                                 store, full_refresh=False, restart=False,
+                                 options=None):
+            provider = self
+
+            class S(BatchingOutputStream):
+                def process_batch(self, rows):
+                    if provider.fail_next_flush:
+                        provider.fail_next_flush = False
+                        raise HaltError("transient outage")
+                    provider.delivered.extend(r["id"] for r in rows)
+                    self.stats.success += len(rows)
+
+            return S(max_batch_size=3)
+
+    spark.sql("select id from range(7)").createOrReplaceTempView("flaky_src")
+    dest = FlakyBatchDestination()
+    store = InMemoryStore()
+    sync = SyncDefinition(
+        id="flaky",
+        model=ModelDefinition(
+            id="m",
+            query="select id from flaky_src where :cursor is null "
+                  "or id >= :cursor order by id",
+            cursor="id",
+        ),
+        destination=dest,
+        stream="raw",
+        credentials={},
+    )
+    r1 = run_sync(spark, sync, store)
+    assert dest.delivered == []  # first flush halted; nothing delivered
+    assert store.get(["syncId=flaky", "$lastCursor=id"])["val"] == 0
+    r2 = run_sync(spark, sync, store)
+    # re-run from the clamped cursor: ALL rows delivered, no gaps
+    assert sorted(dest.delivered) == [0, 1, 2, 3, 4, 5, 6]
+    assert r2.stats.success == 7
