@@ -29,11 +29,34 @@ DEFAULT_BANDS = 16
 from syncmaven_spark.operators.cache import persist_scoped as _persist_scoped
 
 
+# Unicode word characters. Java's bare \w is ASCII-only, which DELETED every
+# CJK/Cyrillic/Greek character during normalization — all such documents
+# collapsed to the single shingle [''] and were reported as mutual
+# jaccard-1.0 duplicates, so the keep-lowest-id clustering would drop an
+# entire non-Latin corpus minus one row (round-5 max review, verified live).
+# [^\p{L}\p{N}_\s] is the Unicode complement of \w; the SQL oracles use the
+# same class (RE2 and java.util.regex agree on L/N category membership).
+_NON_WORD_RE = r"[^\p{L}\p{N}_\s]+"
+
+
+def _words(text_col):
+    """Normalized word array: lower → non-word runs to spaces → split →
+    drop empty tokens. NULL text ≡ empty text ≡ ZERO words (one consistent
+    rule: NULL previously became the shingle [''] for k>=2 — pairing all
+    NULL-text docs as jaccard-1.0 duplicates — while k=1 dropped them)."""
+    normalized = F.regexp_replace(
+        F.lower(F.coalesce(text_col, F.lit(""))), _NON_WORD_RE, " "
+    )
+    return F.filter(F.split(F.trim(normalized), r"\s+"), lambda w: w != "")
+
+
 def _shingles(text_col, k: int):
     """k-word shingles as a distinct array, JVM-side: normalize → split →
     sliding window via transform over index range (k=1 short-circuits to the
-    word array — no per-word slice/concat machinery)."""
-    words = F.split(F.trim(F.regexp_replace(F.lower(text_col), r"[^\w\s]+", " ")), r"\s+")
+    word array — no per-word slice/concat machinery). A doc with zero words
+    shingles to an EMPTY array — it is excluded from signatures and pairing
+    rather than matching every other empty-ish doc."""
+    words = _words(text_col)
     if k == 1:
         return F.array_distinct(words)
     n = F.size(words)
@@ -42,7 +65,9 @@ def _shingles(text_col, k: int):
         F.when(
             n >= k,
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+        )
+        .when(n > 0, F.array(F.concat_ws(" ", words)))
+        .otherwise(words)  # n == 0: the (empty) word array itself
     )
 
 
@@ -79,14 +104,24 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     key = F.md5(
         F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in cols]))
     )
-    keep = (
-        df.groupBy(key.alias("_content_hash"))
-        .agg(F.min(id_col).alias(id_col), F.count("*").alias("_n_copies"))
+    # One window (one shuffle) instead of agg + equi-join-back: min(id)
+    # skips NULLs and an equi-join never matches one, so a content group
+    # whose ids were ALL NULL silently vanished from the output (round-5
+    # max review, verified live). asc_nulls_last keeps the lowest NON-NULL
+    # id when one exists and still keeps one row for all-NULL-id groups.
+    w = W.partitionBy("_content_hash")
+    ranked = (
+        df.withColumn("_content_hash", key)
+        .withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.col(id_col).asc_nulls_last())),
+        )
+        .withColumn("_n_copies", F.count(F.lit(1)).over(w))
     )
     return (
-        df.join(keep.select(id_col, "_n_copies"), on=id_col, how="inner")
+        ranked.filter(F.col("_rn") == 1)
         .withColumn("is_duplicate_group", F.col("_n_copies") > 1)
-        .drop("_n_copies")
+        .drop("_content_hash", "_rn", "_n_copies")
     )
 
 
@@ -123,13 +158,15 @@ def minhash_lsh_candidates(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
-    max_bucket_size: int = 200,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: ``(id_a, id_b, n_shared_bands)``.
 
     Signature → ``bands`` band-hashes → explode → bucket self-join with
     ``id_a < id_b``. ``max_bucket_size`` caps degenerate buckets (identical
-    boilerplate) so one hot bucket cannot produce O(n²) pairs.
+    boilerplate) so one hot bucket cannot produce O(n²) pairs; ``None``
+    disables the cap (``_rn <= NULL`` would otherwise silently drop EVERY
+    candidate — round-5 review).
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     rows_per_band = num_perm // bands
@@ -163,10 +200,15 @@ def minhash_lsh_candidates(
     ).select(id_col, "b.band_id", "b.band_hash")
 
     # cap degenerate buckets before the pair join
-    w_bucket = F.row_number().over(
-        W.partitionBy("band_id", "band_hash").orderBy(id_col)
-    )
-    melted = melted.withColumn("_rn", w_bucket).filter(F.col("_rn") <= max_bucket_size)
+    if max_bucket_size:
+        w_bucket = F.row_number().over(
+            W.partitionBy("band_id", "band_hash").orderBy(id_col)
+        )
+        melted = (
+            melted.withColumn("_rn", w_bucket)
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
 
     left = melted.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
@@ -207,6 +249,10 @@ def _hashed_shingle_sets(
         df.select(
             *[F.col(c) for c in extra_cols], F.col(id_col), hashed.alias("_set")
         )
+        # zero-shingle docs (NULL/empty/punctuation-only text) cannot be
+        # near-duplicates of anything — excluding them here keeps them out
+        # of both sides of the pair join entirely
+        .filter(F.size("_set") > 0)
     )
 
 
@@ -263,7 +309,7 @@ def minhash_verified_pairs(
     num_perm: int = 64,
     bands: int = 32,
     shingle_k: int = 3,
-    max_bucket_size: int = 200,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """MinHash→LSH candidates verified with exact Jaccard — the production
     dedup recipe (sub-quadratic candidate generation, exact verification on
@@ -307,7 +353,10 @@ def minhash_verified_pairs(
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
-    sets = _hashed_shingle_sets(df, text_col, id_col, shingle_k)
+    # _spread like ngram_jaccard_pairs: the regex+shingle+hash projection is
+    # the expensive per-doc work, and a coarse input layout (one parquet
+    # file → one partition) would otherwise serialize it on one task
+    sets = _hashed_shingle_sets(_spread(df, id_col), text_col, id_col, shingle_k)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
     # the verified pair table is itself persisted through the pool: it is
@@ -327,9 +376,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Explode tokens → per-bit ±1 contributions aggregated in one pass →
     fold sign bits back into one long. All JVM-side integer math.
     """
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]+", " ")), r"\s+"
-    )
+    words = _words(F.col(text_col))
     # hash each token ONCE in the projection below the aggregate — the 64
     # per-bit aggregates then read the shared long instead of each
     # recomputing xxhash64(tok) (Catalyst does not guarantee CSE across
@@ -360,17 +407,32 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Blocking: split the 64-bit hash into ``max_hamming + 1`` chunks — any
     pair within the distance must agree on at least one chunk exactly
     (pigeonhole), so candidates come from equi-joins on chunk values, never a
-    cross join.
+    cross join. Chunk widths are CEIL-distributed (64 = 9 chunks → one 8-bit
+    + eight 7-bit) so every signature bit is covered; the pigeonhole recall
+    guarantee holds for any width split.
+
+    ``max_bucket_size`` caps each (chunk, value) bucket — the same scale
+    lever as ``minhash_lsh_candidates``: a degenerate corpus (one boilerplate
+    signature repeated b times) otherwise drives an uncapped O(b²) candidate
+    join per chunk. Capping trades recall ONLY inside over-full buckets (docs
+    beyond the cap can still pair through their other ``max_hamming`` chunks);
+    pass ``None`` for the exact uncapped semantics (oracle/verification use).
     """
     n_chunks = max_hamming + 1
-    bits_per = 64 // n_chunks
+    base, extra = divmod(64, n_chunks)
+    widths = [base + 1] * extra + [base] * (n_chunks - extra)
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     # the signature table is O(n) ids+longs — persisting it keeps the
     # expensive explode/64-agg lineage from being recomputed for both sides
     # of the self-join (safe at any corpus size; it's signatures, not text)
@@ -381,8 +443,8 @@ def simhash_near_dups(
             # max_hamming=0 (exact-signature matching): the whole hash IS
             # the chunk — a (1 << 64) - 1 mask does not fit a long literal
             return F.col("simhash")
-        return F.shiftrightunsigned(F.col("simhash"), c * bits_per).bitwiseAND(
-            F.lit((1 << bits_per) - 1)
+        return F.shiftrightunsigned(F.col("simhash"), offsets[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
         )
 
     chunks = sig.select(
@@ -398,6 +460,14 @@ def simhash_near_dups(
             ])
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+
+    if max_bucket_size:
+        wcap = W.partitionBy("chunk_id", "chunk_val").orderBy(id_col)
+        chunks = (
+            chunks.withColumn("_bn", F.row_number().over(wcap))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
 
     a = chunks.select(
         "chunk_id", "chunk_val",

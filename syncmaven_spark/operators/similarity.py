@@ -41,6 +41,31 @@ def _cosine(dot, norm_a, norm_b, round_to: int):
     return F.round(dot / F.greatest(norm_a * norm_b, F.lit(1e-12)), round_to)
 
 
+def _pair_schema(df: DataFrame, id_col: str) -> str:
+    """Output schema of a pair table: id type follows the input's id."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    return f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+
+def _usable_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Rows with a non-null id and a non-null, all-finite embedding.
+
+    A NaN ELEMENT (failed encode, fp overflow upstream) makes every cosine
+    against the vector NaN — which Spark orders above all doubles and
+    treats as >= threshold, so one NaN vector ranked #1 for EVERY query and
+    emitted false LSH pairs, while the exact numpy kernel silently excluded
+    the same pairs (round-5 max review, verified live). A NULL id crashes
+    the numpy pair kernel (object-dtype comparisons against None) and
+    breaks `id_a < id_b` pair semantics. Both are filtered like null
+    vectors: no identity / no finite geometry → no similarity."""
+    finite = ~F.exists(
+        vec_col, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == float("inf"))
+    )
+    return df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull() & finite
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,10 +83,10 @@ def cosine_topk_bruteforce(
     when the query table is a SEPARATE id space — otherwise a corpus row
     whose id coincidentally equals a query id is silently unretrievable.
     """
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = _usable_vectors(corpus, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
     ).withColumn("n_norm", F.sqrt(_dot(F.col("n_vec"), F.col("n_vec"))))
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = _usable_vectors(queries, id_col, vec_col).select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
 
@@ -101,7 +126,10 @@ def train_centroids(
     structure (ids assigned per source/shard) a prefix covers only the head
     cluster and collapses the centroids onto it.
     """
-    sampled = df.filter(F.col(vec_col).isNotNull())
+    # finite-only sample: one NaN vector would poison every centroid
+    # mean it joins (id filter is irrelevant here, so reuse the column
+    # itself as the id argument)
+    sampled = _usable_vectors(df, vec_col, vec_col)
     if order_col is not None:
         # hash first, raw column second: ties (dup order_col values or a
         # 64-bit collision) stay deterministic
@@ -115,9 +143,10 @@ def train_centroids(
     X = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    # the sample never changes — normalize once, not once per Lloyd round
+    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
     for _ in range(iterations):
-        # cosine assignment: normalize then argmax dot
-        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        # cosine assignment: normalize centroids then argmax dot
         Cn = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12)
         assign = np.argmax(Xn @ Cn.T, axis=1)
         for c in range(len(centroids)):
@@ -183,7 +212,7 @@ def cosine_pairs_exact(
     go through ``cosine_pairs_lsh`` (candidates) → this (verification on the
     candidate set).
     """
-    source = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    source = _usable_vectors(df, id_col, vec_col).select(id_col, vec_col)
     # ONE bounded job: probing limit(max+1) both enforces the cap and
     # collects the matrix (round-4 review: a separate count() paid a full
     # extra pass over the lineage — and an over-limit input paid it before
@@ -196,19 +225,21 @@ def cosine_pairs_exact(
             "for candidate generation at this scale"
         )
     if not rows:
-        return df.sparkSession.createDataFrame(
-            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
-                f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
-        )
+        return df.sparkSession.createDataFrame([], _pair_schema(df, id_col))
     b_ids = np.array([r[0] for r in rows])
     M = np.array([r[1] for r in rows], dtype=np.float64)
     B = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
     # B/b_ids captured as numpy (compact buffer pickle), not .tolist()
 
-    out_schema = (
-        f"id_a {df.schema[id_col].dataType.simpleString()}, "
-        f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
-    )
+    out_schema = _pair_schema(df, id_col)
+
+    # Corpus-side SLAB width for the per-batch matmul. Without slabbing the
+    # transient sims matrix is (arrow_batch × corpus): a 10k-row batch
+    # against a 1M-row corpus is 80 GB — executors OOM'd far below
+    # max_broadcast_rows' own cap (round-5 max review). 20k columns bound
+    # the transient to ~1.6 GB per task at the default Arrow batch size
+    # while keeping the matmul BLAS-efficient.
+    slab = 20_000
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,14 +247,16 @@ def cosine_pairs_exact(
             if len(X) == 0:
                 continue
             Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
-            sims = np.round(Xn @ B.T, round_to)
             x_ids = pdf[id_col].to_numpy()
             out_a, out_b, out_s = [], [], []
-            for i, xa in enumerate(x_ids):
-                mask = (sims[i] >= threshold) & (b_ids > xa)
-                out_a.extend([xa] * int(mask.sum()))
-                out_b.extend(b_ids[mask])
-                out_s.extend(sims[i][mask])
+            for start in range(0, len(b_ids), slab):
+                sims = np.round(Xn @ B[start : start + slab].T, round_to)
+                ids_s = b_ids[start : start + slab]
+                for i, xa in enumerate(x_ids):
+                    mask = (sims[i] >= threshold) & (ids_s > xa)
+                    out_a.extend([xa] * int(mask.sum()))
+                    out_b.extend(ids_s[mask])
+                    out_s.extend(sims[i][mask])
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
 
     return source.mapInPandas(pairs, out_schema)
@@ -238,6 +271,7 @@ def cosine_pairs_lsh(
     n_tables: int = 6,
     seed: int = 42,
     round_to: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dups via random-hyperplane (sign) LSH.
 
@@ -248,17 +282,20 @@ def cosine_pairs_lsh(
     seed. Recall < 1 by construction — the probabilistic trade that makes
     100-TB near-dup mining feasible; tune (n_planes, n_tables) to the target
     similarity band.
+
+    ``max_bucket_size`` caps each (table, bucket) like the MinHash/SimHash
+    caps: a degenerate corpus (b zero-filled failed-encode vectors share
+    every table's bucket) otherwise drives an uncapped O(b²) candidate join
+    per table whose pairs verification then discards — pure wasted shuffle.
+    ``None`` restores exact uncapped semantics.
     """
     from syncmaven_spark.operators.cache import persist_scoped
 
     # planes need the vector dimension — read it from one non-null row
-    nonnull = df.filter(F.col(vec_col).isNotNull())
+    nonnull = _usable_vectors(df, id_col, vec_col)
     first = nonnull.select(vec_col).first()
     if first is None:  # empty corpus → no pairs
-        return df.sparkSession.createDataFrame(
-            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
-                f"id_b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
-        )
+        return df.sparkSession.createDataFrame([], _pair_schema(df, id_col))
     dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_tables * n_planes, dim))
@@ -292,6 +329,13 @@ def cosine_pairs_lsh(
     melted = with_buckets.select(
         id_col, F.posexplode("_buckets").alias("table_id", "bucket")
     )
+    if max_bucket_size:
+        w_bucket = W.partitionBy("table_id", "bucket").orderBy(id_col)
+        melted = (
+            melted.withColumn("_bn", F.row_number().over(w_bucket))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = melted.select("table_id", "bucket", F.col(id_col).alias("id_a"))
     b = melted.select("table_id", "bucket", F.col(id_col).alias("id_b"))
     candidate_ids = (
@@ -352,8 +396,8 @@ def cosine_topk_ivf(
     same-id neighbors (queries ⊆ corpus); pass ``False`` for a disjoint
     query id space.
     """
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = _usable_vectors(corpus, id_col, vec_col)
+    queries = _usable_vectors(queries, id_col, vec_col)
     if centroids is None:
         if corpus.select(vec_col).first() is None:  # empty corpus → no hits
             return corpus.sparkSession.createDataFrame(

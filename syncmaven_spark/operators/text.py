@@ -10,6 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# Shared Unicode tokenizer (lower → non-word runs to spaces → split → drop
+# empties; NULL ≡ empty). Lives in dedup.py because the dedup operators'
+# SQL oracles pin its exact semantics; the ASCII-only \w it replaced
+# deleted every CJK/Cyrillic character (round-5 max review).
+from syncmaven_spark.operators.dedup import _NON_WORD_RE, _words
+
 # minimal stopword marker sets per language — n-gram heuristic, not a model
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "is"],
@@ -71,9 +77,10 @@ def token_count(
 ) -> DataFrame:
     """Whitespace token count plus a BPE-ish subword estimate
     (``n_bpe_tokens`` ≈ word pieces split on 4-char boundaries + punct).
-    Empty/whitespace-only text counts 0 — ``split('')`` returns ``['']``
-    of size 1, which previously let empty docs through token filters."""
-    empty = F.length(F.trim(F.col(text_col))) == 0
+    Empty/whitespace-only AND NULL text count 0 — ``split('')`` returns
+    ``['']`` of size 1, and a NULL previously produced NULL counts that
+    bypassed ``n_tokens == 0`` empty-doc filters (round-5 max review)."""
+    empty = F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     bpe_ish = F.size(
         F.split(
@@ -98,12 +105,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     weighted product of saturating sub-scores — deterministic, explainable,
     and entirely JVM-side.
     """
-    text = F.col(text_col)
-    normalized = F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " "))
-    words = F.split(normalized, r"\s+")
-    # split('') yields [''] of size 1: empty docs must score 0 words (and
-    # a 0 distinct ratio), not survive quality filters with n_words=1
-    n_words = F.when(F.length(normalized) == 0, 0).otherwise(F.size(words))
+    # NULL ≡ empty for every feature: all-NULL docs must score 0, not NULL
+    # (NULL features bypass numeric quality filters)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = _words(text)  # Unicode tokenizer, empties dropped
+    n_words = F.size(words)
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-zÀ-ɏ]", ""))
     distinct_ratio = F.when(n_words == 0, 0.0).otherwise(
@@ -146,11 +152,27 @@ def document_fingerprint(
     ``F.aggregate``), so word order matters (unlike a bag-of-words hash).
     ``normalized_md5=True`` instead emits the md5 of the normalized text —
     the content-equality key (SQL-oracle-able).
+
+    Normalization is SPACE-REPLACING and Unicode-aware: the old
+    ``[^a-z0-9 ]`` delete merged newline-separated words ("foo\\nbar" ==
+    "foobar") and normalized every non-Latin doc to '' — one fingerprint
+    for an entire CJK corpus (round-5 max review). Non-word runs map to one
+    space, so separator kind no longer changes the key.
     """
-    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", "")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                _NON_WORD_RE,
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
     if normalized_md5:
         return df.withColumn(out_col, F.md5(normalized))
-    words = F.split(F.trim(normalized), r"\s+")
+    words = _words(F.col(text_col))
     # modular polynomial hash: keep the accumulator < 2^56 so acc*31 + term
     # never overflows a long under ANSI mode
     modulus = F.lit(1 << 56).cast("long")

@@ -710,20 +710,23 @@ def text_quality_score(spark, sf_dir):
 
 @q(
     "text_fingerprint",
-    "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) "
+    "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}_\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))) "
     "AS fingerprint FROM documents",
-    doc="Document fingerprint over normalized text (lowercase, strip "
-    "non-alnum) — near-dup pre-key.",
+    doc="Document fingerprint over normalized text (lowercase, non-word "
+    "runs to one space — Unicode-aware, separator-kind-insensitive) — "
+    "near-dup pre-key.",
     tags=("text", "dedup"),
 )
 def text_fingerprint(spark, sf_dir):
+    from syncmaven_spark.operators import document_fingerprint
+
     t = _t(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")).alias(
-            "fingerprint"
-        ),
-    )
+    return document_fingerprint(
+        t["documents"].select("doc_id", "text"),
+        out_col="fingerprint",
+        normalized_md5=True,
+    ).select("doc_id", "fingerprint")
 
 
 @q(
@@ -1239,13 +1242,14 @@ MINHASH_ORACLE_RECIPE = dict(
 
 @q(
     "dedup_minhash_candidates",
-    "WITH w AS (SELECT doc_id, regexp_split_to_array(trim("
-    "regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+') AS toks "
-    "FROM documents), "
+    "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), "
+    "'\\s+'), w -> w <> '') AS toks FROM documents), "
     "ws AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
     "list_transform(range(1, len(toks) - 1), i -> "
     "array_to_string(toks[i:i+2], ' ')) "
-    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w) "
+    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w "
+    "WHERE len(toks) > 0) "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
     "len(list_distinct(a.ws || b.ws)), 4) AS jaccard "
@@ -1278,11 +1282,12 @@ def dedup_minhash_candidates(spark, sf_dir):
     "dedup_simhash_pairs",
     "WITH m AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000, text FROM documents), "
-    "t AS (SELECT doc_id, list_sort(regexp_split_to_array(trim("
-    "regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')) AS toks "
-    "FROM m) "
+    "t AS (SELECT doc_id, list_sort(list_filter(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), "
+    "'\\s+'), w -> w <> '')) AS toks FROM m) "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming "
-    "FROM t a JOIN t b ON a.toks = b.toks AND a.doc_id < b.doc_id",
+    "FROM t a JOIN t b ON a.toks = b.toks AND a.doc_id < b.doc_id "
+    "AND len(a.toks) > 0",
     doc="SimHash near-dup pairs with pigeonhole chunk blocking (hamming ≤ 8 "
     "→ 9 chunks; any qualifying pair agrees exactly on ≥1 chunk, so "
     "candidates come from equi-joins, never a cross join). Derived oracle: "
@@ -1303,20 +1308,21 @@ def dedup_simhash_pairs(spark, sf_dir):
     mirrored = docs.union(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    cand = simhash_near_dups(mirrored, "text", "doc_id", max_hamming=8)
+    # max_bucket_size=None: the oracle computes the exact token-equality
+    # pair set, so the entry runs the uncapped semantics (the capped
+    # production default is exercised in tests, mirroring the MinHash
+    # oracle-vs-default split)
+    cand = simhash_near_dups(
+        mirrored, "text", "doc_id", max_hamming=8, max_bucket_size=None
+    )
     # verification joins carry a 64-bit hash of the sorted token array, not
     # the array itself (equality is preserved modulo ~2^-64 xxhash64
     # collisions — the same trade ngram_jaccard_pairs documents for shingle
     # sets), so the two candidate joins shuffle longs instead of full token
-    # arrays.
-    tok_hash = F.xxhash64(
-        F.sort_array(
-            F.split(
-                F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\w\s]+", " ")),
-                r"\s+",
-            )
-        )
-    )
+    # arrays. _words is the operators' shared Unicode tokenizer.
+    from syncmaven_spark.operators.dedup import _words
+
+    tok_hash = F.xxhash64(F.sort_array(_words(F.col("text"))))
     with_toks = mirrored.select("doc_id", tok_hash.alias("_th"))
     a = with_toks.select(F.col("doc_id").alias("id_a"), F.col("_th").alias("_ha"))
     b = with_toks.select(F.col("doc_id").alias("id_b"), F.col("_th").alias("_hb"))
@@ -1329,17 +1335,17 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 @q(
     "dedup_ngram_jaccard",
+    "WITH ws AS (SELECT doc_id, lang, source, "
+    "list_distinct(list_filter(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), "
+    "'\\s+'), w -> w <> '')) AS ws FROM documents) "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
-    "len(list_distinct(a.ws || b.ws)), 4) AS jaccard FROM "
-    "(SELECT doc_id, lang, source, list_distinct(regexp_split_to_array(trim("
-    "regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')) AS ws "
-    "FROM documents) a JOIN "
-    "(SELECT doc_id, lang, source, list_distinct(regexp_split_to_array(trim("
-    "regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')) AS ws "
-    "FROM documents) b ON a.lang = b.lang AND a.source = b.source "
+    "len(list_distinct(a.ws || b.ws)), 4) AS jaccard "
+    "FROM ws a JOIN ws b ON a.lang = b.lang AND a.source = b.source "
     "AND a.doc_id < b.doc_id "
-    "WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "WHERE len(a.ws) > 0 AND len(b.ws) > 0 "
+    "AND round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
     "len(list_distinct(a.ws || b.ws)), 4) >= 0.5",
     doc="Exact word-set Jaccard ≥ 0.5 within (lang, source) blocks — "
     "verification stage for LSH candidates; blocking bounds pair count.",
@@ -1551,23 +1557,27 @@ def text_lang_id(spark, sf_dir):
 
 @q(
     "text_quality_full",
-    "SELECT doc_id, "
-    "len(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')) AS q_n_words, "
+    "WITH w AS (SELECT doc_id, text, len(list_filter("
+    "regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), '\\s+'), w -> w <> '')) AS n "
+    "FROM documents) "
+    "SELECT doc_id, n AS q_n_words, "
     "round(length(regexp_replace(text, '\\s', '', 'g')) / "
-    "greatest(len(regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]+', ' ', 'g')), '\\s+')), 1), 4) AS q_mean_word_len, "
+    "greatest(n, 1), 4) AS q_mean_word_len, "
     "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / "
     "CAST(greatest(length(text), 1) AS DOUBLE), 4) AS q_alpha_ratio "
-    "FROM documents",
+    "FROM w",
     doc="Quality-feature extraction (word stats + alpha ratio) verified "
     "against the SQL oracle; the composite score adds saturating sub-scores "
     "on top (operators/text.py).",
     tags=("text", "quality"),
 )
 def text_quality_full(spark, sf_dir):
+    from syncmaven_spark.operators.dedup import _words
+
     t = _t(spark, sf_dir)
     text = F.col("text")
-    words = F.split(F.trim(F.regexp_replace(F.lower(text), r"[^\w\s]+", " ")), r"\s+")
-    n_words = F.size(words)
+    n_words = F.size(_words(text))
     return t["documents"].select(
         "doc_id",
         n_words.alias("q_n_words"),
@@ -1585,9 +1595,9 @@ def text_quality_full(spark, sf_dir):
 
 @q(
     "text_rolling_fingerprint",
-    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim("
-    "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), '\\s+') AS toks "
-    "FROM documents) "
+    "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), "
+    "'\\s+'), w -> w <> '') AS toks FROM documents) "
     "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
     "toks <> list_sort(toks) AS order_sensitive FROM t",
     doc="Order-sensitive polynomial rolling hash over normalized words "
@@ -1602,11 +1612,11 @@ def text_quality_full(spark, sf_dir):
 )
 def text_rolling_fingerprint(spark, sf_dir):
     from syncmaven_spark.operators import document_fingerprint
+    from syncmaven_spark.operators.dedup import _words
 
     t = _t(spark, sf_dir)
     docs = t["documents"]
-    normalized = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
-    words = F.split(F.trim(normalized), r"\s+")
+    words = _words(F.col("text"))
     sorted_text = F.concat_ws(" ", F.sort_array(words))
     base = docs.select(
         "doc_id",
@@ -2420,12 +2430,14 @@ def rel_tumbling_window(spark, sf_dir):
 @q(
     "dedup_cluster_pipeline",
     "WITH RECURSIVE w AS MATERIALIZED (SELECT doc_id, "
-    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^\\w\\s]+', "
-    "' ', 'g')), '\\s+') AS toks FROM documents), "
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), '\\s+'), w -> w <> '') AS toks "
+    "FROM documents), "
     "ws AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN "
     "len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> "
     "array_to_string(toks[i:i+2], ' ')) "
-    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w), "
+    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w "
+    "WHERE len(toks) > 0), "
     "pairs AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib "
     "FROM ws a JOIN ws b ON a.doc_id < b.doc_id "
     "WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "

@@ -182,8 +182,13 @@ def test_capped_lsh_loses_pairs_only_past_the_cap(spark):
 
 
 def test_minhash_empty_and_short_docs(spark):
+    """Shorter-than-k docs fall back to the whole-text shingle; EMPTY (and
+    NULL / punctuation-only) docs get NO signature at all — they used to
+    shingle to [''] and pair with every other empty-ish doc as jaccard 1.0
+    (round-5 max review)."""
     df = spark.createDataFrame(
-        [(1, "short"), (2, ""), (3, "one two")], ["doc_id", "text"]
+        [(1, "short"), (2, ""), (3, "one two"), (4, None), (5, "?!...")],
+        ["doc_id", "text"],
     )
     sig = minhash_signatures(df, "text", "doc_id", num_perm=8)
-    assert sig.count() == 3  # shorter-than-k docs fall back to whole-text shingle
+    assert {r["doc_id"] for r in sig.select("doc_id").collect()} == {1, 3}

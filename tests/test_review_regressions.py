@@ -1382,3 +1382,176 @@ def test_halt_clamp_then_resume_delivers_everything(spark, tmp_path):
     # re-run from the clamped cursor: ALL rows delivered, no gaps
     assert sorted(dest.delivered) == [0, 1, 2, 3, 4, 5, 6]
     assert r2.stats.success == 7
+
+
+def test_non_latin_corpus_is_not_collapsed_by_dedup(spark):
+    """Round-5 max review (worst finding): the ASCII-only \\w tokenizer
+    deleted every CJK/Cyrillic character, so ALL such docs shingled to ['']
+    and were reported as mutual jaccard-1.0 duplicates — running the
+    production dedup recipe on a Chinese corpus deleted it down to one row.
+    Distinct non-Latin docs must NOT pair; identical ones still must."""
+    from syncmaven_spark.operators.dedup import (
+        minhash_verified_pairs,
+        simhash,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "今天天气很好 我们去公园 散步吧 好不好 朋友们"),
+            (2, "完全不同的文本 讲的是机器学习 和分布式系统 的设计"),
+            (3, "привет мир это совершенно другой текст на русском"),
+            (4, "今天天气很好 我们去公园 散步吧 好不好 朋友们"),  # copy of 1
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_verified_pairs(
+            df, "text", "doc_id", threshold=0.8, max_bucket_size=None
+        ).collect()
+    }
+    assert pairs == {(1, 4)}, pairs
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[4]
+    assert len({sigs[1], sigs[2], sigs[3]}) == 3  # distinct docs, distinct sigs
+
+
+def test_null_and_empty_text_never_pair(spark):
+    """Round-5 max review: NULL text became the shingle [''] for k>=2, so
+    NULL-text docs (failed extractions) paired with each other and with
+    empty docs at jaccard 1.0."""
+    from syncmaven_spark.operators.dedup import (
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, None, "en"), (3, "", "en"), (4, "?! ...", "en"),
+         (5, "real words here", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    assert minhash_verified_pairs(df, "text", "doc_id", threshold=0.8).count() == 0
+    assert ngram_jaccard_pairs(
+        df, "text", "doc_id", ["lang"], threshold=0.5, shingle_k=1
+    ).count() == 0
+    assert simhash_near_dups(df, "text", "doc_id", max_hamming=8).count() == 0
+
+
+def test_exact_dedup_keeps_all_null_id_groups(spark):
+    """Round-5 max review: min(id) skips NULLs and the join-back never
+    matches one, so a content group whose ids were all NULL silently
+    vanished — unique content lost with no error."""
+    from syncmaven_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, "unique content"), (7, "other content"), (9, "other content"),
+         (None, "more unique")],
+        "id long, text string",
+    )
+    out = {r["text"]: (r["id"], r["is_duplicate_group"])
+           for r in exact_dedup(df, ["text"], "id").collect()}
+    assert out["unique content"] == (None, False)
+    assert out["more unique"] == (None, False)
+    assert out["other content"] == (7, True)  # lowest non-null id kept
+
+
+def test_simhash_bucket_cap_bounds_degenerate_buckets(spark):
+    """Round-5 max review: identical-signature clusters drove an uncapped
+    O(b^2) candidate join per chunk; the default cap bounds it the same way
+    minhash_lsh_candidates' cap does (None restores exact semantics)."""
+    from syncmaven_spark.operators.dedup import simhash_near_dups
+
+    n, cap = 12, 5
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    capped = simhash_near_dups(
+        df, "text", "doc_id", max_hamming=3, max_bucket_size=cap
+    ).collect()
+    assert len(capped) == cap * (cap - 1) // 2
+    full = simhash_near_dups(
+        df, "text", "doc_id", max_hamming=3, max_bucket_size=None
+    ).collect()
+    assert len(full) == n * (n - 1) // 2
+
+
+def test_nan_embeddings_never_rank_or_pair(spark):
+    """Round-5 max review: a NaN element made cos_sim NaN, which Spark
+    orders above every double and passes >= threshold — NaN vectors ranked
+    #1 for every query (evicting true neighbors) and emitted false LSH
+    pairs while the exact kernel excluded them. Non-finite vectors are now
+    filtered like nulls at every entry point."""
+    from syncmaven_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_pairs_lsh,
+        cosine_topk_bruteforce,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+         (3, [nan, 1.0, 0.0]), (4, [inf, 2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    top = cosine_topk_bruteforce(corpus, corpus.filter("vec_id = 1"), k=2).collect()
+    assert [r["n_id"] for r in top] == [2], top  # only the finite neighbor
+    lsh = cosine_pairs_lsh(corpus, threshold=0.9, n_planes=2, n_tables=4).collect()
+    exact = cosine_pairs_exact(corpus, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= {(1, 2)}  # never a NaN pair
+
+
+def test_exact_pairs_null_id_does_not_crash(spark):
+    """Round-5 max review: a NULL id reached the numpy kernel as an
+    object-dtype array and None > int raised TypeError, killing the job."""
+    from syncmaven_spark.operators.similarity import cosine_pairs_exact
+
+    corpus = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.99, 0.05])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = cosine_pairs_exact(corpus, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_exact_pairs_slab_kernel_matches_unslabbed(spark):
+    """The slabbed matmul (bounded transient memory) must produce the exact
+    same pair set as one big matmul would — verified against brute force
+    over a corpus larger than a tiny slab."""
+    import numpy as np
+
+    from syncmaven_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(300)]
+    # plant near-dups
+    rows += [(1000 + i, rows[i][1]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs_exact(df, threshold=0.999).collect()
+    }
+    assert got == {(i, 1000 + i) for i in range(5)}
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """Round-5 max review: b identical-signature vectors (zero-filled
+    failed encodes) shared every table's bucket — an uncapped O(b^2)
+    candidate join whose pairs verification then discarded."""
+    from syncmaven_spark.operators.similarity import cosine_pairs_lsh
+
+    n, cap = 20, 6
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    capped = cosine_pairs_lsh(
+        df, threshold=0.9, n_planes=2, n_tables=2, max_bucket_size=cap
+    ).collect()
+    assert len(capped) == cap * (cap - 1) // 2
+    full = cosine_pairs_lsh(
+        df, threshold=0.9, n_planes=2, n_tables=2, max_bucket_size=None
+    ).collect()
+    assert len(full) == n * (n - 1) // 2
