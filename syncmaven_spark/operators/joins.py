@@ -28,6 +28,30 @@ from __future__ import annotations
 from typing import Literal
 
 from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
+
+
+def _droppable_right(df: DataFrame, by: str, on: str) -> DataFrame:
+    """Right rows that can never be an as-of match are dropped up front:
+    NULL key / NULL ts (SQL ASOF: both predicates unknown) and — for
+    float/double ``on`` — NaN ts, which pd.merge_asof rejects outright
+    ('Merge keys contain null values') and which Spark's NaN-greatest
+    ordering would otherwise treat as newer than every real timestamp."""
+    cond = F.col(by).isNotNull() & F.col(on).isNotNull()
+    if isinstance(df.schema[on].dataType, (T.DoubleType, T.FloatType)):
+        cond = cond & ~F.isnan(F.col(on))
+    return df.filter(cond)
+
+
+def _orderable(dt) -> bool:
+    """Spark can ORDER BY any type except maps (at any nesting depth)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
 
 
 def asof_join(
@@ -61,6 +85,15 @@ def asof_join(
             c for c in right.columns if c not in (on, by)
         ]
 
+    # Left rows with a NULL key or NULL ts can never match — BYPASS them
+    # around the shuffle entirely instead of letting the window hash every
+    # null-keyed row into ONE partition (30% null user_ids would otherwise
+    # pile one straggler task; round-5 max review). They rejoin the result
+    # with NULL right columns below.
+    bypass_cond = F.col(by).isNull() | F.col(on).isNull()
+    l_pass = left.filter(bypass_cond)
+    l_main = left.filter(~bypass_cond)
+
     # The matched right row is carried as ONE struct so all its columns come
     # from the same row — carrying columns independently with
     # last(ignorenulls) would backfill a matched row's NULL column with a
@@ -69,20 +102,17 @@ def asof_join(
     r_struct = F.struct(
         F.col(on).alias("_ts"), *[F.col(c) for c in right_value_cols]
     )
-    l_tag = left.select(
+    l_tag = l_main.select(
         F.col(by), F.col(on), F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
         F.lit(None).cast(
             right.select(r_struct.alias("_r")).schema["_r"].dataType
         ).alias("_r"),
     )
-    # SQL NULL semantics: null-keyed or null-ts right rows can never be the
-    # match of any left row (NULL = NULL and r.on <= l.on are both unknown);
-    # without this filter the window's partitionBy would group NULL keys
-    # together and "match" them, diverging from the ASOF oracle.
-    r_tag = right.filter(
-        F.col(by).isNotNull() & F.col(on).isNotNull()
-    ).select(
+    # SQL NULL semantics: null-keyed / null-ts (and NaN-ts, for numeric
+    # `on`) right rows can never be the match of any left row — dropped
+    # before the union (see _droppable_right).
+    r_tag = _droppable_right(right, by, on).select(
         F.col(by), F.col(on), F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
         r_struct.alias("_r"),
@@ -91,14 +121,20 @@ def asof_join(
 
     # right rows sort before left rows at equal ts → "at-or-before" includes
     # exact-timestamp matches
-    # the trailing _r orders struct-wise (field by field): when the right
-    # side has several rows at the same (by, on) value, the carried match
-    # is the struct-max of them — DETERMINISTIC across runs and task
-    # retries, where plain (on, _side) ordering picked whichever row the
-    # partition's physical order put last
+    # the trailing tie-break: when the right side has several rows at the
+    # same (by, on) value, the carried match is the struct-max of them —
+    # DETERMINISTIC across runs and task retries, where plain (on, _side)
+    # ordering picked whichever row the partition's physical order put
+    # last. Structs containing a MAP are not orderable in Spark, so those
+    # fall back to an xxhash64-of-JSON tie-break — still deterministic,
+    # just not "max" (previously: AnalysisException for any map value col).
+    if _orderable(l_tag.schema["_r"].dataType):
+        tie = F.col("_r").asc()
+    else:
+        tie = F.xxhash64(F.to_json(F.col("_r"))).asc()
     w = (
         W.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_r").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), tie)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
@@ -113,10 +149,18 @@ def asof_join(
         ) <= F.lit(tolerance_seconds)
         match_col = F.when(in_tol, F.col("_c"))
 
-    return matched.select(
+    result = matched.select(
         *[F.col("_l")[c].alias(c) for c in left.columns],
         *[match_col[c].alias(f"right_{c}") for c in right_value_cols],
     )
+    passthrough = l_pass.select(
+        *left.columns,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"right_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return result.unionByName(passthrough)
 
 
 def asof_join_grouped(
@@ -133,14 +177,29 @@ def asof_join_grouped(
     applyInPandas contract). Supports merge_asof's full direction set.
 
     NULL semantics match :func:`asof_join` (and SQL ASOF): null-keyed or
-    null-ts right rows are dropped up front; null-ts left rows pass through
-    unmatched (``pd.merge_asof`` rejects null merge keys, so they are split
-    out before the merge).
-    """
-    import pandas as pd
-    from pyspark.sql import types as T
+    null-ts (and NaN-ts, for numeric ``on``) right rows are dropped up
+    front; null-keyed/null-ts left rows bypass the shuffle and pass through
+    unmatched.
 
-    right = right.filter(F.col(by).isNotNull() & F.col(on).isNotNull())
+    DOCUMENTED DIVERGENCE for a NaN LEFT ``on`` value (double columns
+    only): Arrow hands Spark NULL and Spark NaN to pandas as the same NaN,
+    so this variant must treat them alike (unmatched); :func:`asof_join`
+    — where the two are distinguishable — follows Spark's NaN-greatest
+    comparison and matches a NaN-ts left row to the newest right row.
+
+    The match is carried by ROW INDEX, not by merging the value columns:
+    ``pd.merge_asof`` fills unmatched rows with NaN, which (a) is not NULL
+    (``isNull()`` false, aggregates poisoned) and (b) upcasts int64 value
+    columns to float64, silently corrupting ids above 2^53 (round-5 max
+    review). Indexed lookup returns the original-dtype values exactly and
+    true NULLs for unmatched rows; ties on ``on`` sort by the value columns
+    (stable mergesort) so the winner matches asof_join's struct-max and is
+    deterministic across task retries.
+    """
+    import numpy as np
+    import pandas as pd
+
+    right = _droppable_right(right, by, on)
 
     right_value_cols = [c for c in right.columns if c not in (on, by)]
     out_schema = T.StructType(
@@ -150,21 +209,36 @@ def asof_join_grouped(
     )
     left_cols = list(left.columns)
 
+    # bypass null-keyed/null-ts left rows around the shuffle (same skew
+    # rationale as asof_join); in-pandas isna split below still guards the
+    # NaN-double case the Spark-side filter cannot see
+    bypass_cond = F.col(by).isNull() | F.col(on).isNull()
+    l_pass = left.filter(bypass_cond)
+    l_main = left.filter(~bypass_cond)
+
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        # null-ts left rows can never match (r.on <= NULL is unknown) and
-        # merge_asof rejects null merge keys — split them out, re-append
-        # with NULL right columns at the end
+        # NaN-ts left rows (double `on`; Spark NULL is indistinguishable
+        # from NaN here) can never match — split out, re-append unmatched
         null_mask = l_pdf[on].isna()
         l_null = l_pdf[null_mask]
-        l_sorted = l_pdf[~null_mask].sort_values(on)
-        r_sorted = r_pdf.sort_values(on)[[on, *right_value_cols]].rename(
-            columns={c: f"right_{c}" for c in right_value_cols}
-        )
+        l_sorted = l_pdf[~null_mask].sort_values(on, kind="mergesort")
+        try:
+            # deterministic tie order among equal `on`: backward merge_asof
+            # picks the LAST row <= key, so ascending value order makes the
+            # max win — matching asof_join's struct-max tie-break
+            r_sorted = r_pdf.sort_values(
+                [on, *right_value_cols], kind="mergesort"
+            )
+        except TypeError:
+            # unorderable value columns (dict/map): stable sort on `on`
+            # alone — best-effort determinism
+            r_sorted = r_pdf.sort_values(on, kind="mergesort")
+        r_sorted = r_sorted.reset_index(drop=True)
         if r_sorted.empty or l_sorted.empty:
             out = pd.concat([l_sorted, l_null])
             for c in right_value_cols:
                 out[f"right_{c}"] = None
-            return out
+            return out[[*left_cols, *[f"right_{c}" for c in right_value_cols]]]
         kwargs = {}
         if tolerance_seconds is not None:
             # merge_asof needs the tolerance in the `on` column's own
@@ -175,9 +249,24 @@ def asof_join_grouped(
                 kwargs["tolerance"] = pd.Timedelta(seconds=tolerance_seconds)
             else:
                 kwargs["tolerance"] = tolerance_seconds
+        r_keys = r_sorted[[on]].copy()
+        r_keys["_ridx"] = np.arange(len(r_sorted), dtype="int64")
         merged = pd.merge_asof(
-            l_sorted, r_sorted, on=on, direction=direction, **kwargs
+            l_sorted, r_keys, on=on, direction=direction, **kwargs
         )
+        ridx = merged["_ridx"]
+        for c in right_value_cols:
+            vals = r_sorted[c]
+            # dtype="object" is load-bearing: a plain list assignment of
+            # [None, np.int64] coerces the column to float64 (None → NaN),
+            # recreating both the NaN-not-NULL and the 2^53 precision bugs
+            # this indexed lookup exists to fix; Arrow converts the object
+            # column back to the declared type exactly, with true nulls
+            merged[f"right_{c}"] = pd.Series(
+                [None if pd.isna(ix) else vals.iloc[int(ix)] for ix in ridx],
+                index=merged.index,
+                dtype="object",
+            )
         if not l_null.empty:
             tail = l_null.copy()
             for c in right_value_cols:
@@ -185,11 +274,19 @@ def asof_join_grouped(
             merged = pd.concat([merged, tail])
         return merged[[*left_cols, *[f"right_{c}" for c in right_value_cols]]]
 
-    return (
-        left.groupBy(by)
+    result = (
+        l_main.groupBy(by)
         .cogroup(right.groupBy(by))
         .applyInPandas(lambda lp, rp: merge(lp, rp), out_schema)
     )
+    passthrough = l_pass.select(
+        *left.columns,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"right_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return result.unionByName(passthrough)
 
 
 def range_join(
@@ -200,6 +297,7 @@ def range_join(
     right_hi: str,
     bucket_size: float,
     extra_key: str | None = None,
+    max_buckets_per_interval: int = 1_000_000,
 ) -> DataFrame:
     """Band/range join: left rows matched to right rows whose
     ``[right_lo, right_hi]`` interval contains ``left_value``.
@@ -209,15 +307,39 @@ def range_join(
     plus the exact residual predicate. Pick ``bucket_size`` near the median
     interval width: each interval then lands in O(1) buckets and each bucket
     holds O(1) intervals.
+
+    ``max_buckets_per_interval`` fails FAST (clear error, evaluated inside
+    the explode expression) when a single interval would explode past the
+    bound — one open-ended sentinel interval (``hi = 1e12``) would
+    otherwise materialize a ~1e12-element sequence and kill the job with
+    an opaque array-size error (round-5 max review). Raise the bound
+    deliberately if intervals that wide are genuinely intended.
     """
     lb = F.floor(F.col(left_value) / bucket_size).cast("long")
     left_b = left.withColumn("_bucket", lb)
 
-    buckets = F.sequence(
-        F.floor(F.col(right_lo) / bucket_size).cast("long"),
-        F.floor(F.col(right_hi) / bucket_size).cast("long"),
-    )
-    right_b = right.withColumn("_bucket", F.explode(buckets))
+    lo_b = F.floor(F.col(right_lo) / bucket_size).cast("long")
+    hi_b = F.floor(F.col(right_hi) / bucket_size).cast("long")
+    guarded_lo = F.when(
+        hi_b - lo_b >= F.lit(int(max_buckets_per_interval)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join: interval spans more than "
+                    f"{max_buckets_per_interval} buckets at bucket_size="
+                    f"{bucket_size} (lo="
+                ),
+                F.col(right_lo).cast("string"),
+                F.lit(", hi="),
+                F.col(right_hi).cast("string"),
+                F.lit(
+                    "); widen bucket_size, clean the interval, or raise "
+                    "max_buckets_per_interval"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(lo_b)
+    right_b = right.withColumn("_bucket", F.explode(F.sequence(guarded_lo, hi_b)))
 
     join_keys = ["_bucket"] + ([extra_key] if extra_key else [])
     residual = (F.col(left_value) >= F.col(right_lo)) & (

@@ -361,9 +361,24 @@ def extract_features(
         for pdf in batches:
             feats, oks = [], []
             for blob in pdf[content_col]:
+                if blob is None:
+                    # NULL content is a data condition, not a decoder bug —
+                    # handled before the call so the programming-error
+                    # re-raise below can't misfire on it
+                    feats.append(None)
+                    oks.append(False)
+                    continue
                 try:
                     feats.append([float(x) for x in decode(blob, feature_dim)])
                     oks.append(True)
+                except (TypeError, NameError, AttributeError):
+                    # PROGRAMMING errors (wrong decoder arity, bad import)
+                    # must surface, not convert a systematically broken
+                    # decoder into a "successful" run of 100% decode_ok=
+                    # False rows (round-5 max review). Decoders signal
+                    # malformed INPUT with ValueError/struct.error/
+                    # zlib.error etc., which stay per-row tolerant below.
+                    raise
                 except Exception:
                     feats.append(None)
                     oks.append(False)
@@ -447,6 +462,10 @@ def sample_video_frames(
     metadata; a real ``sampler(blob, every_ms) -> [frame_bytes]`` slots in
     unchanged.
     """
+    if every_ms <= 0:
+        # fail on the driver with the misuse, not with a ZeroDivisionError
+        # buried in an executor traceback after shuffle work
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     in_fields = [f for f in df.schema.fields]
     out_schema = T.StructType(
         [*in_fields,

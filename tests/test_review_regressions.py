@@ -1555,3 +1555,132 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
         df, threshold=0.9, n_planes=2, n_tables=2, max_bucket_size=None
     ).collect()
     assert len(full) == n * (n - 1) // 2
+
+
+def test_asof_variants_agree_on_nan_right_ts_and_long_precision(spark):
+    """Round-5 max review (joins): a NaN right `on` crashed the grouped
+    variant inside pd.merge_asof; and merge_asof's NaN-fill upcast int64
+    value columns to float64, corrupting ids above 2^53 whenever the group
+    had any unmatched left row. Both variants must agree and keep exact
+    longs."""
+    from syncmaven_spark.operators.joins import asof_join, asof_join_grouped
+
+    big = 9007199254740993  # 2^53 + 1: not representable as float64
+    left = spark.createDataFrame(
+        [("u", 0.5), ("u", 2.0)], "k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("u", float("nan"), 1), ("u", 1.0, big)],
+        "k string, ts double, event_id long",
+    )
+    for fn in (asof_join, asof_join_grouped):
+        rows = {r["ts"]: r["right_event_id"]
+                for r in fn(left, right, on="ts", by="k").collect()}
+        assert rows[0.5] is None, fn.__name__   # nothing precedes 0.5
+        assert rows[2.0] == big, fn.__name__    # exact long, not 2^53
+
+
+def test_asof_grouped_unmatched_floats_are_null_not_nan(spark):
+    """Round-5 max review: unmatched rows came back as NaN (isNull false,
+    aggregates poisoned) in float right columns instead of true NULL."""
+    from pyspark.sql import functions as F
+
+    from syncmaven_spark.operators.joins import asof_join_grouped
+
+    left = spark.createDataFrame(
+        [("u", 1.0), ("u", 5.0)], "k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("u", 3.0, 7.5)], "k string, ts double, v double"
+    )
+    out = asof_join_grouped(left, right, on="ts", by="k")
+    unmatched = out.filter(F.col("ts") == 1.0).first()
+    assert unmatched["right_v"] is None
+    assert out.filter(F.col("right_v").isNull()).count() == 1
+
+
+def test_asof_grouped_tied_right_ts_deterministic(spark):
+    """Round-5 max review: tied right timestamps resolved by shuffle order
+    (unstable quicksort) — a task retry could emit a different match. Both
+    variants must pick the same (max-value) winner, repeatably."""
+    from syncmaven_spark.operators.joins import asof_join, asof_join_grouped
+
+    left = spark.createDataFrame([("u", 10.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 10.0, "a"), ("u", 10.0, "b"), ("u", 10.0, "c")],
+        "k string, ts double, tag string",
+    ).repartition(8)
+    expected = asof_join(left, right, on="ts", by="k").first()["right_tag"]
+    for _ in range(3):
+        got = asof_join_grouped(left, right, on="ts", by="k").first()["right_tag"]
+        assert got == expected == "c"
+
+
+def test_asof_join_supports_map_value_columns(spark):
+    """Round-5 max review: the determinism tie-break ordered by the full
+    right struct, so any map value column failed analysis
+    (INVALID_ORDERING_TYPE); maps now fall back to a hashed tie-break."""
+    from syncmaven_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("u", 5.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 1.0, {"plan": "pro"})],
+        "k string, ts double, props map<string,string>",
+    )
+    row = asof_join(left, right, on="ts", by="k").first()
+    assert row["right_props"] == {"plan": "pro"}
+
+
+def test_range_join_rejects_pathological_interval(spark):
+    """Round-5 max review: one open-ended interval (hi=1e12) exploded into
+    a ~1e12-element sequence and killed the job with an opaque error; the
+    guard now fails fast with the offending bounds in the message."""
+    from syncmaven_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(5.0,)], "v double")
+    right = spark.createDataFrame(
+        [(0.0, 1.0e12, "open-ended")], "lo double, hi double, band string"
+    )
+    ok = range_join(
+        left, right, "v", "lo", "hi", bucket_size=1.0,
+        max_buckets_per_interval=10_000_000_000_000,
+    )
+    # with a big-enough bound the guard is inert (plan-level sanity only)
+    assert "band" in ok.columns
+    with pytest.raises(Exception, match="range_join: interval spans"):
+        range_join(
+            left, right, "v", "lo", "hi", bucket_size=1.0
+        ).collect()
+
+
+def test_extract_features_surfaces_broken_decoder(spark):
+    """Round-5 max review: a systematically broken custom decoder (wrong
+    arity) was swallowed per-row into decode_ok=False — a '100% successful'
+    run with zero features. Programming errors now surface; NULL blobs and
+    malformed bytes stay per-row tolerant."""
+    from syncmaven_spark.operators.multimodal import extract_features
+
+    # a TRUNCATED PNG (real-codec path) — unrecognized formats fall back
+    # to the deterministic fake decode and would count as decode_ok=True
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n garbage")), (2, None)],
+        "id long, content binary",
+    )
+    # malformed + NULL blobs: tolerated per row
+    ok = extract_features(df, feature_dim=4).collect()
+    assert [r["decode_ok"] for r in sorted(ok, key=lambda r: r["id"])] == [
+        False, False,
+    ]
+    # wrong-arity decoder: surfaces instead of silently nulling everything
+    with pytest.raises(Exception, match="TypeError|positional"):
+        extract_features(
+            df, feature_dim=4, decoder=lambda blob: [0.0]
+        ).collect()
+
+
+def test_sample_video_frames_rejects_nonpositive_interval(spark):
+    from syncmaven_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame([(1, b"x")], "id long, content binary")
+    with pytest.raises(ValueError, match="every_ms"):
+        sample_video_frames(df, every_ms=0)
