@@ -29,6 +29,23 @@ DEFAULT_BANDS = 16
 from syncmaven_spark.operators.cache import persist_scoped as _persist_scoped
 
 
+def check_bucket_cap(max_bucket_size: int | None) -> int | None:
+    """Validate a per-bucket candidate cap. ``None`` means uncapped; any
+    integer must be >= 1. Guarding here (shared by the MinHash, SimHash and
+    sign-LSH operators) closes the truthiness hole where ``0`` silently
+    DISABLED the cap — the opposite of the plausible reading (round-5
+    advice)."""
+    if max_bucket_size is None:
+        return None
+    cap = int(max_bucket_size)
+    if cap < 1:
+        raise ValueError(
+            f"max_bucket_size must be >= 1 or None to disable the cap; "
+            f"got {max_bucket_size!r}"
+        )
+    return cap
+
+
 # Unicode word characters. Java's bare \w is ASCII-only, which DELETED every
 # CJK/Cyrillic/Greek character during normalization — all such documents
 # collapsed to the single shingle [''] and were reported as mutual
@@ -169,6 +186,7 @@ def minhash_lsh_candidates(
     candidate — round-5 review).
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
+    max_bucket_size = check_bucket_cap(max_bucket_size)
     rows_per_band = num_perm // bands
     # persist the O(n) signature table so the shingle explode+agg lineage is
     # computed once, not once per side of the bucket self-join
@@ -200,7 +218,7 @@ def minhash_lsh_candidates(
     ).select(id_col, "b.band_id", "b.band_hash")
 
     # cap degenerate buckets before the pair join
-    if max_bucket_size:
+    if max_bucket_size is not None:
         w_bucket = F.row_number().over(
             W.partitionBy("band_id", "band_hash").orderBy(id_col)
         )
@@ -429,6 +447,7 @@ def simhash_near_dups(
     beyond the cap can still pair through their other ``max_hamming`` chunks);
     pass ``None`` for the exact uncapped semantics (oracle/verification use).
     """
+    max_bucket_size = check_bucket_cap(max_bucket_size)
     n_chunks = max_hamming + 1
     base, extra = divmod(64, n_chunks)
     widths = [base + 1] * extra + [base] * (n_chunks - extra)
@@ -461,7 +480,7 @@ def simhash_near_dups(
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
 
-    if max_bucket_size:
+    if max_bucket_size is not None:
         wcap = W.partitionBy("chunk_id", "chunk_val").orderBy(id_col)
         chunks = (
             chunks.withColumn("_bn", F.row_number().over(wcap))

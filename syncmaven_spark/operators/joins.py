@@ -208,6 +208,12 @@ def asof_join_grouped(
            for c in right_value_cols]]
     )
     left_cols = list(left.columns)
+    # collision-proof right-row-index name: a left column literally named
+    # `_ridx` would make merge_asof suffix the overlap (_ridx_x/_ridx_y)
+    # and the lookup below KeyError inside the executor for every group
+    ridx = "_ridx"
+    while ridx in left_cols:
+        ridx = "_" + ridx
 
     # bypass null-keyed/null-ts left rows around the shuffle (same skew
     # rationale as asof_join); in-pandas isna split below still guards the
@@ -250,11 +256,11 @@ def asof_join_grouped(
             else:
                 kwargs["tolerance"] = tolerance_seconds
         r_keys = r_sorted[[on]].copy()
-        r_keys["_ridx"] = np.arange(len(r_sorted), dtype="int64")
+        r_keys[ridx] = np.arange(len(r_sorted), dtype="int64")
         merged = pd.merge_asof(
             l_sorted, r_keys, on=on, direction=direction, **kwargs
         )
-        ridx = merged["_ridx"]
+        ridx_vals = merged[ridx]
         for c in right_value_cols:
             vals = r_sorted[c]
             # dtype="object" is load-bearing: a plain list assignment of
@@ -263,7 +269,8 @@ def asof_join_grouped(
             # this indexed lookup exists to fix; Arrow converts the object
             # column back to the declared type exactly, with true nulls
             merged[f"right_{c}"] = pd.Series(
-                [None if pd.isna(ix) else vals.iloc[int(ix)] for ix in ridx],
+                [None if pd.isna(ix) else vals.iloc[int(ix)]
+                 for ix in ridx_vals],
                 index=merged.index,
                 dtype="object",
             )

@@ -290,7 +290,9 @@ def cosine_pairs_lsh(
     ``None`` restores exact uncapped semantics.
     """
     from syncmaven_spark.operators.cache import persist_scoped
+    from syncmaven_spark.operators.dedup import check_bucket_cap
 
+    max_bucket_size = check_bucket_cap(max_bucket_size)
     # planes need the vector dimension — read it from one non-null row
     nonnull = _usable_vectors(df, id_col, vec_col)
     first = nonnull.select(vec_col).first()
@@ -329,7 +331,7 @@ def cosine_pairs_lsh(
     melted = with_buckets.select(
         id_col, F.posexplode("_buckets").alias("table_id", "bucket")
     )
-    if max_bucket_size:
+    if max_bucket_size is not None:
         w_bucket = W.partitionBy("table_id", "bucket").orderBy(id_col)
         melted = (
             melted.withColumn("_bn", F.row_number().over(w_bucket))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from syncmaven_spark.cursor import (
+    CursorError,
     CursorTracker,
     clear_cursor,
     compare_cursor,
@@ -291,13 +292,22 @@ def run_sync(
                     # rather than silently re-opening the skip-past hole
                     unknown = True
                     break
-                if compare_cursor(c, safe) < 0:
-                    safe = c
+                try:
+                    if compare_cursor(c, safe) < 0:
+                        safe = c
+                except (TypeError, CursorError):
+                    # enrichment rewrote the cursor column to a type that
+                    # no longer compares with the tracker's max (e.g.
+                    # datetime -> ISO string): same epistemic state as a
+                    # missing cursor — keep the last checkpoint instead of
+                    # turning a graceful halt into an uncaught exception
+                    unknown = True
+                    break
             if unknown:
                 log.warning(
-                    "halt: undelivered rows do not carry cursor column %r; "
-                    "keeping the last checkpointed cursor (undelivered rows "
-                    "re-sent next run)", cursor_col,
+                    "halt: undelivered rows do not carry a usable cursor "
+                    "column %r; keeping the last checkpointed cursor "
+                    "(undelivered rows re-sent next run)", cursor_col,
                 )
             else:
                 save_cursor(store, sync.id, cursor_col, safe)

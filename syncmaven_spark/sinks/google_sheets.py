@@ -201,6 +201,14 @@ class GoogleSheetsStream(OutputStream):
         self.stats = StreamStats()
         return report
 
+    def undelivered_rows(self) -> list[dict[str, Any]]:
+        """Everything buffered since the last *successful* clear-and-rewrite
+        (``_reported`` only advances after ``write_table`` returns). Without
+        this override the base ``[]`` default would let ``halt_checkpoint``
+        advance the cursor past every buffered row if a halt ever reached
+        this fully-buffering stream (round-5 advice)."""
+        return self._rows[self._reported:]
+
 
 def _format_cell(v: Any) -> Any:
     if isinstance(v, (_dt.datetime, _dt.date)):

@@ -204,6 +204,10 @@ class MixpanelAdDataStream(OutputStream):
 
         self._batch: list[dict] = []
         self._batch_dates: list[_dt.date] = []
+        # source-shaped twins of _batch entries, for undelivered_rows():
+        # the runner's halt clamp reads the cursor column off source rows,
+        # which the $ad_spend event transform no longer carries
+        self._batch_rows: list[dict[str, Any]] = []
         self._last_processed_date: str | None = None
 
     def handle_row(self, row: dict[str, Any]) -> None:
@@ -243,6 +247,7 @@ class MixpanelAdDataStream(OutputStream):
         # NEXT successful batch — permanently marking the failed rows as
         # processed (silent loss on the following run)
         self._batch_dates.append(t)
+        self._batch_rows.append(row)
         if len(self._batch) >= self.batch_size:
             self._send_batch()
 
@@ -263,6 +268,7 @@ class MixpanelAdDataStream(OutputStream):
             return
         batch, self._batch = self._batch, []
         dates, self._batch_dates = self._batch_dates, []
+        self._batch_rows = []
         try:
             with_rate_limit_retry(self.client.import_events, batch)
         except Exception:
@@ -278,6 +284,15 @@ class MixpanelAdDataStream(OutputStream):
     def finish(self):
         self._send_batch()
         return self.stats
+
+    def undelivered_rows(self) -> list[dict[str, Any]]:
+        """Only the never-attempted pending batch. A batch whose import
+        FAILED is deliberately excluded: the reference's recovery channel
+        for failed imports is the date-range state (its dates stay
+        uncommitted, so the next run re-processes them within
+        lookbackWindow, main.go:196-218) — clamping the cursor for them too
+        would double-deliver once the date state re-covers the range."""
+        return list(self._batch_rows)
 
 
 @register("mixpanel")

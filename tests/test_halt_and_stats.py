@@ -118,3 +118,57 @@ def test_row_error_counts_failed_and_continues(spark):
     assert result.stats.failed == 1
     # the sync completed, so the cursor advanced (reference semantics)
     assert store.get(["syncId=picky1", "$lastCursor=id"])["val"] == 9
+
+
+def test_halt_clamp_survives_enrichment_retyped_cursor(spark):
+    """halt_checkpoint compares pending-row cursor values against the
+    tracker max; an enrichment that rewrites the cursor column to a
+    different type (int -> str here) made compare_cursor raise TypeError
+    and turned a graceful halt into an uncaught exception. Now it routes to
+    the keep-last-checkpoint fallback (round-5 advice)."""
+    from syncmaven_spark.enrich import Enrichment
+    from syncmaven_spark.sinks.base import BatchingOutputStream
+
+    class BufferThenHalt(BatchingOutputStream):
+        def __init__(self):
+            super().__init__(max_batch_size=4)
+            self.flushes = 0
+
+        def process_batch(self, rows):
+            self.flushes += 1
+            if self.flushes > 1:
+                raise HaltError("destination says stop")
+            self.stats.success += len(rows)
+
+    class BufferingDestination(DestinationProvider):
+        name = "buffer-halt"
+
+        def streams(self):
+            return [StreamSpec(name="s", row_type=ANY_OBJECT_SCHEMA)]
+
+        def create_output_stream(self, *a, **kw):
+            return BufferThenHalt()
+
+    class RetypeCursor(Enrichment):
+        def enrich(self, row):
+            yield {**row, "id": f"id-{row['id']:04d}"}
+
+    spark.sql("select id from range(10)").createOrReplaceTempView("halt_retype")
+    store = InMemoryStore()
+    sync = SyncDefinition(
+        id="haltretype",
+        model=ModelDefinition(
+            id="m",
+            query="select id from halt_retype where :cursor is null or id >= :cursor order by id",
+            cursor="id",
+        ),
+        destination=BufferingDestination(),
+        stream="s",
+        enrichments=[RetypeCursor()],
+    )
+    result = run_sync(spark, sync, store)  # must not raise
+    assert result.stats.failed >= 4  # the halted batch counted failed
+    # the clamp could not compare str pending cursors with the int tracker
+    # max -> keeps the last checkpointed cursor (none here: first flush
+    # succeeded but no checkpoint ran before the halt)
+    assert store.get(["syncId=haltretype", "$lastCursor=id"]) is None

@@ -1684,3 +1684,48 @@ def test_sample_video_frames_rejects_nonpositive_interval(spark):
     df = spark.createDataFrame([(1, b"x")], "id long, content binary")
     with pytest.raises(ValueError, match="every_ms"):
         sample_video_frames(df, every_ms=0)
+
+
+def test_bucket_cap_zero_rejected_not_silently_disabled(spark):
+    """Round-5 advice: ``if max_bucket_size:`` made ``0`` DISABLE the cap —
+    the opposite of the plausible reading. All three capped operators must
+    raise on non-positive caps; only None disables."""
+    import pytest as _pytest
+
+    from syncmaven_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+    from syncmaven_spark.operators.similarity import cosine_pairs_lsh
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, body string",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="max_bucket_size"):
+            minhash_lsh_candidates(docs, "body", "doc_id", max_bucket_size=bad)
+        with _pytest.raises(ValueError, match="max_bucket_size"):
+            simhash_near_dups(docs, "body", "doc_id", max_bucket_size=bad)
+        with _pytest.raises(ValueError, match="max_bucket_size"):
+            cosine_pairs_lsh(vecs, threshold=0.9, max_bucket_size=bad)
+
+
+def test_asof_grouped_left_ridx_column_survives(spark):
+    """Round-5 advice: the grouped variant's indexed lookup reserved the
+    name `_ridx`; a left DataFrame already carrying `_ridx` made
+    pd.merge_asof suffix the overlap and KeyError in every executor group."""
+    from syncmaven_spark.operators.joins import asof_join_grouped
+
+    left = spark.createDataFrame(
+        [("u", 2.0, 99)], "k string, ts double, _ridx long"
+    )
+    right = spark.createDataFrame(
+        [("u", 1.0, "hit")], "k string, ts double, tag string"
+    )
+    row = asof_join_grouped(left, right, on="ts", by="k").first()
+    assert row["_ridx"] == 99          # left column preserved verbatim
+    assert row["right_tag"] == "hit"   # match still found

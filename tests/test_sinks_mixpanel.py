@@ -179,3 +179,29 @@ def test_rate_limited_batch_retries():
     stats = out.finish()
     assert stats.success == 1 and stats.failed == 0
     assert client.calls == 2
+
+
+def test_undelivered_rows_is_pending_batch_in_source_shape():
+    """Only the never-attempted pending batch is undelivered, and it comes
+    back in SOURCE row shape (carrying the cursor column) so the runner's
+    halt clamp can read it. A failed import is excluded: its dates stay
+    uncommitted in the range state and re-process next run (round-5
+    advice)."""
+    client = FakeMixpanel()
+    store = InMemoryStore()
+    out = _open(client, store, {"batchSize": 2})
+    rows = [_row("2024-05-20", campaign=c) for c in (1, 2, 3)]
+    for r in rows:
+        out.handle_row(r)
+    # batch of 2 flushed, one row pending
+    assert len(client.batches) == 1
+    assert out.undelivered_rows() == [rows[2]]
+    out.finish()
+    assert out.undelivered_rows() == []
+
+    # failed import: not pending (date-range state is the recovery channel)
+    failing = _open(FakeMixpanel(fail=True), InMemoryStore(), {"batchSize": 2})
+    for r in rows[:2]:
+        failing.handle_row(r)
+    assert failing.undelivered_rows() == []
+    assert failing.stats.failed == 2

@@ -280,3 +280,23 @@ def test_streaming_append_through_run_sync(spark):
     assert [len(r) for _, _, r in client.appended] == [3, 1]
     all_rows = client.written[3] + [row for _, _, rs in client.appended for row in rs]
     assert sorted(r[0] for r in all_rows) == list(range(7))
+
+
+def test_buffered_stream_reports_undelivered_rows():
+    """The fully-buffering stream must expose its buffer as undelivered so
+    halt_checkpoint cannot advance the cursor past unwritten rows; after a
+    successful finish nothing is pending (round-5 advice)."""
+    client = FakeSheets()
+    out = GoogleSheetsDestination().create_output_stream(
+        "sheet", {"_client": client, "spreadsheetId": "ss1"}, "s1",
+        InMemoryStore(), options={"sheetName": "Data"},
+    )
+    r1, r2 = {"a": 1}, {"a": 2}
+    out.handle_row(r1)
+    out.handle_row(r2)
+    assert out.undelivered_rows() == [r1, r2]
+    out.finish()
+    assert out.undelivered_rows() == []
+    # the instance survives reopens; new rows are pending again
+    out.handle_row({"a": 3})
+    assert out.undelivered_rows() == [{"a": 3}]
