@@ -26,9 +26,15 @@ from syncmaven_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     cosine_topk_ivf,
 )
+from syncmaven_spark.operators.packing import (  # noqa: F401
+    mixture_weights,
+    pack_sequences,
+)
 from syncmaven_spark.operators.text import (  # noqa: F401
     document_fingerprint,
     language_id,
+    pii_redact,
     quality_features,
+    repetition_stats,
     token_count,
 )

@@ -1,0 +1,126 @@
+"""Training-batch assembly operators: sequence packing and mixture weights.
+
+These are the last-mile steps of an LLM-data pipeline — after dedup /
+quality filtering / decontamination, documents are concatenated and chunked
+into fixed-length training sequences, and corpus sources are weighted for
+the sampling mixture.
+
+Scale design:
+- ``pack_sequences`` is the GPT-style concat-and-chunk packing: documents
+  are laid head-to-tail in a deterministic order and split at fixed token
+  budgets (documents may straddle sequence boundaries — the standard
+  recipe). The layout is ONE window cumulative sum **partitioned by a shard
+  column**: each shard packs independently, so a 100-TB corpus packs as
+  thousands of parallel per-shard windows instead of one global
+  single-partition sort (the naive global ``ORDER BY`` layout). Shards are
+  the natural unit downstream anyway (one shard → one stream of training
+  sequences).
+- ``mixture_weights`` is one aggregation plus a window over the (tiny)
+  per-source table — the temperature-sampling weights used to balance
+  corpus sources (p_i^T / sum p_j^T, the multinomial-smoothing recipe from
+  the multilingual-pretraining literature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from syncmaven_spark.operators.dedup import _words
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    budget: int = 128,
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Assign each document its position in concat-and-chunk packing.
+
+    Within each shard (``shard_col``), documents are concatenated in
+    ``id_col`` order and the token stream is cut into fixed ``budget``-token
+    training sequences. Emits, per document::
+
+        n_tokens   tokens this document contributes
+        start_tok  exclusive cumulative token offset within the shard
+        first_seq  index of the training sequence its first token lands in
+        last_seq   index of the sequence its last token lands in
+        n_seqs     how many sequences it spans (boundary-straddling docs > 1)
+
+    Tokens are Unicode word tokens (``_words``) unless ``token_count_col``
+    names a precomputed count column. Zero-token documents occupy no space
+    but still get a well-defined slot (``last_seq = first_seq``) via a
+    ``greatest(n, 1)`` guard on the inclusive end offset.
+
+    Determinism: the layout depends only on (shard, id) order — stable
+    across runs, task retries, and engines, which is what makes packed
+    training data reproducible.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1; got {budget!r}")
+    if token_count_col is not None:
+        n_tokens = F.col(token_count_col).cast("long")
+    else:
+        n_tokens = F.size(_words(F.col(text_col))).cast("long")
+
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    out = df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        n_tokens.alias("n_tokens"),
+        F.coalesce(F.sum(n_tokens).over(w), F.lit(0)).cast("long").alias("start_tok"),
+    )
+    b = F.lit(int(budget)).cast("long")
+    # inclusive end offset of the doc's last token; greatest(n,1) keeps
+    # zero-token docs pinned to their own start sequence instead of
+    # underflowing to first_seq - 1
+    end_tok = F.col("start_tok") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    first_seq = F.floor(F.col("start_tok") / b).cast("long")
+    last_seq = F.floor(end_tok / b).cast("long")
+    return out.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        "start_tok",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + F.lit(1)).cast("long").alias("n_seqs"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.7,
+) -> DataFrame:
+    """Per-source corpus statistics and temperature-sampling weights.
+
+    ``raw_share`` is each source's token share; ``temp_weight`` is the
+    temperature-adjusted sampling weight ``n_i^T / sum_j n_j^T`` (T < 1
+    upweights small sources — the standard mixture-balancing recipe).
+    Output is one row per source: tiny, exact, one shuffle for the
+    aggregation and a trivial window over the aggregated table.
+    """
+    if not (0.0 < temperature <= 1.0):
+        raise ValueError(f"temperature must be in (0, 1]; got {temperature!r}")
+    per_source = df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_words(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy()
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(temperature)))
+    return per_source.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double"), 4
+        ).alias("raw_share"),
+        F.round(powed / F.sum(powed).over(w), 4).alias("temp_weight"),
+    )

@@ -139,6 +139,101 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, appended per document.
+
+    - ``n_words``: Unicode word-token count.
+    - ``dup_word_frac``: ``1 - distinct_words / total_words`` — the
+      word-level repetition fraction (high → looping/boilerplate text).
+    - ``top_bigram_frac``: fraction of word bigrams taken by the single
+      most frequent bigram (the "top n-gram fraction" family of filters
+      from the Gopher/MassiveText data-quality rules).
+
+    Entirely JVM-side array math — the bigram mode is computed with
+    higher-order functions over the per-doc token array (docs are short;
+    O(distinct × n) per row beats an explode + per-doc groupBy shuffle,
+    and the whole operator stays a zero-shuffle projection at any corpus
+    size). Empty/NULL docs score 0.0, not NULL, so downstream numeric
+    filters can't be bypassed.
+    """
+    out = df.withColumn("_rep_toks", _words(F.col(text_col)))
+    n = F.size(F.col("_rep_toks"))
+    out = out.withColumn(
+        "_rep_bigrams",
+        F.when(
+            n >= 2,
+            F.expr(
+                "transform(sequence(1, size(_rep_toks) - 1), "
+                "i -> concat(element_at(_rep_toks, i), ' ', "
+                "element_at(_rep_toks, i + 1)))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
+    )
+    n_bigrams = F.size(F.col("_rep_bigrams"))
+    top_count = F.expr(
+        "array_max(transform(array_distinct(_rep_bigrams), "
+        "d -> size(filter(_rep_bigrams, x -> x = d))))"
+    )
+    dup_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("_rep_toks")) / n.cast("double")
+    )
+    top_frac = F.when(n_bigrams == 0, F.lit(0.0)).otherwise(
+        top_count / n_bigrams.cast("double")
+    )
+    return (
+        out.withColumn("n_words", n.cast("long"))
+        .withColumn("dup_word_frac", F.round(dup_frac, 4))
+        .withColumn("top_bigram_frac", F.round(top_frac, 4))
+        .drop("_rep_toks", "_rep_bigrams")
+    )
+
+
+# PII patterns shared by the operator and its SQL oracle. Deliberately
+# conservative constructs only (char classes, bounded repeats, \b) so
+# java.util.regex (Spark) and RE2 (DuckDB/BigQuery) agree exactly — no
+# backreferences, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Count and redact PII spans (emails, NANP test phones, IPv4).
+
+    Appends ``n_pii_emails`` / ``n_pii_phones`` / ``n_pii_ipv4`` counts and
+    ``out_col`` with spans replaced by ``<EMAIL>`` / ``<PHONE>`` / ``<IP>``
+    placeholders. Replacement order is fixed (email → phone → ip) so a
+    digits-and-dots email domain can never be re-matched as an address.
+
+    All JVM-side ``regexp_extract_all`` / ``regexp_replace`` — a pure
+    projection with zero shuffles, the shape a 100-TB redaction pass needs
+    (the regex cost is the scan cost). The pattern set is the demo trio;
+    production would extend the constant list, not the operator.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("long")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return (
+        df.withColumn("n_pii_emails", _n(PII_EMAIL_RE))
+        .withColumn("n_pii_phones", _n(PII_PHONE_RE))
+        .withColumn("n_pii_ipv4", _n(PII_IPV4_RE))
+        .withColumn(out_col, redacted)
+    )
+
+
 def document_fingerprint(
     df: DataFrame,
     text_col: str = "text",

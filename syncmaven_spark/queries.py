@@ -3234,6 +3234,197 @@ def text_char_entropy(spark, sf_dir):
     )
 
 
+# Shared DuckDB fragment: the Unicode word tokenizer, kept textually in
+# sync with operators/dedup._words (lower → non-word runs to spaces →
+# split → drop empties). Any tokenizer change must update BOTH sides.
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), '\\s+'), w -> w <> '')"
+)
+
+
+@q(
+    "text_repetition_stats",
+    "WITH t AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END AS bigrams FROM t) "
+    "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+    "round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+    "1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 4) "
+    "AS dup_word_frac, "
+    "round(CASE WHEN len(bigrams) = 0 THEN 0.0 ELSE "
+    "list_max(list_transform(list_distinct(bigrams), "
+    "d -> len(list_filter(bigrams, x -> x = d)))) / "
+    "CAST(len(bigrams) AS DOUBLE) END, 4) AS top_bigram_frac "
+    "FROM b",
+    doc="Gopher/MassiveText repetition filters per document: duplicate-word "
+    "fraction and top-bigram fraction (looping/boilerplate text signals). "
+    "The bigram mode is higher-order array math over the per-doc token "
+    "array — a zero-shuffle projection that stays in whole-stage codegen "
+    "at any corpus size (no explode + per-doc groupBy).",
+    tags=("text", "quality", "repetition", "llm"),
+)
+def text_repetition_stats(spark, sf_dir):
+    from syncmaven_spark.operators.text import repetition_stats
+
+    t = _t(spark, sf_dir)
+    return repetition_stats(t["documents"]).select(
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_frac"
+    )
+
+
+_PII_TEXT_SQL = (
+    "'reach user' || c_custkey || '@corp-' || c_nationkey || "
+    "'.example via 10.0.' || (c_custkey % 200) || '.' || c_nationkey || "
+    "' or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || "
+    "' re ' || c_mktsegment"
+)
+
+
+@q(
+    "text_pii_redaction",
+    "WITH t AS (SELECT c_custkey, " + _PII_TEXT_SQL + " AS text FROM customer) "
+    "SELECT c_custkey, "
+    "CAST(len(regexp_extract_all(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_pii_emails, "
+    "CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_pii_phones, "
+    "CAST(len(regexp_extract_all(text, "
+    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_pii_ipv4, "
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\+1-555-[0-9]{4}', '<PHONE>', 'g'), "
+    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') "
+    "AS redacted FROM t",
+    doc="PII detection + redaction (emails, NANP test phones, IPv4) — the "
+    "compliance pass every training-data pipeline runs before release. "
+    "Input text is synthesized deterministically from customer rows (the "
+    "corpus carries no real PII), so the oracle exercises true regex "
+    "parity: patterns are restricted to constructs java.util.regex and "
+    "RE2 evaluate identically, and the redacted strings hash-compare "
+    "byte-for-byte. Zero-shuffle projection (operators/text.py:pii_redact).",
+    tags=("text", "pii", "regex", "llm"),
+)
+def text_pii_redaction(spark, sf_dir):
+    from syncmaven_spark.operators.text import pii_redact
+
+    t = _t(spark, sf_dir)
+    synth = t["customer"].select(
+        "c_custkey",
+        F.concat(
+            F.lit("reach user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@corp-"),
+            F.col("c_nationkey").cast("string"),
+            F.lit(".example via 10.0."),
+            (F.col("c_custkey") % 200).cast("string"),
+            F.lit("."),
+            F.col("c_nationkey").cast("string"),
+            F.lit(" or +1-555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit(" re "),
+            F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    return pii_redact(synth).select(
+        "c_custkey", "n_pii_emails", "n_pii_phones", "n_pii_ipv4", "redacted"
+    )
+
+
+@q(
+    "pack_concat_chunks",
+    "WITH t AS (SELECT doc_id, source, CAST(len(" + _TOKS_SQL + ") AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "o AS (SELECT doc_id, source, n_tokens, "
+    "CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS start_tok FROM t) "
+    "SELECT doc_id, source, n_tokens, start_tok, "
+    "CAST(start_tok // 128 AS BIGINT) AS first_seq, "
+    "CAST((start_tok + greatest(n_tokens, 1) - 1) // 128 AS BIGINT) AS last_seq, "
+    "CAST((start_tok + greatest(n_tokens, 1) - 1) // 128 - start_tok // 128 + 1 "
+    "AS BIGINT) AS n_seqs FROM o",
+    doc="GPT-style sequence packing (concat-and-chunk): documents laid "
+    "head-to-tail per shard, token stream cut into 128-token training "
+    "sequences; emits each doc's sequence span. The layout is one window "
+    "cumulative sum PARTITIONED BY the shard column — per-shard parallel "
+    "packing instead of a global single-partition sort, which is what "
+    "makes the op viable at 100 TB (operators/packing.py).",
+    tags=("packing", "window", "llm"),
+)
+def pack_concat_chunks(spark, sf_dir):
+    from syncmaven_spark.operators.packing import pack_sequences
+
+    t = _t(spark, sf_dir)
+    return pack_sequences(t["documents"], budget=128)
+
+
+@q(
+    "text_boilerplate_ngrams",
+    "WITH t AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END) "
+    "AS gram FROM t) "
+    "SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM g "
+    "GROUP BY gram HAVING count(DISTINCT doc_id) >= 5 "
+    "ORDER BY n_docs DESC, gram LIMIT 20",
+    doc="Cross-document boilerplate mining: word trigrams shared by >= 5 "
+    "distinct documents (headers/footers/templates to strip before "
+    "training). Map-side trigram expansion via slice/array_join, one "
+    "distinct-doc aggregation, deterministic top-20 with a full "
+    "tie-break. At scale the explode multiplies rows ~len x, but "
+    "partial aggregation collapses duplicates before the shuffle.",
+    tags=("text", "ngram", "boilerplate", "llm"),
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    from syncmaven_spark.operators.dedup import _words
+
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", _words(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> array_join(slice(toks, i, 3), ' '))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@q(
+    "mix_sampling_weights",
+    "WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(len(" + _TOKS_SQL + ")) AS BIGINT) AS n_tokens "
+    "FROM documents GROUP BY source) "
+    "SELECT source, n_docs, n_tokens, "
+    "round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 4) AS raw_share, "
+    "round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 4) "
+    "AS temp_weight FROM t",
+    doc="Corpus-mixture temperature sampling weights per source "
+    "(n_i^0.7 / sum n_j^0.7 — the multinomial-smoothing recipe that "
+    "upweights small sources). One aggregation shuffle; the window runs "
+    "over the already-tiny per-source table (operators/packing.py:"
+    "mixture_weights).",
+    tags=("sampling", "mixture", "llm"),
+)
+def mix_sampling_weights(spark, sf_dir):
+    from syncmaven_spark.operators.packing import mixture_weights
+
+    t = _t(spark, sf_dir)
+    return mixture_weights(t["documents"])
+
+
 # Catalog entries that already carry a green driver CORRECTNESS row from a
 # prior round (union of the err-free keys across CORRECTNESS_r01–r04.json —
 # ALL 103 entries as of round 4, so the prefix order is now purely the

