@@ -51,6 +51,18 @@ HEADLINE = [
     "embedding_centroids",
 ]
 
+# Round-6 additions, timed identically but reported under "queries_extra"
+# and EXCLUDED from the headline total: the total's round-over-round /
+# vs-baseline comparison is only meaningful over the fixed 29-entry suite
+# recorded since round 1 (BASELINE.md methodology).
+EXTRA = [
+    "text_repetition_stats",
+    "text_pii_redaction",
+    "pack_concat_chunks",
+    "text_boilerplate_ngrams",
+    "mix_sampling_weights",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -117,6 +129,22 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+
+    extra_timings: dict[str, float] = {}
+    for name in EXTRA:
+        t0 = time.perf_counter()
+        _force(CATALOG[name].spark_fn(spark, sf_dir))
+        first = time.perf_counter() - t0
+        if cold_only:
+            extra_timings[name] = round(first, 3)
+            continue
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(CATALOG[name].spark_fn(spark, sf_dir))
+            warm.append(time.perf_counter() - t0)
+        extra_timings[name] = round(min(warm), 3)
+
     print(
         json.dumps(
             {
@@ -125,6 +153,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold_timings,
+                "queries_extra": extra_timings,
                 "sf": sf,
             }
         )

