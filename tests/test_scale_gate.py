@@ -350,6 +350,10 @@ SCALE_TIER_ENTRIES = [
     "join_asof_backward",
     "rel_market_share",
     "ts_gap_fill",
+    # round-6 additions: per-shard packing (window cumsum layout) and the
+    # repetition filters (sorted-run-length bigram mode) — both sub-second
+    "pack_concat_chunks",
+    "text_repetition_stats",
 ]
 
 
