@@ -55,7 +55,10 @@ def pack_sequences(
 
     Determinism: the layout depends only on (shard, id) order — stable
     across runs, task retries, and engines, which is what makes packed
-    training data reproducible.
+    training data reproducible. That guarantee requires ``id_col`` to be
+    UNIQUE within each shard: tied ids leave the cumulative sum's tie
+    order engine-defined, so two duplicate-id docs could legitimately swap
+    offsets between runs.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1; got {budget!r}")
@@ -115,12 +118,22 @@ def mixture_weights(
     )
     w = W.partitionBy()
     powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(temperature)))
+    tot_tokens = F.sum("n_tokens").over(w).cast("double")
+    tot_pow = F.sum(powed).over(w)
+    # a degenerate all-empty corpus sums to 0 tokens; emit 0.0 weights
+    # instead of the NaN that double 0/0 produces (NaN weights poison any
+    # downstream sampler silently)
     return per_source.select(
         source_col,
         "n_docs",
         "n_tokens",
         F.round(
-            F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double"), 4
+            F.when(tot_tokens == 0, F.lit(0.0)).otherwise(
+                F.col("n_tokens") / tot_tokens
+            ),
+            4,
         ).alias("raw_share"),
-        F.round(powed / F.sum(powed).over(w), 4).alias("temp_weight"),
+        F.round(
+            F.when(tot_pow == 0, F.lit(0.0)).otherwise(powed / tot_pow), 4
+        ).alias("temp_weight"),
     )

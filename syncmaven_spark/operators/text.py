@@ -157,6 +157,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-doc groupBy shuffle. Empty/NULL docs score 0.0, not NULL, so
     downstream numeric filters can't be bypassed.
     """
+    for reserved in ("_rep_toks", "_rep_bigrams"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"repetition_stats reserves the column name {reserved!r}; "
+                "rename or drop it on the input DataFrame"
+            )
     out = df.withColumn("_rep_toks", _words(F.col(text_col)))
     n = F.size(F.col("_rep_toks"))
     out = out.withColumn(

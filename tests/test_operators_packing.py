@@ -66,3 +66,24 @@ def test_mixture_weights_temperature_upweights_small_sources(spark):
     assert abs(rows["big"]["temp_weight"] + rows["small"]["temp_weight"] - 1.0) < 1e-9
     with pytest.raises(ValueError, match="temperature"):
         mixture_weights(df, temperature=0.0)
+
+
+def test_mixture_weights_degenerate_corpus_yields_zero_not_nan(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("a", ""), ("b", None)], "source string, text string"
+    )
+    rows = mixture_weights(df).collect()
+    for r in rows:
+        assert r["n_tokens"] == 0
+        assert r["raw_share"] == 0.0 and not math.isnan(r["raw_share"])
+        assert r["temp_weight"] == 0.0
+
+
+def test_repetition_stats_rejects_reserved_columns(spark):
+    from syncmaven_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b", 0)], "doc_id long, text string, _rep_toks long")
+    with pytest.raises(ValueError, match="_rep_toks"):
+        repetition_stats(df)
