@@ -11,7 +11,10 @@ from syncmaven_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
+    minhash_lsh_candidates_incremental,
+    minhash_lsh_index,
     minhash_verified_pairs,
+    minhash_verified_pairs_incremental,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dups,

@@ -168,7 +168,7 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_lsh_index(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -177,19 +177,22 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     max_bucket_size: int | None = 200,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: ``(id_a, id_b, n_shared_bands)``.
+    """The banded LSH index of a corpus: ``(id, band_id, band_hash)`` rows.
 
-    Signature → ``bands`` band-hashes → explode → bucket self-join with
-    ``id_a < id_b``. ``max_bucket_size`` caps degenerate buckets (identical
-    boilerplate) so one hot bucket cannot produce O(n²) pairs; ``None``
-    disables the cap (``_rn <= NULL`` would otherwise silently drop EVERY
-    candidate — round-5 review).
+    This is the PERSISTABLE artifact of the MinHash recipe — write it to
+    parquet partitioned/bucketed by ``(band_id, band_hash)`` and a
+    continuously-ingested corpus never recomputes old signatures: each new
+    batch indexes only itself and equi-joins against the stored table
+    (``minhash_lsh_candidates_incremental``). ``max_bucket_size`` caps each
+    (band, bucket) to its lowest-id members at BUILD time, so the cap
+    composes deterministically across incremental batches sharing one
+    index build.
     """
     assert num_perm % bands == 0, "num_perm must be divisible by bands"
     max_bucket_size = check_bucket_cap(max_bucket_size)
     rows_per_band = num_perm // bands
     # persist the O(n) signature table so the shingle explode+agg lineage is
-    # computed once, not once per side of the bucket self-join
+    # computed once, not once per consumer of the melted index
     sig = _persist_scoped(
         minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     )
@@ -217,7 +220,7 @@ def minhash_lsh_candidates(
         ).alias("b"),
     ).select(id_col, "b.band_id", "b.band_hash")
 
-    # cap degenerate buckets before the pair join
+    # cap degenerate buckets before any pair join
     if max_bucket_size is not None:
         w_bucket = F.row_number().over(
             W.partitionBy("band_id", "band_hash").orderBy(id_col)
@@ -227,6 +230,31 @@ def minhash_lsh_candidates(
             .filter(F.col("_rn") <= max_bucket_size)
             .drop("_rn")
         )
+    return melted
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: ``(id_a, id_b, n_shared_bands)``.
+
+    Signature → ``bands`` band-hashes → explode → bucket self-join with
+    ``id_a < id_b``. ``max_bucket_size`` caps degenerate buckets (identical
+    boilerplate) so one hot bucket cannot produce O(n²) pairs; ``None``
+    disables the cap (``_rn <= NULL`` would otherwise silently drop EVERY
+    candidate — round-5 review).
+    """
+    melted = minhash_lsh_index(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    )
 
     left = melted.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
@@ -386,6 +414,113 @@ def minhash_verified_pairs(
     return _persist_scoped(
         _jaccard_verified(cands.join(a, "id_a").join(b, "id_b"), threshold)
     )
+
+
+def minhash_lsh_candidates_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Candidate pairs introduced by a NEW document batch against an
+    existing LSH ``index`` (from ``minhash_lsh_index`` with the SAME
+    num_perm/bands/shingle_k) — the continuous-ingestion recipe.
+
+    Only the new batch is signed and banded; candidates are the union of
+    new-vs-indexed (one equi-join on the band key — with the index stored
+    bucketed by ``(band_id, band_hash)`` this is an exchange-free probe of
+    the big side) and new-vs-new (self-join of the small batch). Pairs are
+    emitted id-ordered (``id_a < id_b``) exactly like the full-corpus pass,
+    so with disjoint ids and no caps::
+
+        candidates(old ∪ new) == candidates(old) ∪ incremental(new, index(old))
+
+    (asserted in tests). New ids MUST be disjoint from indexed ids —
+    re-ingesting an id pairs its old and new band rows as (x, x) and is
+    silently dropped by the self-pair filter, not re-verified.
+
+    ``max_bucket_size`` caps the new batch's buckets at sign time (the
+    index carries its own build-time cap). A bucket that was already full
+    in the index still accepts probes from new docs — the cap bounds each
+    side's contribution, not the union, so repeated small batches cannot
+    starve later batches out of candidacy entirely.
+    """
+    new_melted = minhash_lsh_index(
+        new_df, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    )
+    # the batch's band rows feed two joins — persist the O(batch) table
+    new_melted = _persist_scoped(new_melted)
+
+    key = ["band_id", "band_hash"]
+    new_a = new_melted.select(*key, F.col(id_col).alias("_id_n"))
+    old_b = index.select(*key, F.col(id_col).alias("_id_o"))
+    # new-vs-indexed: normalize to id order so the output convention
+    # matches the full pass regardless of which side is smaller
+    cross = (
+        new_a.join(old_b, key)
+        .filter(F.col("_id_n") != F.col("_id_o"))
+        .select(
+            F.least("_id_n", "_id_o").alias("id_a"),
+            F.greatest("_id_n", "_id_o").alias("id_b"),
+        )
+    )
+    within = (
+        new_melted.select(*key, F.col(id_col).alias("id_a"))
+        .join(new_melted.select(*key, F.col(id_col).alias("id_b")), key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_verified_pairs_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Verified near-dup pairs introduced by a new batch: incremental LSH
+    candidates exact-Jaccard-verified to ``(id_a, id_b, jaccard)``.
+
+    ``corpus_df`` must cover every id a candidate can touch (old ∪ new
+    texts). Verification only reads the texts of candidate ids — the
+    semi-join below prunes the corpus scan to the candidate-sparse subset
+    before the expensive shingle/hash projection, so the cost scales with
+    the batch's near-dup degree, not the corpus size.
+    """
+    cands = _persist_scoped(
+        minhash_lsh_candidates_incremental(
+            new_df, index, text_col, id_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
+        ).select("id_a", "id_b")
+    )
+    touched = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = corpus_df.join(touched, id_col, "left_semi")
+    sets = _hashed_shingle_sets(_spread(pruned, id_col), text_col, id_col, shingle_k)
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
+    return _jaccard_verified(cands.join(a, "id_a").join(b, "id_b"), threshold)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -1279,6 +1279,54 @@ def dedup_minhash_candidates(spark, sf_dir):
 
 
 @q(
+    "dedup_minhash_incremental",
+    "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), "
+    "'\\s+'), w -> w <> '') AS toks FROM documents), "
+    "ws AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> "
+    "array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w "
+    "WHERE len(toks) > 0) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(list_distinct(a.ws || b.ws)), 4) AS jaccard "
+    "FROM ws a JOIN ws b ON a.doc_id < b.doc_id "
+    "WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0) "
+    "AND round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(list_distinct(a.ws || b.ws)), 4) >= 0.8",
+    doc="Incremental MinHash dedup — the continuous-ingestion recipe: the "
+    "corpus is split 80/20 into an indexed base (minhash_lsh_index: the "
+    "persistable (id, band_id, band_hash) table) and a 'new batch' "
+    "(doc_id % 5 = 0); only the batch is signed, candidates come from one "
+    "band-key probe of the index plus the batch's self-join, and exact "
+    "verification reads only candidate-touched texts (semi-join pruned). "
+    "Output equals the full-corpus pass restricted to pairs touching the "
+    "batch (equivalence asserted in tests), which the all-pairs SQL "
+    "oracle computes directly. At 100 TB this is the difference between "
+    "re-LSHing the whole corpus per ingest and probing a bucketed index "
+    "with batch-sized work.",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        minhash_lsh_index,
+        minhash_verified_pairs_incremental,
+    )
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    recipe = {k: v for k, v in MINHASH_ORACLE_RECIPE.items() if k != "threshold"}
+    index = minhash_lsh_index(old, "text", "doc_id", **recipe)
+    return minhash_verified_pairs_incremental(
+        new, index, docs, "text", "doc_id",
+        threshold=MINHASH_ORACLE_RECIPE["threshold"], **recipe,
+    )
+
+
+@q(
     "dedup_simhash_pairs",
     "WITH m AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000, text FROM documents), "

@@ -192,3 +192,64 @@ def test_minhash_empty_and_short_docs(spark):
     )
     sig = minhash_signatures(df, "text", "doc_id", num_perm=8)
     assert {r["doc_id"] for r in sig.select("doc_id").collect()} == {1, 3}
+
+
+def test_incremental_lsh_candidates_equal_full_pass_on_union(spark):
+    """The continuous-ingestion contract: with disjoint ids and no caps,
+    indexing the old corpus and probing only the new batch yields exactly
+    the full-pass candidates that touch the new batch."""
+    from syncmaven_spark.operators import (
+        minhash_lsh_candidates_incremental,
+        minhash_lsh_index,
+    )
+    from syncmaven_spark.session import load_tables
+
+    docs = load_tables(
+        spark, "/root/testdata/sf0.001", register_views=False
+    )["documents"]
+    new = docs.filter("doc_id % 5 = 0")
+    old = docs.filter("doc_id % 5 <> 0")
+    cfg = dict(num_perm=64, bands=32, shingle_k=3, max_bucket_size=None)
+
+    full = {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in minhash_lsh_candidates(docs, "text", "doc_id", **cfg).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    index = minhash_lsh_index(old, "text", "doc_id", **cfg)
+    inc = {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in minhash_lsh_candidates_incremental(
+            new, index, "text", "doc_id", **cfg
+        ).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0  # the fixture corpus must actually exercise this
+
+
+def test_incremental_verified_pairs_and_batch_internal_dups(docs):
+    """New-vs-indexed AND new-vs-new pairs both surface, verified with the
+    exact Jaccard; every emitted pair touches the new batch."""
+    from syncmaven_spark.operators import (
+        minhash_lsh_index,
+        minhash_verified_pairs_incremental,
+    )
+
+    old = docs.filter("doc_id in (1, 4)")
+    new = docs.filter("doc_id in (2, 3, 5)")
+    index = minhash_lsh_index(
+        old, "text", "doc_id", num_perm=64, bands=32, max_bucket_size=None
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_verified_pairs_incremental(
+            new, index, docs, "text", "doc_id",
+            threshold=0.3, num_perm=64, bands=32, max_bucket_size=None,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # new doc 2 == indexed doc 1
+    assert (1, 3) in pairs               # near-dup of an indexed doc
+    assert (2, 3) in pairs               # near-dup WITHIN the new batch
+    assert (4, 5) in pairs               # indexed doc 4 vs new doc 5
+    assert all(a % 1 == 0 and (a in (2, 3, 5) or b in (2, 3, 5))
+               for (a, b) in pairs)

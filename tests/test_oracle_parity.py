@@ -59,7 +59,15 @@ def test_query_matches_oracle(spark, con, name):
 # ALWAYS-ON complement: tests/test_scale_gate.py gates the PRODUCTION-
 # default recipe (bucket cap included) at sf0.1 with 200 planted
 # known-Jaccard pairs + the full pipeline, in every plain pytest run.
-_SCALE_QUADRATIC_ORACLES = {"dedup_minhash_candidates", "dedup_cluster_pipeline"}
+_SCALE_QUADRATIC_ORACLES = {
+    "dedup_minhash_candidates",
+    "dedup_cluster_pipeline",
+    # same all-pairs oracle shape, restricted to pairs touching the 20%
+    # batch — still ~0.36 of the full quadratic cost at sf0.1; the
+    # operator itself is additionally gated by the full-pass-equivalence
+    # property test in tests/test_operators_dedup.py
+    "dedup_minhash_incremental",
+}
 
 scale = pytest.mark.skipif(
     not RUN_SCALE, reason="scale parity pass: set SPARK_GRAFT_SCALE_PARITY=1"
