@@ -31,6 +31,23 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql import types as T
 
 
+def _reject_right_collisions(
+    left: DataFrame, right_value_cols: list[str]
+) -> None:
+    """Both as-of variants emit the right side's value columns as
+    ``right_<col>``; a left column already named that would be silently
+    overwritten inside the grouped UDF (or make the plain variant emit
+    duplicate names) — the same reserved-name bug class as the ``_ridx``
+    fix, one name over. Fail fast instead."""
+    clashes = [c for c in right_value_cols if f"right_{c}" in left.columns]
+    if clashes:
+        raise ValueError(
+            "asof join output name collision: left already has column(s) "
+            f"{[f'right_{c}' for c in clashes]}; rename them or the right "
+            "value column(s) before joining"
+        )
+
+
 def _droppable_right(df: DataFrame, by: str, on: str) -> DataFrame:
     """Right rows that can never be an as-of match are dropped up front:
     NULL key / NULL ts (SQL ASOF: both predicates unknown) and — for
@@ -84,6 +101,7 @@ def asof_join(
         right_value_cols = [
             c for c in right.columns if c not in (on, by)
         ]
+    _reject_right_collisions(left, right_value_cols)
 
     # Left rows with a NULL key or NULL ts can never match — BYPASS them
     # around the shuffle entirely instead of letting the window hash every
@@ -202,6 +220,7 @@ def asof_join_grouped(
     right = _droppable_right(right, by, on)
 
     right_value_cols = [c for c in right.columns if c not in (on, by)]
+    _reject_right_collisions(left, right_value_cols)
     out_schema = T.StructType(
         [*left.schema.fields,
          *[T.StructField(f"right_{c}", right.schema[c].dataType, True)

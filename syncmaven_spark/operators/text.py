@@ -157,11 +157,16 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-doc groupBy shuffle. Empty/NULL docs score 0.0, not NULL, so
     downstream numeric filters can't be bypassed.
     """
-    for reserved in ("_rep_toks", "_rep_bigrams"):
+    reserved_names = (
+        "_rep_toks", "_rep_bigrams",        # internal temporaries
+        "n_words", "dup_word_frac", "top_bigram_frac",  # outputs
+    )
+    for reserved in reserved_names:
         if reserved in df.columns:
             raise ValueError(
-                f"repetition_stats reserves the column name {reserved!r}; "
-                "rename or drop it on the input DataFrame"
+                f"repetition_stats reserves the column name {reserved!r} "
+                "(a withColumn would silently overwrite it); rename or "
+                "drop it on the input DataFrame"
             )
     out = df.withColumn("_rep_toks", _words(F.col(text_col)))
     n = F.size(F.col("_rep_toks"))
@@ -219,8 +224,11 @@ def pii_redact(
 
     Appends ``n_pii_emails`` / ``n_pii_phones`` / ``n_pii_ipv4`` counts and
     ``out_col`` with spans replaced by ``<EMAIL>`` / ``<PHONE>`` / ``<IP>``
-    placeholders. Replacement order is fixed (email → phone → ip) so a
-    digits-and-dots email domain can never be re-matched as an address.
+    placeholders. Replacement order is fixed (email → phone → ip), and each
+    count is taken on the SAME intermediate its replacement runs on, so the
+    counts always equal the placeholders emitted — counting every pattern
+    on the raw text would tally an IP living inside an email's domain that
+    the email pass already consumed (round-6 review).
 
     All JVM-side ``regexp_extract_all`` / ``regexp_replace`` — a pure
     projection with zero shuffles, the shape a 100-TB redaction pass needs
@@ -229,22 +237,16 @@ def pii_redact(
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
 
-    def _n(pat: str) -> Column:
-        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("long")
+    def _n(src: Column, pat: str) -> Column:
+        return F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0))).cast("long")
 
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE,
-            "<PHONE>",
-        ),
-        PII_IPV4_RE,
-        "<IP>",
-    )
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(after_phone, PII_IPV4_RE, "<IP>")
     return (
-        df.withColumn("n_pii_emails", _n(PII_EMAIL_RE))
-        .withColumn("n_pii_phones", _n(PII_PHONE_RE))
-        .withColumn("n_pii_ipv4", _n(PII_IPV4_RE))
+        df.withColumn("n_pii_emails", _n(text, PII_EMAIL_RE))
+        .withColumn("n_pii_phones", _n(after_email, PII_PHONE_RE))
+        .withColumn("n_pii_ipv4", _n(after_phone, PII_IPV4_RE))
         .withColumn(out_col, redacted)
     )
 

@@ -53,6 +53,21 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return load_tables(spark, sf_dir)
 
 
+# Shared DuckDB fragment: the Unicode word tokenizer, kept textually in
+# sync with operators/dedup._words (lower → non-word runs to spaces →
+# split → drop empties; NULL ≡ empty via the coalesce, matching _words'
+# documented rule). A tokenizer change must update _words, this constant,
+# AND the older oracle strings that still inline the fragment verbatim
+# (dedup_minhash_candidates, dedup_simhash_pairs, text_quality_full,
+# text_rolling_fingerprint, dedup_cluster_pipeline & friends — grep for
+# regexp_split_to_array).
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower("
+    "coalesce(text, '')), "
+    "'[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), '\\s+'), w -> w <> '')"
+)
+
+
 # =========================================================================
 # A. Engine-owned sync/query semantics (SURVEY §2A/2B)
 # =========================================================================
@@ -1280,9 +1295,7 @@ def dedup_minhash_candidates(spark, sf_dir):
 
 @q(
     "dedup_minhash_incremental",
-    "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim("
-    "regexp_replace(lower(text), '[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), "
-    "'\\s+'), w -> w <> '') AS toks FROM documents), "
+    "WITH w AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
     "ws AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
     "list_transform(range(1, len(toks) - 1), i -> "
     "array_to_string(toks[i:i+2], ' ')) "
@@ -3282,15 +3295,6 @@ def text_char_entropy(spark, sf_dir):
     )
 
 
-# Shared DuckDB fragment: the Unicode word tokenizer, kept textually in
-# sync with operators/dedup._words (lower → non-word runs to spaces →
-# split → drop empties). Any tokenizer change must update BOTH sides.
-_TOKS_SQL = (
-    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), "
-    "'[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), '\\s+'), w -> w <> '')"
-)
-
-
 @q(
     "text_repetition_stats",
     "WITH t AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
@@ -3332,25 +3336,32 @@ _PII_TEXT_SQL = (
 
 @q(
     "text_pii_redaction",
-    "WITH t AS (SELECT c_custkey, " + _PII_TEXT_SQL + " AS text FROM customer) "
+    "WITH t AS (SELECT c_custkey, " + _PII_TEXT_SQL + " AS text FROM customer), "
+    "s1 AS (SELECT c_custkey, text, regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') "
+    "AS after_email FROM t), "
+    "s2 AS (SELECT *, regexp_replace(after_email, '\\+1-555-[0-9]{4}', "
+    "'<PHONE>', 'g') AS after_phone FROM s1) "
     "SELECT c_custkey, "
     "CAST(len(regexp_extract_all(text, "
     "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_pii_emails, "
-    "CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_pii_phones, "
-    "CAST(len(regexp_extract_all(text, "
-    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_pii_ipv4, "
-    "regexp_replace(regexp_replace(regexp_replace(text, "
-    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-    "'\\+1-555-[0-9]{4}', '<PHONE>', 'g'), "
+    "CAST(len(regexp_extract_all(after_email, '\\+1-555-[0-9]{4}')) AS BIGINT) "
+    "AS n_pii_phones, "
+    "CAST(len(regexp_extract_all(after_phone, "
+    "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) "
+    "AS n_pii_ipv4, "
+    "regexp_replace(after_phone, "
     "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') "
-    "AS redacted FROM t",
+    "AS redacted FROM s2",
     doc="PII detection + redaction (emails, NANP test phones, IPv4) — the "
     "compliance pass every training-data pipeline runs before release. "
     "Input text is synthesized deterministically from customer rows (the "
     "corpus carries no real PII), so the oracle exercises true regex "
     "parity: patterns are restricted to constructs java.util.regex and "
     "RE2 evaluate identically, and the redacted strings hash-compare "
-    "byte-for-byte. Zero-shuffle projection (operators/text.py:pii_redact).",
+    "byte-for-byte. Counts are staged on the same intermediates the "
+    "replacements run on, so n_pii_* always equals the placeholders "
+    "emitted. Zero-shuffle projection (operators/text.py:pii_redact).",
     tags=("text", "pii", "regex", "llm"),
 )
 def text_pii_redaction(spark, sf_dir):

@@ -251,5 +251,4 @@ def test_incremental_verified_pairs_and_batch_internal_dups(docs):
     assert (1, 3) in pairs               # near-dup of an indexed doc
     assert (2, 3) in pairs               # near-dup WITHIN the new batch
     assert (4, 5) in pairs               # indexed doc 4 vs new doc 5
-    assert all(a % 1 == 0 and (a in (2, 3, 5) or b in (2, 3, 5))
-               for (a, b) in pairs)
+    assert all(a in (2, 3, 5) or b in (2, 3, 5) for (a, b) in pairs)

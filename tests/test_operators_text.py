@@ -108,3 +108,19 @@ def test_pii_redact_counts_and_replacement_order(spark):
     # 1.2.3.4.5: the 4th octet is followed by ".5" — \b still holds between
     # "4" and ".", so the leading 4 octets DO match; pin actual behavior
     assert rows[4]["n_pii_ipv4"] == 1
+
+
+def test_pii_counts_match_emitted_placeholders_on_overlap(spark):
+    """Round-6 review: counting every pattern on the RAW text tallied an
+    IP living inside an email's domain that the email pass had already
+    consumed — counts must equal placeholders actually emitted."""
+    from syncmaven_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "contact bob@10.0.0.1.example now")], "id long, text string"
+    )
+    r = pii_redact(df).first()
+    assert r["n_pii_emails"] == 1
+    assert r["n_pii_ipv4"] == 0  # consumed by the email replacement
+    assert r["redacted"] == "contact <EMAIL> now"
+    assert r["redacted"].count("<IP>") == r["n_pii_ipv4"]

@@ -132,3 +132,36 @@ def test_distributed_cc_on_replica_chains(spark, docs):
     bad = labels.filter(F.col("component") != F.col("v") % OFFSET).count()
     assert bad == 0
     assert labels.count() == docs.count() * N_REPLICAS
+
+
+def test_incremental_lsh_equals_full_pass_at_sf01(spark, docs):
+    """sf0.1 stand-in for the quadratic-oracle-excluded
+    ``dedup_minhash_incremental`` entry: the incremental probe of an
+    indexed 80% base by the 20% batch must emit exactly the full-corpus
+    pass's candidates that touch the batch — the same Spark-vs-Spark
+    equivalence the sf0.001 property test asserts, at 5k docs with the
+    production recipe's uncapped oracle configuration."""
+    from syncmaven_spark.operators import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+        minhash_lsh_index,
+    )
+
+    new = docs.filter("doc_id % 5 = 0")
+    old = docs.filter("doc_id % 5 <> 0")
+    cfg = dict(num_perm=64, bands=32, shingle_k=3, max_bucket_size=None)
+
+    full = {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in minhash_lsh_candidates(docs, "text", "doc_id", **cfg).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    index = minhash_lsh_index(old, "text", "doc_id", **cfg)
+    inc = {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in minhash_lsh_candidates_incremental(
+            new, index, "text", "doc_id", **cfg
+        ).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0
