@@ -32,12 +32,14 @@ from syncmaven_spark.operators.similarity import (  # noqa: F401
 from syncmaven_spark.operators.packing import (  # noqa: F401
     mixture_weights,
     pack_sequences,
+    sample_token_budget,
 )
 from syncmaven_spark.operators.text import (  # noqa: F401
     document_fingerprint,
     language_id,
     pii_redact,
     quality_features,
+    quality_filter,
     repetition_stats,
     token_count,
 )

@@ -96,6 +96,57 @@ def pack_sequences(
     )
 
 
+def sample_token_budget(
+    df: DataFrame,
+    total_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.7,
+) -> DataFrame:
+    """Deterministic token-budget subsample honoring the temperature mix.
+
+    Splits ``total_budget`` tokens across sources by the
+    :func:`mixture_weights` recipe (``floor(temp_weight · budget)`` per
+    source), then fills each source's budget greedily in md5(id) order — a
+    reproducible shuffle — keeping documents while the running token total
+    stays within budget. Emits the SELECTED docs as ``(source, doc_id,
+    n_tokens, cum_tokens)``.
+
+    Scale shape: one aggregation for the per-source totals, a broadcast of
+    the tiny budget table back onto the corpus, and one per-source window
+    cumsum — the same embarrassingly-parallel layout as
+    :func:`pack_sequences`. Selection is a filter, so the unsampled corpus
+    is never materialized anywhere.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0; got {total_budget!r}")
+    weights = mixture_weights(
+        df, source_col=source_col, text_col=text_col, temperature=temperature
+    ).select(
+        source_col,
+        F.floor(F.col("temp_weight") * F.lit(int(total_budget)))
+        .cast("long")
+        .alias("_budget"),
+    )
+    per_doc = df.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        per_doc.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(weights), source_col)
+        .filter(F.col("cum_tokens") <= F.col("_budget"))
+        .select(source_col, id_col, "n_tokens", "cum_tokens")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     source_col: str = "source",

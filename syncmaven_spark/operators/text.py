@@ -208,6 +208,40 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    word_len_range: tuple[float, float] = (2.0, 12.0),
+    min_alpha_ratio: float = 0.5,
+    max_dup_word_frac: float = 0.9,
+) -> DataFrame:
+    """The C4/Gopher-style KEEP/DROP verdict — the filter stage itself,
+    composed from :func:`quality_features` and :func:`repetition_stats`.
+
+    Appends one boolean per rule (``r_min_words``, ``r_word_len``,
+    ``r_alpha``, ``r_repetition``) plus ``keep`` (their conjunction), so a
+    pipeline can both filter (``WHERE keep``) and report per-rule drop
+    attribution — the standard corpus-curation audit. Still a zero-shuffle
+    projection: every input feature is per-row column math.
+    """
+    lo, hi = word_len_range
+    feats = repetition_stats(quality_features(df, text_col), text_col)
+    r_min_words = F.col("q_n_words") >= int(min_words)
+    r_word_len = (F.col("q_mean_word_len") >= float(lo)) & (
+        F.col("q_mean_word_len") <= float(hi)
+    )
+    r_alpha = F.col("q_alpha_ratio") >= float(min_alpha_ratio)
+    r_rep = F.col("dup_word_frac") <= float(max_dup_word_frac)
+    return (
+        feats.withColumn("r_min_words", r_min_words)
+        .withColumn("r_word_len", r_word_len)
+        .withColumn("r_alpha", r_alpha)
+        .withColumn("r_repetition", r_rep)
+        .withColumn("keep", r_min_words & r_word_len & r_alpha & r_rep)
+    )
+
+
 # PII patterns shared by the operator and its SQL oracle. Deliberately
 # conservative constructs only (char classes, bounded repeats, \b) so
 # java.util.regex (Spark) and RE2 (DuckDB/BigQuery) agree exactly — no

@@ -3462,6 +3462,70 @@ def text_boilerplate_ngrams(spark, sf_dir):
 
 
 @q(
+    "text_quality_filter",
+    "WITH t AS (SELECT doc_id, text, " + _TOKS_SQL + " AS toks FROM documents), "
+    "f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, "
+    "round(length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) / "
+    "greatest(len(toks), 1), 4) AS mwl, "
+    "round(length(regexp_replace(coalesce(text, ''), '[^A-Za-zÀ-ɏ]', '', 'g')) / "
+    "CAST(greatest(length(coalesce(text, '')), 1) AS DOUBLE), 4) AS ar, "
+    "round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+    "1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 4) AS dwf "
+    "FROM t) "
+    "SELECT doc_id, n >= 10 AS r_min_words, "
+    "mwl >= 2.0 AND mwl <= 12.0 AS r_word_len, "
+    "ar >= 0.5 AS r_alpha, dwf <= 0.9 AS r_repetition, "
+    "(n >= 10 AND mwl >= 2.0 AND mwl <= 12.0 AND ar >= 0.5 AND dwf <= 0.9) "
+    "AS keep FROM f",
+    doc="The C4/Gopher-style corpus filter VERDICT: per-document keep/drop "
+    "with per-rule attribution flags (min words, mean word length band, "
+    "alpha ratio, repetition cap) — the audit table every curation "
+    "pipeline publishes alongside the filtered corpus. Thresholds compare "
+    "the ROUNDED features on both sides, so the boolean flags are "
+    "bit-stable across engines. Zero-shuffle projection composing "
+    "quality_features + repetition_stats (operators/text.py).",
+    tags=("text", "quality", "filter", "llm"),
+)
+def text_quality_filter(spark, sf_dir):
+    from syncmaven_spark.operators.text import quality_filter
+
+    t = _t(spark, sf_dir)
+    return quality_filter(t["documents"]).select(
+        "doc_id", "r_min_words", "r_word_len", "r_alpha", "r_repetition", "keep"
+    )
+
+
+@q(
+    "sample_token_budget",
+    "WITH d AS (SELECT doc_id, source, CAST(len(" + _TOKS_SQL + ") AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "s AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY source), "
+    "wts AS (SELECT source, CAST(floor(round(pow(src_tokens, 0.7) / "
+    "sum(pow(src_tokens, 0.7)) OVER (), 4) * 5000) AS BIGINT) AS _budget FROM s), "
+    "c AS (SELECT doc_id, source, n_tokens, "
+    "CAST(sum(n_tokens) OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_tokens FROM d) "
+    "SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens FROM c "
+    "JOIN wts ON c.source = wts.source WHERE c.cum_tokens <= wts._budget",
+    doc="Deterministic token-budget subsample honoring the temperature "
+    "mixture: 5000 tokens split across sources by the n^0.7 weights, each "
+    "source filled greedily in md5(id) order (a reproducible shuffle) "
+    "until its budget is exhausted. One aggregation + a broadcast of the "
+    "tiny budget table + one per-source window cumsum; selection is a "
+    "filter, so the unsampled corpus never materializes "
+    "(operators/packing.py:sample_token_budget).",
+    tags=("sampling", "mixture", "packing", "llm"),
+)
+def sample_token_budget(spark, sf_dir):
+    from syncmaven_spark.operators.packing import sample_token_budget as op
+
+    t = _t(spark, sf_dir)
+    return op(t["documents"], total_budget=5000)
+
+
+@q(
     "mix_sampling_weights",
     "WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(len(" + _TOKS_SQL + ")) AS BIGINT) AS n_tokens "

@@ -87,3 +87,49 @@ def test_repetition_stats_rejects_reserved_columns(spark):
     df = spark.createDataFrame([(1, "a b", 0)], "doc_id long, text string, _rep_toks long")
     with pytest.raises(ValueError, match="_rep_toks"):
         repetition_stats(df)
+
+
+def test_sample_token_budget_fills_each_source_deterministically(spark):
+    from syncmaven_spark.operators.packing import sample_token_budget
+
+    rows = [(i, "s" if i < 20 else "t", "w " * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out1 = sorted(
+        (r["source"], r["doc_id"], r["cum_tokens"])
+        for r in sample_token_budget(df, total_budget=100).collect()
+    )
+    out2 = sorted(
+        (r["source"], r["doc_id"], r["cum_tokens"])
+        for r in sample_token_budget(df, total_budget=100).collect()
+    )
+    assert out1 == out2  # reproducible shuffle: md5(id) order
+    # every source stays within floor(weight * budget) tokens
+    from syncmaven_spark.operators.packing import mixture_weights
+    import math
+
+    budgets = {
+        r["source"]: math.floor(r["temp_weight"] * 100)
+        for r in mixture_weights(df).collect()
+    }
+    per_source: dict = {}
+    for src, _id, cum in out1:
+        per_source[src] = max(per_source.get(src, 0), cum)
+    for src, used in per_source.items():
+        assert used <= budgets[src]
+    # docs are 10 tokens each, so each source selects floor(budget/10) docs
+    from collections import Counter
+    counts = Counter(src for src, _, _ in out1)
+    for src, n_sel in counts.items():
+        assert n_sel == budgets[src] // 10
+
+    with pytest.raises(ValueError, match="total_budget"):
+        sample_token_budget(df, total_budget=-1)
+
+
+def test_sample_token_budget_zero_budget_selects_nothing(spark):
+    from syncmaven_spark.operators.packing import sample_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "s", "a b c")], "doc_id long, source string, text string"
+    )
+    assert sample_token_budget(df, total_budget=0).count() == 0

@@ -124,3 +124,24 @@ def test_pii_counts_match_emitted_placeholders_on_overlap(spark):
     assert r["n_pii_ipv4"] == 0  # consumed by the email replacement
     assert r["redacted"] == "contact <EMAIL> now"
     assert r["redacted"].count("<IP>") == r["n_pii_ipv4"]
+
+
+def test_quality_filter_rule_attribution(spark):
+    from syncmaven_spark.operators.text import quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog near the old river bank"
+    df = spark.createDataFrame(
+        [
+            (1, good),                        # passes every rule
+            (2, "short text"),                # fails min_words only
+            (3, ("spam " * 50).strip()),      # fails repetition (dup 0.98)
+            (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14"),  # fails alpha ratio
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["r_min_words"] is False
+    assert rows[3]["keep"] is False and rows[3]["r_repetition"] is False
+    assert rows[3]["r_min_words"] is True
+    assert rows[4]["keep"] is False and rows[4]["r_alpha"] is False
