@@ -2,6 +2,7 @@
 
 from syncmaven_spark.streaming.incremental import (  # noqa: F401
     dedup_within_watermark,
+    run_streaming_near_dup_sync,
     run_streaming_sync,
     windowed_event_counts,
 )

@@ -222,6 +222,102 @@ def run_streaming_sync(
     return totals
 
 
+def run_streaming_near_dup_sync(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 200,
+) -> None:
+    """Continuous near-dup mining over a growing parquet directory — the
+    streaming composition of the incremental MinHash operators.
+
+    Per micro-batch (``availableNow`` trigger — process everything new,
+    then stop; re-running picks up later files, like the batch sync's
+    second run):
+
+    1. probe the persisted band index with the batch
+       (``minhash_lsh_candidates_incremental``), verify candidates with the
+       exact Jaccard against the persisted corpus texts ∪ the batch;
+    2. append the verified pairs to ``<state_dir>/pairs``;
+    3. append the batch's band rows to ``<state_dir>/index`` and its
+       ``(id, text)`` rows to ``<state_dir>/corpus``.
+
+    Crash safety: every write lands under an ``epoch=<id>`` subdirectory
+    with ``mode("overwrite")``, so a replayed micro-batch (at-least-once
+    foreachBatch) rewrites its own epoch instead of duplicating rows —
+    idempotent without any cross-epoch read-modify-write. State grows
+    O(corpus) for the index/corpus tables and O(near-dup pairs) for the
+    output, never O(n²).
+
+    New batches MUST carry ids disjoint from everything already indexed
+    (the incremental operator's contract); Spark's source checkpoint
+    guarantees each FILE is processed once, so id-unique input files
+    satisfy this for free.
+    """
+    import os
+
+    from syncmaven_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_verified_pairs_incremental,
+    )
+
+    index_dir = os.path.join(state_dir, "index")
+    corpus_dir = os.path.join(state_dir, "corpus")
+    pairs_dir = os.path.join(state_dir, "pairs")
+    id_type = schema[id_col].dataType.simpleString()
+
+    def _read_or_empty(path: str, ddl: str) -> DataFrame:
+        # the select drops the epoch=<id> partition column the layout adds
+        cols = [c.strip().split(" ")[0] for c in ddl.split(",")]
+        try:
+            return spark.read.parquet(path).select(*cols)
+        except Exception:  # first epoch: state tables don't exist yet
+            return spark.createDataFrame([], ddl)
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.select(id_col, text_col)
+        if batch.isEmpty():
+            return
+        index = _read_or_empty(
+            index_dir, f"{id_col} {id_type}, band_id int, band_hash bigint"
+        )
+        corpus_old = _read_or_empty(
+            corpus_dir, f"{id_col} {id_type}, {text_col} string"
+        )
+        pairs = minhash_verified_pairs_incremental(
+            batch, index, corpus_old.unionByName(batch),
+            text_col, id_col,
+            threshold=threshold, num_perm=num_perm, bands=bands,
+            shingle_k=shingle_k, max_bucket_size=max_bucket_size,
+        )
+        epoch = f"epoch={epoch_id}"
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, epoch))
+        minhash_lsh_index(
+            batch, text_col, id_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, epoch))
+        batch.write.mode("overwrite").parquet(os.path.join(corpus_dir, epoch))
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_within_watermark(
     stream_df: DataFrame,
     key_cols: list[str],

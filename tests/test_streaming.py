@@ -361,3 +361,60 @@ def test_streaming_driver_batch_cap_fails_fast(spark, tmp_path):
         max_driver_batch_rows=20,
     )
     assert totals["success"] == 20
+
+
+def test_streaming_near_dup_sync_probes_index_across_runs(spark, tmp_path):
+    """Continuous near-dup mining: run 1 indexes the base corpus; run 2's
+    new files are probed AGAINST that persisted index (old docs are never
+    re-signed) and cross-run + within-batch pairs both land in the pairs
+    table. Replaying an epoch is idempotent (epoch-keyed overwrites)."""
+    from syncmaven_spark.streaming import run_streaming_near_dup_sync
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden"
+    )
+    near = base.replace("warm windowsill", "cold doorstep")
+    other = (
+        "completely different content about distributed query engines "
+        "shuffling partitioned columnar data across executors tonight"
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write([(1, base), (2, other)])
+    schema = spark.read.parquet(src).schema
+    kwargs = dict(threshold=0.3, max_bucket_size=None)
+
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    pairs0 = spark.read.parquet(state + "/pairs")
+    assert pairs0.count() == 0  # base and other are unrelated
+
+    # run 2: one near-dup of an INDEXED doc + an exact copy within the batch
+    write([(3, near), (4, near)])
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in spark.read.parquet(state + "/pairs").collect()
+    }
+    assert (1, 3) in pairs          # new batch vs run-1 index
+    assert (1, 4) in pairs
+    assert pairs[(3, 4)] == 1.0     # within-batch exact copy
+    assert all(a in (3, 4) or b in (3, 4) for a, b in pairs)
+
+    # the index now carries all four docs' band rows exactly once
+    idx = spark.read.parquet(state + "/index")
+    assert sorted(
+        r.doc_id for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 3, 4]
+
+    # run 3 with nothing new: a no-op (no new epochs, pairs unchanged)
+    n_before = spark.read.parquet(state + "/pairs").count()
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    assert spark.read.parquet(state + "/pairs").count() == n_before
