@@ -62,6 +62,8 @@ EXTRA = [
     "text_boilerplate_ngrams",
     "mix_sampling_weights",
     "dedup_minhash_incremental",
+    "text_quality_filter",
+    "sample_token_budget",
 ]
 
 

@@ -114,10 +114,19 @@ def sample_token_budget(
     n_tokens, cum_tokens)``.
 
     Scale shape: one aggregation for the per-source totals, a broadcast of
-    the tiny budget table back onto the corpus, and one per-source window
-    cumsum — the same embarrassingly-parallel layout as
-    :func:`pack_sequences`. Selection is a filter, so the unsampled corpus
-    is never materialized anywhere.
+    the tiny budget table back onto the corpus, and one window cumsum
+    partitioned by ``source_col``. Parallelism is therefore the NUMBER OF
+    SOURCES — a corpus with few, huge sources serializes each source's
+    sort+cumsum through one reducer. At that scale, pre-shard each source
+    (add a shard column, split each source budget proportionally across
+    shards) and run this per (source, shard); the per-source semantics
+    here are the building block. Selection is a filter, so the unsampled
+    corpus is never materialized anywhere.
+
+    Determinism requires ``id_col`` to be unique within each source (same
+    contract as :func:`pack_sequences`): tied md5(id) orderings leave the
+    cumsum's tie order engine-defined, so duplicate-id rows at a budget
+    boundary could swap in and out of the sample between runs.
     """
     if total_budget < 0:
         raise ValueError(f"total_budget must be >= 0; got {total_budget!r}")

@@ -226,6 +226,14 @@ def quality_filter(
     projection: every input feature is per-row column math.
     """
     lo, hi = word_len_range
+    for reserved in ("r_min_words", "r_word_len", "r_alpha", "r_repetition",
+                     "keep"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"quality_filter reserves the column name {reserved!r} "
+                "(a withColumn would silently overwrite it); rename or "
+                "drop it on the input DataFrame"
+            )
     feats = repetition_stats(quality_features(df, text_col), text_col)
     r_min_words = F.col("q_n_words") >= int(min_words)
     r_word_len = (F.col("q_mean_word_len") >= float(lo)) & (

@@ -252,16 +252,27 @@ def run_streaming_near_dup_sync(
 
     Crash safety: every write lands under an ``epoch=<id>`` subdirectory
     with ``mode("overwrite")``, so a replayed micro-batch (at-least-once
-    foreachBatch) rewrites its own epoch instead of duplicating rows —
-    idempotent without any cross-epoch read-modify-write. State grows
-    O(corpus) for the index/corpus tables and O(near-dup pairs) for the
-    output, never O(n²).
+    foreachBatch) rewrites its own epoch instead of duplicating rows, and
+    state reads are filtered to ``epoch < epoch_id`` — without that filter
+    a crash between ``handle_batch`` returning and Spark committing the
+    offset made the REPLAY see its own prior writes in the corpus/index
+    and fan every pair out 2×2 through the verification join (round-6
+    review, reproduced live). State grows O(corpus) for the index/corpus
+    tables and O(near-dup pairs) for the output, never O(n²).
+
+    The LSH recipe (num_perm/bands/shingle_k) is written to
+    ``<state_dir>/recipe.json`` on the first run and asserted on every
+    later one: band hashes from different recipes silently never match, so
+    a mismatched re-run would otherwise be a permanently recall-less
+    pipeline with zero errors (reproduced live with a 16-band index probed
+    at 32 bands).
 
     New batches MUST carry ids disjoint from everything already indexed
     (the incremental operator's contract); Spark's source checkpoint
     guarantees each FILE is processed once, so id-unique input files
     satisfy this for free.
     """
+    import json
     import os
 
     from syncmaven_spark.operators.dedup import (
@@ -272,25 +283,58 @@ def run_streaming_near_dup_sync(
     index_dir = os.path.join(state_dir, "index")
     corpus_dir = os.path.join(state_dir, "corpus")
     pairs_dir = os.path.join(state_dir, "pairs")
+    recipe_path = os.path.join(state_dir, "recipe.json")
     id_type = schema[id_col].dataType.simpleString()
 
-    def _read_or_empty(path: str, ddl: str) -> DataFrame:
-        # the select drops the epoch=<id> partition column the layout adds
-        cols = [c.strip().split(" ")[0] for c in ddl.split(",")]
-        try:
-            return spark.read.parquet(path).select(*cols)
-        except Exception:  # first epoch: state tables don't exist yet
+    recipe = {
+        "num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+        "id_col": id_col, "text_col": text_col,
+    }
+    if os.path.exists(recipe_path):
+        with open(recipe_path, encoding="utf-8") as f:
+            stored = json.load(f)
+        if stored != recipe:
+            raise ValueError(
+                "run_streaming_near_dup_sync: LSH recipe mismatch with the "
+                f"existing state at {state_dir!r}: stored {stored}, got "
+                f"{recipe}. Band hashes from different recipes never match "
+                "— probing would silently find no cross-batch pairs. Use "
+                "the stored recipe or start a fresh state_dir."
+            )
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        with open(recipe_path, "w", encoding="utf-8") as f:
+            json.dump(recipe, f)
+
+    def _read_state(path: str, cols: list[str], ddl: str, epoch_id: int) -> DataFrame:
+        # missing directory (not yet written) → empty; any OTHER read error
+        # must propagate — treating corrupted/unreadable state as "first
+        # epoch" would silently drop every cross-batch pair (round-6 review)
+        if not os.path.isdir(path):
             return spark.createDataFrame([], ddl)
+        # epoch < epoch_id: exclude a replayed epoch's own prior writes;
+        # the select then drops the epoch partition column the layout adds
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("epoch") < F.lit(int(epoch_id)))
+            .select(*cols)
+        )
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.select(id_col, text_col)
         if batch.isEmpty():
             return
-        index = _read_or_empty(
-            index_dir, f"{id_col} {id_type}, band_id int, band_hash bigint"
+        index = _read_state(
+            index_dir,
+            [id_col, "band_id", "band_hash"],
+            f"{id_col} {id_type}, band_id int, band_hash bigint",
+            epoch_id,
         )
-        corpus_old = _read_or_empty(
-            corpus_dir, f"{id_col} {id_type}, {text_col} string"
+        corpus_old = _read_state(
+            corpus_dir,
+            [id_col, text_col],
+            f"{id_col} {id_type}, {text_col} string",
+            epoch_id,
         )
         pairs = minhash_verified_pairs_incremental(
             batch, index, corpus_old.unionByName(batch),

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from syncmaven_spark.streaming import run_streaming_sync, windowed_event_counts
@@ -418,3 +420,63 @@ def test_streaming_near_dup_sync_probes_index_across_runs(spark, tmp_path):
     n_before = spark.read.parquet(state + "/pairs").count()
     run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
     assert spark.read.parquet(state + "/pairs").count() == n_before
+
+
+def test_streaming_near_dup_replay_is_idempotent(spark, tmp_path):
+    """Round-6 review (reproduced live): a replayed epoch used to read its
+    own prior writes from the corpus/index state and fan each pair out 2x2
+    through the verification join. State reads are now epoch-filtered, so
+    replaying from a wiped checkpoint rewrites identical pairs, once."""
+    from syncmaven_spark.streaming import run_streaming_near_dup_sync
+    import shutil
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    run_streaming_near_dup_sync(
+        spark, src, schema, state, ckpt, threshold=0.5, max_bucket_size=None
+    )
+    first = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(state + "/pairs").collect()
+    ]
+    assert first == [(1, 2, 1.0)]
+
+    # crash-after-write simulation: offsets lost, same files re-delivered
+    shutil.rmtree(ckpt)
+    run_streaming_near_dup_sync(
+        spark, src, schema, state, ckpt, threshold=0.5, max_bucket_size=None
+    )
+    replayed = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(state + "/pairs").collect()
+    ]
+    assert replayed == [(1, 2, 1.0)]  # exactly once, not 4 copies
+
+
+def test_streaming_near_dup_rejects_recipe_mismatch(spark, tmp_path):
+    """Round-6 review (reproduced live): probing a 16-band index with a
+    32-band recipe silently found zero cross-batch pairs. The state dir now
+    carries a recipe manifest and a mismatched re-run fails fast."""
+    from syncmaven_spark.streaming import run_streaming_near_dup_sync
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    run_streaming_near_dup_sync(
+        spark, src, schema, state, str(tmp_path / "ck1"), bands=32
+    )
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        run_streaming_near_dup_sync(
+            spark, src, schema, state, str(tmp_path / "ck2"), bands=16
+        )
