@@ -17,7 +17,9 @@ from syncmaven_spark.operators.dedup import (  # noqa: F401
     minhash_verified_pairs_incremental,
     ngram_jaccard_pairs,
     simhash,
+    simhash_chunk_index,
     simhash_near_dups,
+    simhash_near_dups_incremental,
 )
 from syncmaven_spark.operators.graph import (  # noqa: F401
     connected_components,

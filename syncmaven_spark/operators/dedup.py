@@ -559,29 +559,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return counts.select(F.col(id_col), F.expr(sim).alias("simhash"))
 
 
-def simhash_near_dups(
+def simhash_chunk_index(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
-
-    Blocking: split the 64-bit hash into ``max_hamming + 1`` chunks — any
-    pair within the distance must agree on at least one chunk exactly
-    (pigeonhole), so candidates come from equi-joins on chunk values, never a
-    cross join. Chunk widths are CEIL-distributed (64 = 9 chunks → one 8-bit
-    + eight 7-bit) so every signature bit is covered; the pigeonhole recall
-    guarantee holds for any width split.
-
-    ``max_bucket_size`` caps each (chunk, value) bucket — the same scale
-    lever as ``minhash_lsh_candidates``: a degenerate corpus (one boilerplate
-    signature repeated b times) otherwise drives an uncapped O(b²) candidate
-    join per chunk. Capping trades recall ONLY inside over-full buckets (docs
-    beyond the cap can still pair through their other ``max_hamming`` chunks);
-    pass ``None`` for the exact uncapped semantics (oracle/verification use).
-    """
+    """The pigeonhole chunk index of a corpus: ``(id, simhash, chunk_id,
+    chunk_val)`` rows — SimHash's persistable analog of
+    :func:`minhash_lsh_index`. The chunk layout is a function of
+    ``max_hamming`` (the recipe), so an index must be probed with the SAME
+    max_hamming it was built with."""
     max_bucket_size = check_bucket_cap(max_bucket_size)
     n_chunks = max_hamming + 1
     base, extra = divmod(64, n_chunks)
@@ -622,6 +611,36 @@ def simhash_near_dups(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
+    return chunks
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit hash into ``max_hamming + 1`` chunks — any
+    pair within the distance must agree on at least one chunk exactly
+    (pigeonhole), so candidates come from equi-joins on chunk values, never a
+    cross join. Chunk widths are CEIL-distributed (64 = 9 chunks → one 8-bit
+    + eight 7-bit) so every signature bit is covered; the pigeonhole recall
+    guarantee holds for any width split.
+
+    ``max_bucket_size`` caps each (chunk, value) bucket — the same scale
+    lever as ``minhash_lsh_candidates``: a degenerate corpus (one boilerplate
+    signature repeated b times) otherwise drives an uncapped O(b²) candidate
+    join per chunk. Capping trades recall ONLY inside over-full buckets (docs
+    beyond the cap can still pair through their other ``max_hamming`` chunks);
+    pass ``None`` for the exact uncapped semantics (oracle/verification use).
+    """
+    chunks = simhash_chunk_index(
+        df, text_col, id_col,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
 
     a = chunks.select(
         "chunk_id", "chunk_val",
@@ -635,6 +654,74 @@ def simhash_near_dups(
     return (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_near_dups_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Hamming-≤ pairs introduced by a NEW batch against an existing
+    :func:`simhash_chunk_index` built with the SAME ``max_hamming`` —
+    SimHash's continuous-ingestion path, mirroring
+    :func:`minhash_lsh_candidates_incremental`.
+
+    Only the batch is signed; candidates are new-vs-indexed (one chunk-key
+    probe of the index) plus new-vs-new (batch self-join), with the true
+    hamming computed from the carried signatures and pairs emitted
+    id-ordered like the full pass. With disjoint ids and no caps the output
+    equals the full-corpus pass restricted to pairs touching the batch
+    (property-tested). New ids must be disjoint from indexed ids.
+    """
+    new_chunks = _persist_scoped(
+        simhash_chunk_index(
+            new_df, text_col, id_col,
+            max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+        )
+    )
+    key = ["chunk_id", "chunk_val"]
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+
+    new_side = new_chunks.select(
+        *key, F.col(id_col).alias("_id_n"), F.col("simhash").alias("_sim_n")
+    )
+    old_side = index.select(
+        *key, F.col(id_col).alias("_id_o"), F.col("simhash").alias("_sim_o")
+    )
+    cross = (
+        new_side.join(old_side, key)
+        .filter(F.col("_id_n") != F.col("_id_o"))
+        .select(
+            F.least("_id_n", "_id_o").alias("id_a"),
+            F.greatest("_id_n", "_id_o").alias("id_b"),
+            # hamming is symmetric, so the id normalization can't flip it
+            F.col("_sim_n").alias("sim_a"),
+            F.col("_sim_o").alias("sim_b"),
+        )
+    )
+    within = (
+        new_chunks.select(
+            *key, F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")
+        )
+        .join(
+            new_chunks.select(
+                *key, F.col(id_col).alias("id_b"),
+                F.col("simhash").alias("sim_b"),
+            ),
+            key,
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+    )
+    return (
+        cross.unionByName(within)
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

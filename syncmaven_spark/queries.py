@@ -1395,6 +1395,57 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 @q(
+    "dedup_simhash_incremental",
+    "WITH m AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents), "
+    "t AS (SELECT doc_id, list_sort(list_filter(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), "
+    "'\\s+'), w -> w <> '')) AS toks FROM m) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming "
+    "FROM t a JOIN t b ON a.toks = b.toks AND a.doc_id < b.doc_id "
+    "AND len(a.toks) > 0 "
+    "WHERE a.doc_id >= 100000 OR b.doc_id >= 100000",
+    doc="Incremental SimHash dedup: the original corpus is indexed once "
+    "(simhash_chunk_index — the persistable pigeonhole-chunk table), and "
+    "an id-shifted copy arrives as the 'new batch', so every mirror pair "
+    "crosses the batch/index boundary. Candidates come from one chunk-key "
+    "probe of the index plus the batch self-join, verified by "
+    "token-multiset equality exactly like the full-pass sibling entry; "
+    "the derived oracle recomputes the same pair set restricted to pairs "
+    "touching the batch via a sorted-token self-join. Full-pass "
+    "equivalence is additionally property-tested in "
+    "tests/test_operators_dedup.py.",
+    tags=("dedup", "simhash", "incremental"),
+)
+def dedup_simhash_incremental(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        simhash_chunk_index,
+        simhash_near_dups_incremental,
+    )
+    from syncmaven_spark.operators.dedup import _words
+
+    t = _t(spark, sf_dir)
+    old = t["documents"].select("doc_id", "text")
+    new = old.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    index = simhash_chunk_index(
+        old, "text", "doc_id", max_hamming=8, max_bucket_size=None
+    )
+    cand = simhash_near_dups_incremental(
+        new, index, "text", "doc_id", max_hamming=8, max_bucket_size=None
+    )
+    mirrored = old.union(new)
+    tok_hash = F.xxhash64(F.sort_array(_words(F.col("text"))))
+    with_toks = mirrored.select("doc_id", tok_hash.alias("_th"))
+    a = with_toks.select(F.col("doc_id").alias("id_a"), F.col("_th").alias("_ha"))
+    b = with_toks.select(F.col("doc_id").alias("id_b"), F.col("_th").alias("_hb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("_ha") == F.col("_hb"))
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+@q(
     "dedup_ngram_jaccard",
     "WITH ws AS (SELECT doc_id, lang, source, "
     "list_distinct(list_filter(regexp_split_to_array(trim("

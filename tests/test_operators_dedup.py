@@ -252,3 +252,40 @@ def test_incremental_verified_pairs_and_batch_internal_dups(docs):
     assert (2, 3) in pairs               # near-dup WITHIN the new batch
     assert (4, 5) in pairs               # indexed doc 4 vs new doc 5
     assert all(a in (2, 3, 5) or b in (2, 3, 5) for (a, b) in pairs)
+
+
+def test_incremental_simhash_equals_full_pass_on_union(spark):
+    """SimHash's continuous-ingestion contract, mirroring the MinHash one:
+    indexing the old corpus and probing only the new batch yields exactly
+    the full-pass hamming pairs that touch the batch."""
+    from syncmaven_spark.operators import (
+        simhash_chunk_index,
+        simhash_near_dups_incremental,
+    )
+    from syncmaven_spark.session import load_tables
+
+    docs = load_tables(
+        spark, "/root/testdata/sf0.001", register_views=False
+    )["documents"]
+    # mirror the corpus so hamming-0 pairs exist by construction
+    mirrored = docs.select("doc_id", "text").union(
+        docs.select((docs.doc_id + 100000).alias("doc_id"), "text")
+    )
+    new = mirrored.filter("doc_id % 5 = 0")
+    old = mirrored.filter("doc_id % 5 <> 0")
+    cfg = dict(max_hamming=8, max_bucket_size=None)
+
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(mirrored, "text", "doc_id", **cfg).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    index = simhash_chunk_index(old, "text", "doc_id", **cfg)
+    inc = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups_incremental(
+            new, index, "text", "doc_id", **cfg
+        ).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0
