@@ -64,6 +64,7 @@ EXTRA = [
     "dedup_minhash_incremental",
     "text_quality_filter",
     "sample_token_budget",
+    "dedup_simhash_incremental",
 ]
 
 
