@@ -570,7 +570,21 @@ def simhash_chunk_index(
     chunk_val)`` rows — SimHash's persistable analog of
     :func:`minhash_lsh_index`. The chunk layout is a function of
     ``max_hamming`` (the recipe), so an index must be probed with the SAME
-    max_hamming it was built with."""
+    max_hamming it was built with.
+
+    Like the MinHash index, ``max_bucket_size`` caps each (chunk, value)
+    bucket to its lowest-id members at BUILD time — the cap composes
+    deterministically across incremental batches but truncates degenerate
+    buckets (recall loss past the cap); pass ``None`` for the exact
+    uncapped index.
+    """
+    if not (0 <= max_hamming <= 63):
+        # 64 bits split into max_hamming+1 chunks: >63 would create
+        # zero-width chunks whose value is 0 for EVERY doc — one bucket
+        # holding the whole corpus, degenerating the probe to a cross join
+        raise ValueError(
+            f"max_hamming must be in [0, 63]; got {max_hamming!r}"
+        )
     max_bucket_size = check_bucket_cap(max_bucket_size)
     n_chunks = max_hamming + 1
     base, extra = divmod(64, n_chunks)

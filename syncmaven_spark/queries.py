@@ -1376,15 +1376,21 @@ def dedup_simhash_pairs(spark, sf_dir):
     cand = simhash_near_dups(
         mirrored, "text", "doc_id", max_hamming=8, max_bucket_size=None
     )
-    # verification joins carry a 64-bit hash of the sorted token array, not
-    # the array itself (equality is preserved modulo ~2^-64 xxhash64
-    # collisions — the same trade ngram_jaccard_pairs documents for shingle
-    # sets), so the two candidate joins shuffle longs instead of full token
-    # arrays. _words is the operators' shared Unicode tokenizer.
+    return _simhash_token_verify(cand, mirrored)
+
+
+def _simhash_token_verify(cand: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Shared verification of SimHash candidate pairs by token-MULTISET
+    equality: joins carry a 64-bit hash of the sorted token array, not the
+    array itself (equality preserved modulo ~2^-64 xxhash64 collisions —
+    the trade ngram_jaccard_pairs documents for shingle sets), so the two
+    candidate joins shuffle longs instead of full token arrays. Used by
+    both the full-pass and incremental simhash entries so the trick can
+    only ever change in one place."""
     from syncmaven_spark.operators.dedup import _words
 
     tok_hash = F.xxhash64(F.sort_array(_words(F.col("text"))))
-    with_toks = mirrored.select("doc_id", tok_hash.alias("_th"))
+    with_toks = corpus.select("doc_id", tok_hash.alias("_th"))
     a = with_toks.select(F.col("doc_id").alias("id_a"), F.col("_th").alias("_ha"))
     b = with_toks.select(F.col("doc_id").alias("id_b"), F.col("_th").alias("_hb"))
     return (
@@ -1398,9 +1404,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     "dedup_simhash_incremental",
     "WITH m AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000, text FROM documents), "
-    "t AS (SELECT doc_id, list_sort(list_filter(regexp_split_to_array(trim("
-    "regexp_replace(lower(text), '[^\\p{L}\\p{N}_\\s]+', ' ', 'g')), "
-    "'\\s+'), w -> w <> '')) AS toks FROM m) "
+    "t AS (SELECT doc_id, list_sort(" + _TOKS_SQL + ") AS toks FROM m) "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming "
     "FROM t a JOIN t b ON a.toks = b.toks AND a.doc_id < b.doc_id "
     "AND len(a.toks) > 0 "
@@ -1422,7 +1426,6 @@ def dedup_simhash_incremental(spark, sf_dir):
         simhash_chunk_index,
         simhash_near_dups_incremental,
     )
-    from syncmaven_spark.operators.dedup import _words
 
     t = _t(spark, sf_dir)
     old = t["documents"].select("doc_id", "text")
@@ -1433,16 +1436,7 @@ def dedup_simhash_incremental(spark, sf_dir):
     cand = simhash_near_dups_incremental(
         new, index, "text", "doc_id", max_hamming=8, max_bucket_size=None
     )
-    mirrored = old.union(new)
-    tok_hash = F.xxhash64(F.sort_array(_words(F.col("text"))))
-    with_toks = mirrored.select("doc_id", tok_hash.alias("_th"))
-    a = with_toks.select(F.col("doc_id").alias("id_a"), F.col("_th").alias("_ha"))
-    b = with_toks.select(F.col("doc_id").alias("id_b"), F.col("_th").alias("_hb"))
-    return (
-        cand.join(a, "id_a").join(b, "id_b")
-        .filter(F.col("_ha") == F.col("_hb"))
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-    )
+    return _simhash_token_verify(cand, old.union(new))
 
 
 @q(

@@ -289,3 +289,14 @@ def test_incremental_simhash_equals_full_pass_on_union(spark):
     }
     assert inc == full
     assert len(inc) > 0
+
+
+def test_simhash_chunk_index_rejects_bad_max_hamming(spark):
+    """Round-6 review: max_hamming > 63 creates zero-width chunks whose
+    value is 0 for every doc — one bucket holding the whole corpus."""
+    from syncmaven_spark.operators import simhash_chunk_index
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    for bad in (64, -1, 100):
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_chunk_index(df, "text", "doc_id", max_hamming=bad)
