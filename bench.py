@@ -65,6 +65,7 @@ EXTRA = [
     "text_quality_filter",
     "sample_token_budget",
     "dedup_simhash_incremental",
+    "dedup_cosine_incremental",
 ]
 
 

@@ -26,8 +26,10 @@ from syncmaven_spark.operators.graph import (  # noqa: F401
     dedup_cluster_assignments,
 )
 from syncmaven_spark.operators.similarity import (  # noqa: F401
+    cosine_lsh_index,
     cosine_pairs_exact,
     cosine_pairs_lsh,
+    cosine_pairs_lsh_incremental,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
 )

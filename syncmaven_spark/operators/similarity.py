@@ -262,6 +262,158 @@ def cosine_pairs_exact(
     return source.mapInPandas(pairs, out_schema)
 
 
+def cosine_lsh_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """The sign-LSH bucket index of an embedding corpus: ``(id, table_id,
+    bucket)`` rows — the cosine analog of :func:`minhash_lsh_index`.
+
+    Planes derive deterministically from ``(seed, n_tables, n_planes,
+    dim)``, so an index built here and a later batch bucketed with the
+    SAME recipe (and the same vector dimensionality) land in directly
+    comparable buckets — what makes the index a persistable artifact for
+    :func:`cosine_pairs_lsh_incremental`. ``max_bucket_size`` caps each
+    (table, bucket) to its lowest-id members at BUILD time; ``None``
+    keeps the exact uncapped index.
+    """
+    from syncmaven_spark.operators.dedup import check_bucket_cap
+
+    max_bucket_size = check_bucket_cap(max_bucket_size)
+    nonnull = _usable_vectors(df, id_col, vec_col)
+    first = nonnull.select(vec_col).first()
+    id_type = df.schema[id_col].dataType.simpleString()
+    if first is None:  # empty corpus → empty index
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, table_id int, bucket long"
+        )
+    dim = len(first[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            X = np.array(series.tolist(), dtype=np.float64)
+            bits = (X @ planes.T) > 0  # (n, T*k)
+            out = []
+            for row in bits:
+                tables = row.reshape(n_tables, n_planes)
+                out.append([int(t @ weights) for t in tables])
+            yield pd.Series(out)
+
+    melted = nonnull.select(
+        F.col(id_col), buckets(F.col(vec_col)).alias("_buckets")
+    ).select(id_col, F.posexplode("_buckets").alias("table_id", "bucket"))
+    if max_bucket_size is not None:
+        w_bucket = W.partitionBy("table_id", "bucket").orderBy(id_col)
+        melted = (
+            melted.withColumn("_bn", F.row_number().over(w_bucket))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    return melted
+
+
+def cosine_pairs_lsh_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    round_to: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Cosine near-dup pairs introduced by a NEW embedding batch against an
+    existing :func:`cosine_lsh_index` built with the SAME recipe (seed,
+    n_planes, n_tables — and the same vector dimensionality) — the
+    continuous-ingestion path, mirroring the MinHash/SimHash incrementals.
+
+    Only the batch is hashed; candidates come from one bucket-key probe of
+    the index plus the batch self-join, and exact-cosine verification reads
+    only candidate-touched vectors from ``corpus_df`` (old ∪ new; semi-join
+    pruned). With disjoint ids and no caps the output equals the full-pass
+    :func:`cosine_pairs_lsh` restricted to pairs touching the batch
+    (property-tested). New ids must be disjoint from indexed ids.
+    """
+    from syncmaven_spark.operators.cache import persist_scoped
+
+    new_melt = persist_scoped(
+        cosine_lsh_index(
+            new_df, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, seed=seed,
+            max_bucket_size=max_bucket_size,
+        )
+    )
+    key = ["table_id", "bucket"]
+    cross = (
+        new_melt.select(*key, F.col(id_col).alias("_id_n"))
+        .join(index.select(*key, F.col(id_col).alias("_id_o")), key)
+        .filter(F.col("_id_n") != F.col("_id_o"))
+        .select(
+            F.least("_id_n", "_id_o").alias("id_a"),
+            F.greatest("_id_n", "_id_o").alias("id_b"),
+        )
+    )
+    within = (
+        new_melt.select(*key, F.col(id_col).alias("id_a"))
+        .join(new_melt.select(*key, F.col(id_col).alias("id_b")), key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    candidate_ids = persist_scoped(
+        cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+    )
+    touched = (
+        candidate_ids.select(F.col("id_a").alias(id_col))
+        .unionByName(candidate_ids.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = _usable_vectors(
+        corpus_df.join(touched, id_col, "left_semi"), id_col, vec_col
+    )
+    vecs = pruned.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    candidates = (
+        candidate_ids.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        candidates.withColumn(
+            "cos_sim",
+            _cosine(
+                _dot(F.col("vec_a"), F.col("vec_b")),
+                F.col("norm_a"), F.col("norm_b"), round_to,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float,
@@ -290,54 +442,25 @@ def cosine_pairs_lsh(
     ``None`` restores exact uncapped semantics.
     """
     from syncmaven_spark.operators.cache import persist_scoped
-    from syncmaven_spark.operators.dedup import check_bucket_cap
 
-    max_bucket_size = check_bucket_cap(max_bucket_size)
-    # planes need the vector dimension — read it from one non-null row
     nonnull = _usable_vectors(df, id_col, vec_col)
-    first = nonnull.select(vec_col).first()
-    if first is None:  # empty corpus → no pairs
+    if nonnull.select(vec_col).first() is None:  # empty corpus → no pairs
         return df.sparkSession.createDataFrame([], _pair_schema(df, id_col))
-    dim = len(first[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables * n_planes, dim))
-    weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for series in batches:
-            X = np.array(series.tolist(), dtype=np.float64)
-            bits = (X @ planes.T) > 0  # (n, T*k)
-            out = []
-            for row in bits:
-                tables = row.reshape(n_tables, n_planes)
-                out.append([int(t @ weights) for t in tables])
-            yield pd.Series(out)
-
-    # persisted: the bucketed table feeds the a/b sides of the candidate
-    # join AND the two vector re-joins below — without the pool each would
-    # recompute the hashing UDF over the corpus
-    with_buckets = persist_scoped(
-        nonnull.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("vec"),
-            buckets(F.col(vec_col)).alias("_buckets"),
-        ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    # persisted: the melted bucket table (the only consumer of the hashing
+    # UDF) feeds both sides of the candidate join; the vec/norm projection
+    # is cheap column math computed alongside
+    melted = persist_scoped(
+        cosine_lsh_index(
+            df, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, seed=seed,
+            max_bucket_size=max_bucket_size,
+        )
     )
-
     # the bucket join carries IDS ONLY: melting the vectors through
     # posexplode shuffled ~2 x n_tables copies of every embedding (96x at
     # n_tables=48) through the join and the dedup — the vectors join back
     # exactly once per side AFTER candidate dedup
-    melted = with_buckets.select(
-        id_col, F.posexplode("_buckets").alias("table_id", "bucket")
-    )
-    if max_bucket_size is not None:
-        w_bucket = W.partitionBy("table_id", "bucket").orderBy(id_col)
-        melted = (
-            melted.withColumn("_bn", F.row_number().over(w_bucket))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
     a = melted.select("table_id", "bucket", F.col(id_col).alias("id_a"))
     b = melted.select("table_id", "bucket", F.col(id_col).alias("id_b"))
     candidate_ids = (
@@ -346,7 +469,11 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = with_buckets.select(id_col, "vec", "norm")
+    vecs = persist_scoped(
+        nonnull.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+        ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    )
     candidates = (
         candidate_ids.join(
             vecs.select(

@@ -1513,6 +1513,43 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
 
 
 @q(
+    "dedup_cosine_incremental",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0) "
+    "AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 4) >= 0.4",
+    doc="Incremental embedding near-dups: the 80% base corpus is indexed "
+    "once (cosine_lsh_index — the persistable sign-LSH bucket table; "
+    "planes derive deterministically from the recipe) and the 20% batch "
+    "(vec_id % 5 = 0) is hashed and probed against it, with exact-cosine "
+    "verification reading only candidate-touched vectors (semi-join "
+    "pruned). At 48 tables × 4 bits a cosine-0.4 pair misses every table "
+    "with p < 1e-4, so the output equals the exact ≥0.4 pair set "
+    "restricted to batch-touching pairs — which the all-pairs SQL oracle "
+    "computes directly. Full-pass equivalence is also property-tested. "
+    "Completes the incremental trilogy: every near-dup family (MinHash, "
+    "SimHash, cosine) supports index-probe continuous ingestion.",
+    tags=("dedup", "similarity", "lsh", "incremental"),
+)
+def dedup_cosine_incremental(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        cosine_lsh_index,
+        cosine_pairs_lsh_incremental,
+    )
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    cfg = dict(n_planes=4, n_tables=48, max_bucket_size=None)
+    index = cosine_lsh_index(old, **cfg)
+    return cosine_pairs_lsh_incremental(new, index, emb, threshold=0.4, **cfg)
+
+
+@q(
     "knn_cosine_ivf",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
     "TRUE AS recall_ge_04 FROM embeddings WHERE vec_id < 8",

@@ -55,3 +55,37 @@ def test_lsh_deterministic(planted):
     a = sorted((r.id_a, r.id_b) for r in cosine_pairs_lsh(planted, 0.9).collect())
     b = sorted((r.id_a, r.id_b) for r in cosine_pairs_lsh(planted, 0.9).collect())
     assert a == b
+
+
+def test_incremental_cosine_lsh_equals_full_pass_on_union(spark):
+    """The continuous-ingestion contract for the cosine family: indexing
+    the old vectors and probing only the new batch yields exactly the
+    full-pass verified pairs that touch the batch (uncapped, same seed)."""
+    from syncmaven_spark.operators import (
+        cosine_lsh_index,
+        cosine_pairs_lsh,
+        cosine_pairs_lsh_incremental,
+    )
+    from syncmaven_spark.session import load_tables
+
+    emb = load_tables(
+        spark, "/root/testdata/sf0.001", register_views=False
+    )["embeddings"]
+    new = emb.filter("vec_id % 5 = 0")
+    old = emb.filter("vec_id % 5 <> 0")
+    cfg = dict(n_planes=4, n_tables=48, max_bucket_size=None)
+
+    full = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_pairs_lsh(emb, threshold=0.4, **cfg).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    index = cosine_lsh_index(old, **cfg)
+    inc = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in cosine_pairs_lsh_incremental(
+            new, index, emb, threshold=0.4, **cfg
+        ).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0
