@@ -292,7 +292,17 @@ def cosine_lsh_index(
         return df.sparkSession.createDataFrame(
             [], f"{id_col} {id_type}, table_id int, bucket long"
         )
-    dim = len(first[0])
+    buckets = _plane_bucket_udf(len(first[0]), n_planes, n_tables, seed)
+    wb = nonnull.select(
+        F.col(id_col), buckets(F.col(vec_col)).alias("_buckets")
+    )
+    return _melt_buckets(wb, id_col, max_bucket_size)
+
+
+def _plane_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """The sign-LSH hashing UDF: vectors → one bucket id per table. Planes
+    derive deterministically from (seed, n_tables, n_planes, dim) — shared
+    by the index builder and the full pass so both bucket identically."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_tables * n_planes, dim))
     weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
@@ -308,9 +318,17 @@ def cosine_lsh_index(
                 out.append([int(t @ weights) for t in tables])
             yield pd.Series(out)
 
-    melted = nonnull.select(
-        F.col(id_col), buckets(F.col(vec_col)).alias("_buckets")
-    ).select(id_col, F.posexplode("_buckets").alias("table_id", "bucket"))
+    return buckets
+
+
+def _melt_buckets(
+    with_buckets: DataFrame, id_col: str, max_bucket_size: int | None
+) -> DataFrame:
+    """Explode a ``_buckets`` array column to (id, table_id, bucket) rows
+    with the build-time per-bucket cap (already validated by the caller)."""
+    melted = with_buckets.select(
+        id_col, F.posexplode("_buckets").alias("table_id", "bucket")
+    )
     if max_bucket_size is not None:
         w_bucket = W.partitionBy("table_id", "bucket").orderBy(id_col)
         melted = (
@@ -319,6 +337,46 @@ def cosine_lsh_index(
             .drop("_bn")
         )
     return melted
+
+
+def _verify_cosine_pairs(
+    candidate_ids: DataFrame,
+    vecs: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """Exact-cosine verification shared by the full-pass and incremental
+    sign-LSH operators (one place to change, mirroring
+    queries._simhash_token_verify): join each side's (vec, norm) onto the
+    deduped candidate id pairs, score, threshold."""
+    candidates = (
+        candidate_ids.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        candidates.withColumn(
+            "cos_sim",
+            _cosine(
+                _dot(F.col("vec_a"), F.col("vec_b")),
+                F.col("norm_a"), F.col("norm_b"), round_to,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 def cosine_pairs_lsh_incremental(
@@ -385,33 +443,7 @@ def cosine_pairs_lsh_incremental(
     vecs = pruned.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
-    candidates = (
-        candidate_ids.join(
-            vecs.select(
-                F.col(id_col).alias("id_a"),
-                F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            vecs.select(
-                F.col(id_col).alias("id_b"),
-                F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
-            ),
-            "id_b",
-        )
-    )
-    return (
-        candidates.withColumn(
-            "cos_sim",
-            _cosine(
-                _dot(F.col("vec_a"), F.col("vec_b")),
-                F.col("norm_a"), F.col("norm_b"), round_to,
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return _verify_cosine_pairs(candidate_ids, vecs, id_col, threshold, round_to)
 
 
 def cosine_pairs_lsh(
@@ -442,25 +474,31 @@ def cosine_pairs_lsh(
     ``None`` restores exact uncapped semantics.
     """
     from syncmaven_spark.operators.cache import persist_scoped
+    from syncmaven_spark.operators.dedup import check_bucket_cap
 
+    max_bucket_size = check_bucket_cap(max_bucket_size)
     nonnull = _usable_vectors(df, id_col, vec_col)
-    if nonnull.select(vec_col).first() is None:  # empty corpus → no pairs
+    first = nonnull.select(vec_col).first()
+    if first is None:  # empty corpus → no pairs
         return df.sparkSession.createDataFrame([], _pair_schema(df, id_col))
 
-    # persisted: the melted bucket table (the only consumer of the hashing
-    # UDF) feeds both sides of the candidate join; the vec/norm projection
-    # is cheap column math computed alongside
-    melted = persist_scoped(
-        cosine_lsh_index(
-            df, id_col=id_col, vec_col=vec_col,
-            n_planes=n_planes, n_tables=n_tables, seed=seed,
-            max_bucket_size=max_bucket_size,
-        )
+    # ONE persisted scan carries buckets + vec + norm together (the hashing
+    # UDF runs once; the vec/norm projection IS cheap column math computed
+    # alongside): it feeds both sides of the candidate join via the melt
+    # AND the two verification re-joins — one cache-pool slot, one source
+    # read, exactly the pre-index-refactor layout
+    buckets = _plane_bucket_udf(len(first[0]), n_planes, n_tables, seed)
+    with_buckets = persist_scoped(
+        nonnull.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("vec"),
+            buckets(F.col(vec_col)).alias("_buckets"),
+        ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
     )
     # the bucket join carries IDS ONLY: melting the vectors through
     # posexplode shuffled ~2 x n_tables copies of every embedding (96x at
     # n_tables=48) through the join and the dedup — the vectors join back
     # exactly once per side AFTER candidate dedup
+    melted = _melt_buckets(with_buckets, id_col, max_bucket_size)
     a = melted.select("table_id", "bucket", F.col(id_col).alias("id_a"))
     b = melted.select("table_id", "bucket", F.col(id_col).alias("id_b"))
     candidate_ids = (
@@ -469,38 +507,8 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = persist_scoped(
-        nonnull.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
-        ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
-    )
-    candidates = (
-        candidate_ids.join(
-            vecs.select(
-                F.col(id_col).alias("id_a"),
-                F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            vecs.select(
-                F.col(id_col).alias("id_b"),
-                F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"),
-            ),
-            "id_b",
-        )
-    )
-    return (
-        candidates.withColumn(
-            "cos_sim",
-            _cosine(
-                _dot(F.col("vec_a"), F.col("vec_b")),
-                F.col("norm_a"), F.col("norm_b"), round_to,
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    vecs = with_buckets.select(id_col, "vec", "norm")
+    return _verify_cosine_pairs(candidate_ids, vecs, id_col, threshold, round_to)
 
 
 def cosine_topk_ivf(

@@ -1497,10 +1497,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     "CAST(b.embedding AS DOUBLE[])), 4) >= 0.4",
     doc="Embedding near-dups via random-hyperplane sign-LSH (48 tables × 4 "
     "bits, deterministic seed): bucket equi-join candidates verified with "
-    "exact cosine — the scale path. At these parameters a cosine-0.4 pair "
-    "misses all 48 tables with p < 1e-4, so the verified output equals the "
-    "exact ≥0.4 pair set and shares its SQL oracle (recall vs the exact "
-    "pass also asserted in tests).",
+    "exact cosine — the scale path. A pair at EXACTLY cosine 0.4 misses "
+    "all 48 tables with p ≈ 2.5e-4 ((1-(1-acos(0.4)/π)⁴)⁴⁸), dropping "
+    "fast for more-similar pairs, so on this corpus the verified output "
+    "equals the exact ≥0.4 pair set and shares its SQL oracle (recall vs "
+    "the exact pass also asserted in tests).",
     tags=("dedup", "similarity", "lsh"),
 )
 def dedup_embedding_cosine_lsh(spark, sf_dir):
@@ -1526,10 +1527,11 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     "planes derive deterministically from the recipe) and the 20% batch "
     "(vec_id % 5 = 0) is hashed and probed against it, with exact-cosine "
     "verification reading only candidate-touched vectors (semi-join "
-    "pruned). At 48 tables × 4 bits a cosine-0.4 pair misses every table "
-    "with p < 1e-4, so the output equals the exact ≥0.4 pair set "
-    "restricted to batch-touching pairs — which the all-pairs SQL oracle "
-    "computes directly. Full-pass equivalence is also property-tested. "
+    "pruned). At 48 tables × 4 bits a pair at exactly cosine 0.4 misses "
+    "every table with p ≈ 2.5e-4 (dropping fast above the threshold), so "
+    "on this corpus the output equals the exact ≥0.4 pair set restricted "
+    "to batch-touching pairs — which the all-pairs SQL oracle computes "
+    "directly. Full-pass equivalence is also property-tested. "
     "Completes the incremental trilogy: every near-dup family (MinHash, "
     "SimHash, cosine) supports index-probe continuous ingestion.",
     tags=("dedup", "similarity", "lsh", "incremental"),
