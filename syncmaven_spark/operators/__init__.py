@@ -9,29 +9,35 @@ broadcast arrays).
 
 from syncmaven_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    hashed_shingle_sets,
     minhash_signatures,
     minhash_lsh_candidates,
     minhash_lsh_candidates_incremental,
     minhash_lsh_index,
     minhash_verified_pairs,
     minhash_verified_pairs_incremental,
+    minhash_verify_candidates,
     ngram_jaccard_pairs,
     simhash,
     simhash_chunk_index,
     simhash_near_dups,
     simhash_near_dups_incremental,
+    touched_ids,
 )
 from syncmaven_spark.operators.graph import (  # noqa: F401
     connected_components,
     dedup_cluster_assignments,
 )
 from syncmaven_spark.operators.similarity import (  # noqa: F401
+    cosine_lsh_candidates_incremental,
     cosine_lsh_index,
     cosine_pairs_exact,
     cosine_pairs_lsh,
     cosine_pairs_lsh_incremental,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
+    normalized_vectors,
+    verify_cosine_candidates,
 )
 from syncmaven_spark.operators.packing import (  # noqa: F401
     mixture_weights,

@@ -29,6 +29,48 @@ DEFAULT_BANDS = 16
 from syncmaven_spark.operators.cache import persist_scoped as _persist_scoped
 
 
+#: StructField-metadata key carrying an index's build recipe. Column
+#: metadata survives a parquet write/read round-trip (Spark persists it in
+#: the file footer's Spark schema), so a persisted index still knows the
+#: recipe it was built with and probes can fail fast on a mismatch instead
+#: of silently finding zero cross-batch pairs (round-6 advice: the split
+#: build/probe API's defaults could drift apart with no error anywhere).
+RECIPE_META_KEY = "syncmaven.lsh_recipe"
+
+
+def _with_recipe_meta(df: DataFrame, col_name: str, recipe: dict) -> DataFrame:
+    """Stamp ``recipe`` onto ``col_name``'s field metadata."""
+    return df.withColumn(
+        col_name,
+        F.col(col_name).alias(col_name, metadata={RECIPE_META_KEY: recipe}),
+    )
+
+
+def check_index_recipe(index: DataFrame, col_name: str, expected: dict) -> None:
+    """Assert a probe's recipe matches the one stamped on the index.
+
+    Indexes built by this package carry their recipe as field metadata on
+    the hash/bucket column (see :data:`RECIPE_META_KEY`); hand-built or
+    legacy indexes without the stamp are accepted unchecked (the contract
+    is then the caller's, as before). Values compare as ints so a JSON
+    round-trip through parquet metadata cannot produce false mismatches.
+    """
+    field = index.schema[col_name] if col_name in index.columns else None
+    stored = (field.metadata or {}).get(RECIPE_META_KEY) if field else None
+    if stored is None:
+        return
+    stored_n = {k: int(v) for k, v in stored.items()}
+    expected_n = {k: int(v) for k, v in expected.items()}
+    if stored_n != expected_n:
+        raise ValueError(
+            f"index recipe mismatch: the index was built with {stored_n} "
+            f"but is being probed with {expected_n}. Hashes from different "
+            "recipes never match — the probe would silently find no "
+            "cross-batch pairs. Probe with the index's own recipe or "
+            "rebuild the index."
+        )
+
+
 def check_bucket_cap(max_bucket_size: int | None) -> int | None:
     """Validate a per-bucket candidate cap. ``None`` means uncapped; any
     integer must be >= 1. Guarding here (shared by the MinHash, SimHash and
@@ -230,7 +272,12 @@ def minhash_lsh_index(
             .filter(F.col("_rn") <= max_bucket_size)
             .drop("_rn")
         )
-    return melted
+    # the stamped recipe rides parquet metadata so a later probe of the
+    # persisted index can assert compatibility (check_index_recipe)
+    return _with_recipe_meta(
+        melted, "band_hash",
+        {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+    )
 
 
 def minhash_lsh_candidates(
@@ -311,6 +358,51 @@ def _jaccard_verified(pairs: DataFrame, threshold: float) -> DataFrame:
         pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def hashed_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """Public builder of the ``(id, _set)`` hashed-shingle-set table — the
+    PERSISTABLE verification artifact of the MinHash recipe (``_set`` is the
+    distinct xxhash64-hashed shingle array; far smaller than the raw text).
+
+    A continuously-ingested corpus stores this alongside
+    :func:`minhash_lsh_index`, partitioned/bucketed by an id hash, so
+    per-batch exact-Jaccard verification is a pruned fetch of
+    candidate-touched rows instead of a full corpus re-scan + re-shingle
+    (the round-6 streaming composition re-read the whole persisted text
+    corpus every micro-batch). Built with the SAME ``shingle_k`` as the
+    index it accompanies.
+    """
+    return _hashed_shingle_sets(_spread(df, id_col), text_col, id_col, shingle_k)
+
+
+def minhash_verify_candidates(
+    cands: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate ``(id_a, id_b)`` table
+    against a ``(id, _set)`` table from :func:`hashed_shingle_sets` that
+    covers every candidate-touched id → ``(id_a, id_b, jaccard ≥ t)``.
+
+    Shared by the batch pipelines and the streaming composition (which
+    feeds it a partition-pruned read of the persisted sets table)."""
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
+    return _jaccard_verified(cands.join(a, "id_a").join(b, "id_b"), threshold)
+
+
+def touched_ids(cands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct ids appearing on either side of a candidate pair table —
+    the semi-join pruning key every incremental verification shares."""
+    return (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
 
 
@@ -416,6 +508,32 @@ def minhash_verified_pairs(
     )
 
 
+def _check_new_ids_disjoint(
+    new_df: DataFrame, index: DataFrame, id_col: str, what: str
+) -> None:
+    """Eagerly verify the incremental contract that a new batch's ids are
+    disjoint from the ids already in the index (opt-in via
+    ``assert_new_ids``; round-6 verdict). A violation is otherwise SILENT:
+    the re-ingested id's old and new hash rows pair as (x, x) and are
+    dropped by the self-pair filter, so the old-vs-new near-dup pair is
+    simply never emitted. Cost: one batch-sized semi-join probed with
+    ``limit(1)`` — it never materializes more than one collision."""
+    hit = (
+        new_df.select(id_col)
+        .join(index.select(id_col).distinct(), id_col, "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        raise ValueError(
+            f"{what}: new batch re-ingests id {hit[0][0]!r} which is "
+            "already in the index. The incremental probe requires disjoint "
+            "ids — a re-ingested id silently loses its old-vs-new pair. "
+            "Deduplicate the batch against the indexed ids (anti-join) or "
+            "rebuild the index without the stale rows."
+        )
+
+
 def minhash_lsh_candidates_incremental(
     new_df: DataFrame,
     index: DataFrame,
@@ -425,6 +543,7 @@ def minhash_lsh_candidates_incremental(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
     max_bucket_size: int | None = 200,
+    assert_new_ids: bool = False,
 ) -> DataFrame:
     """Candidate pairs introduced by a NEW document batch against an
     existing LSH ``index`` (from ``minhash_lsh_index`` with the SAME
@@ -448,7 +567,22 @@ def minhash_lsh_candidates_incremental(
     in the index still accepts probes from new docs — the cap bounds each
     side's contribution, not the union, so repeated small batches cannot
     starve later batches out of candidacy entirely.
+
+    An index built by :func:`minhash_lsh_index` carries its recipe as
+    column metadata (surviving parquet); a probe with different
+    num_perm/bands/shingle_k fails fast here instead of silently finding
+    zero cross-batch pairs. ``assert_new_ids=True`` additionally verifies
+    the disjoint-ids contract eagerly (one batch-sized semi-join;
+    default-off to keep the hot path job-free).
     """
+    check_index_recipe(
+        index, "band_hash",
+        {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+    )
+    if assert_new_ids:
+        _check_new_ids_disjoint(
+            new_df, index, id_col, "minhash_lsh_candidates_incremental"
+        )
     new_melted = minhash_lsh_index(
         new_df, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
@@ -490,10 +624,11 @@ def minhash_verified_pairs_incremental(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 32,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
     max_bucket_size: int | None = 200,
+    assert_new_ids: bool = False,
 ) -> DataFrame:
     """Verified near-dup pairs introduced by a new batch: incremental LSH
     candidates exact-Jaccard-verified to ``(id_a, id_b, jaccard)``.
@@ -502,25 +637,27 @@ def minhash_verified_pairs_incremental(
     texts). Verification only reads the texts of candidate ids — the
     semi-join below prunes the corpus scan to the candidate-sparse subset
     before the expensive shingle/hash projection, so the cost scales with
-    the batch's near-dup degree, not the corpus size.
+    the batch's near-dup degree, not the corpus size. (When the corpus's
+    hashed shingle sets are already persisted — the streaming composition —
+    verify from them directly with :func:`minhash_verify_candidates`
+    instead of re-shingling from text.)
+
+    Defaults mirror :func:`minhash_lsh_index` exactly (round-6 advice: the
+    split build/probe API previously defaulted to DIFFERENT band counts, so
+    default-built indexes probed with default probes silently never
+    matched); a recipe mismatch against a stamped index now also fails fast
+    in the candidate stage.
     """
     cands = _persist_scoped(
         minhash_lsh_candidates_incremental(
             new_df, index, text_col, id_col,
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-            max_bucket_size=max_bucket_size,
+            max_bucket_size=max_bucket_size, assert_new_ids=assert_new_ids,
         ).select("id_a", "id_b")
     )
-    touched = (
-        cands.select(F.col("id_a").alias(id_col))
-        .unionByName(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    pruned = corpus_df.join(touched, id_col, "left_semi")
+    pruned = corpus_df.join(touched_ids(cands, id_col), id_col, "left_semi")
     sets = _hashed_shingle_sets(_spread(pruned, id_col), text_col, id_col, shingle_k)
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b"))
-    return _jaccard_verified(cands.join(a, "id_a").join(b, "id_b"), threshold)
+    return minhash_verify_candidates(cands, sets, id_col, threshold)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -625,7 +762,8 @@ def simhash_chunk_index(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
-    return chunks
+    # recipe stamp (survives parquet) — probes assert the chunk layout
+    return _with_recipe_meta(chunks, "chunk_val", {"max_hamming": max_hamming})
 
 
 def simhash_near_dups(
@@ -681,6 +819,7 @@ def simhash_near_dups_incremental(
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
+    assert_new_ids: bool = False,
 ) -> DataFrame:
     """Hamming-≤ pairs introduced by a NEW batch against an existing
     :func:`simhash_chunk_index` built with the SAME ``max_hamming`` —
@@ -692,8 +831,16 @@ def simhash_near_dups_incremental(
     hamming computed from the carried signatures and pairs emitted
     id-ordered like the full pass. With disjoint ids and no caps the output
     equals the full-corpus pass restricted to pairs touching the batch
-    (property-tested). New ids must be disjoint from indexed ids.
+    (property-tested). New ids must be disjoint from indexed ids
+    (``assert_new_ids=True`` enforces it eagerly); a stamped index built
+    with a different ``max_hamming`` fails fast (the chunk layout is a
+    function of it, so mismatched probes never share chunk values).
     """
+    check_index_recipe(index, "chunk_val", {"max_hamming": max_hamming})
+    if assert_new_ids:
+        _check_new_ids_disjoint(
+            new_df, index, id_col, "simhash_near_dups_incremental"
+        )
     new_chunks = _persist_scoped(
         simhash_chunk_index(
             new_df, text_col, id_col,

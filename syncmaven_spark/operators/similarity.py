@@ -282,7 +282,10 @@ def cosine_lsh_index(
     (table, bucket) to its lowest-id members at BUILD time; ``None``
     keeps the exact uncapped index.
     """
-    from syncmaven_spark.operators.dedup import check_bucket_cap
+    from syncmaven_spark.operators.dedup import (
+        _with_recipe_meta,
+        check_bucket_cap,
+    )
 
     max_bucket_size = check_bucket_cap(max_bucket_size)
     nonnull = _usable_vectors(df, id_col, vec_col)
@@ -296,7 +299,14 @@ def cosine_lsh_index(
     wb = nonnull.select(
         F.col(id_col), buckets(F.col(vec_col)).alias("_buckets")
     )
-    return _melt_buckets(wb, id_col, max_bucket_size)
+    # recipe stamp (incl. dim — planes derive from it too) survives parquet;
+    # probes assert it via dedup.check_index_recipe
+    return _with_recipe_meta(
+        _melt_buckets(wb, id_col, max_bucket_size),
+        "bucket",
+        {"n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+         "dim": len(first[0])},
+    )
 
 
 def _plane_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
@@ -379,33 +389,71 @@ def _verify_cosine_pairs(
     )
 
 
-def cosine_pairs_lsh_incremental(
+def normalized_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``(id, vec, norm)`` with ``vec`` cast to double and ``norm`` its L2
+    length — the PERSISTABLE verification artifact of the cosine recipe
+    (what :func:`_verify_cosine_pairs` consumes). A continuously-ingested
+    corpus stores this alongside :func:`cosine_lsh_index`, partitioned by
+    an id hash, so per-batch exact-cosine verification is a pruned fetch of
+    candidate-touched rows instead of a full corpus re-scan."""
+    usable = _usable_vectors(df, id_col, vec_col)
+    return usable.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+
+
+def verify_cosine_candidates(
+    candidate_ids: DataFrame,
+    vecs: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """Public exact-cosine verification of ``(id_a, id_b)`` candidates
+    against a :func:`normalized_vectors` table covering every touched id —
+    shared by the batch pipelines and the streaming composition."""
+    return _verify_cosine_pairs(candidate_ids, vecs, id_col, threshold, round_to)
+
+
+def cosine_lsh_candidates_incremental(
     new_df: DataFrame,
     index: DataFrame,
-    corpus_df: DataFrame,
-    threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 6,
     seed: int = 42,
-    round_to: int = 4,
     max_bucket_size: int | None = 1000,
+    assert_new_ids: bool = False,
 ) -> DataFrame:
-    """Cosine near-dup pairs introduced by a NEW embedding batch against an
-    existing :func:`cosine_lsh_index` built with the SAME recipe (seed,
-    n_planes, n_tables — and the same vector dimensionality) — the
-    continuous-ingestion path, mirroring the MinHash/SimHash incrementals.
+    """Candidate ``(id_a, id_b)`` pairs introduced by a NEW embedding batch
+    against an existing :func:`cosine_lsh_index` — the candidate stage of
+    :func:`cosine_pairs_lsh_incremental`, exposed so callers holding a
+    persisted vector table can prune the verification fetch themselves.
 
-    Only the batch is hashed; candidates come from one bucket-key probe of
-    the index plus the batch self-join, and exact-cosine verification reads
-    only candidate-touched vectors from ``corpus_df`` (old ∪ new; semi-join
-    pruned). With disjoint ids and no caps the output equals the full-pass
-    :func:`cosine_pairs_lsh` restricted to pairs touching the batch
-    (property-tested). New ids must be disjoint from indexed ids.
+    A stamped index built with a different (n_planes, n_tables, seed, dim)
+    recipe fails fast; ``assert_new_ids=True`` eagerly enforces the
+    disjoint-ids contract (one batch-sized semi-join).
     """
     from syncmaven_spark.operators.cache import persist_scoped
+    from syncmaven_spark.operators.dedup import (
+        _check_new_ids_disjoint,
+        check_index_recipe,
+    )
 
+    first = _usable_vectors(new_df, id_col, vec_col).select(vec_col).first()
+    if first is not None:
+        check_index_recipe(
+            index, "bucket",
+            {"n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+             "dim": len(first[0])},
+        )
+    if assert_new_ids:
+        _check_new_ids_disjoint(
+            new_df, index, id_col, "cosine_lsh_candidates_incremental"
+        )
     new_melt = persist_scoped(
         cosine_lsh_index(
             new_df, id_col=id_col, vec_col=vec_col,
@@ -429,20 +477,48 @@ def cosine_pairs_lsh_incremental(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    candidate_ids = persist_scoped(
+    return persist_scoped(
         cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
     )
-    touched = (
-        candidate_ids.select(F.col("id_a").alias(id_col))
-        .unionByName(candidate_ids.select(F.col("id_b").alias(id_col)))
-        .distinct()
+
+
+def cosine_pairs_lsh_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    round_to: int = 4,
+    max_bucket_size: int | None = 1000,
+    assert_new_ids: bool = False,
+) -> DataFrame:
+    """Cosine near-dup pairs introduced by a NEW embedding batch against an
+    existing :func:`cosine_lsh_index` built with the SAME recipe (seed,
+    n_planes, n_tables — and the same vector dimensionality; a stamped
+    index fails fast on a mismatch) — the continuous-ingestion path,
+    mirroring the MinHash/SimHash incrementals.
+
+    Only the batch is hashed; candidates come from one bucket-key probe of
+    the index plus the batch self-join, and exact-cosine verification reads
+    only candidate-touched vectors from ``corpus_df`` (old ∪ new; semi-join
+    pruned). With disjoint ids and no caps the output equals the full-pass
+    :func:`cosine_pairs_lsh` restricted to pairs touching the batch
+    (property-tested). New ids must be disjoint from indexed ids
+    (``assert_new_ids=True`` enforces it eagerly).
+    """
+    from syncmaven_spark.operators.dedup import touched_ids
+
+    candidate_ids = cosine_lsh_candidates_incremental(
+        new_df, index, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+        max_bucket_size=max_bucket_size, assert_new_ids=assert_new_ids,
     )
-    pruned = _usable_vectors(
-        corpus_df.join(touched, id_col, "left_semi"), id_col, vec_col
-    )
-    vecs = pruned.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    pruned = corpus_df.join(touched_ids(candidate_ids, id_col), id_col, "left_semi")
+    vecs = normalized_vectors(pruned, id_col, vec_col)
     return _verify_cosine_pairs(candidate_ids, vecs, id_col, threshold, round_to)
 
 

@@ -3682,6 +3682,12 @@ _DRIVER_CHECKED = frozenset({
     # newly green in CORRECTNESS_r04.json:
     'fn_array_functions', 'rel_approx_distinct', 'rel_approx_percentiles',
     'rel_global_sales_opportunity', 'text_char_entropy',
+    # newly green in CORRECTNESS_r06.json (all 10 round-6 additions):
+    'text_repetition_stats', 'text_pii_redaction', 'pack_concat_chunks',
+    'text_boilerplate_ngrams', 'mix_sampling_weights',
+    'dedup_minhash_incremental', 'text_quality_filter',
+    'sample_token_budget', 'dedup_simhash_incremental',
+    'dedup_cosine_incremental',
 })
 
 

@@ -89,3 +89,36 @@ def test_incremental_cosine_lsh_equals_full_pass_on_union(spark):
     }
     assert inc == full
     assert len(inc) > 0
+
+
+def test_cosine_index_recipe_stamp_and_new_id_guard(planted, tmp_path):
+    """The cosine index carries its (n_planes, n_tables, seed, dim) recipe
+    as parquet-surviving column metadata; a mismatched probe fails fast and
+    assert_new_ids enforces the disjoint-ids contract (round-6 advice +
+    verdict, cosine family)."""
+    from syncmaven_spark.operators import (
+        cosine_lsh_candidates_incremental,
+        cosine_lsh_index,
+    )
+
+    spark = planted.sparkSession
+    old = planted.filter("vec_id < 50")
+    new = planted.filter("vec_id >= 50")
+    path = str(tmp_path / "cos_index")
+    cosine_lsh_index(old, n_planes=4, n_tables=8).write.parquet(path)
+    stored = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        cosine_lsh_candidates_incremental(new, stored, n_planes=8, n_tables=8)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        cosine_lsh_candidates_incremental(
+            new, stored, n_planes=4, n_tables=8, seed=43
+        )
+    assert cosine_lsh_candidates_incremental(
+        new, stored, n_planes=4, n_tables=8
+    ).count() >= 0
+
+    overlapping = planted.filter("vec_id in (0, 99)")  # 0 is indexed
+    with pytest.raises(ValueError, match="re-ingests id"):
+        cosine_lsh_candidates_incremental(
+            overlapping, stored, n_planes=4, n_tables=8, assert_new_ids=True
+        )

@@ -300,3 +300,79 @@ def test_simhash_chunk_index_rejects_bad_max_hamming(spark):
     for bad in (64, -1, 100):
         with pytest.raises(ValueError, match="max_hamming"):
             simhash_chunk_index(df, "text", "doc_id", max_hamming=bad)
+
+
+def test_index_recipe_stamp_survives_parquet_and_rejects_mismatch(
+    docs, tmp_path
+):
+    """Round-6 advice: a default-built index probed with a different recipe
+    silently found zero cross-batch pairs. The index now carries its recipe
+    as column metadata (which survives parquet), and probes fail fast."""
+    from syncmaven_spark.operators import (
+        minhash_lsh_candidates_incremental,
+        minhash_lsh_index,
+        minhash_verified_pairs_incremental,
+        simhash_chunk_index,
+        simhash_near_dups_incremental,
+    )
+
+    spark = docs.sparkSession
+    old = docs.filter("doc_id in (1, 4)")
+    new = docs.filter("doc_id in (2, 3)")
+
+    path = str(tmp_path / "mh_index")
+    minhash_lsh_index(old, "text", "doc_id", bands=16).write.parquet(path)
+    stored = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        minhash_lsh_candidates_incremental(
+            new, stored, "text", "doc_id", bands=32
+        )
+    # matching probe through the SAME persisted index works
+    assert minhash_lsh_candidates_incremental(
+        new, stored, "text", "doc_id", bands=16
+    ).count() >= 0
+
+    sh_path = str(tmp_path / "sh_index")
+    simhash_chunk_index(old, "text", "doc_id", max_hamming=3).write.parquet(
+        sh_path
+    )
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        simhash_near_dups_incremental(
+            new, spark.read.parquet(sh_path), "text", "doc_id", max_hamming=8
+        )
+
+    # build/probe DEFAULTS are now aligned end-to-end (the advice's exact
+    # failure shape: index built with one function's defaults, probed with
+    # another's) — a default-default round trip must not raise
+    default_index = minhash_lsh_index(old, "text", "doc_id")
+    assert minhash_verified_pairs_incremental(
+        new, default_index, docs, "text", "doc_id", threshold=0.3
+    ).count() >= 0
+
+
+def test_assert_new_ids_rejects_reingested_id(docs):
+    """Round-6 verdict: the disjoint-ids contract was documented but
+    unenforced — a violating re-ingest silently lost the (old, new) pair.
+    Opt-in eager enforcement raises with the offending id instead."""
+    from syncmaven_spark.operators import (
+        minhash_lsh_candidates_incremental,
+        minhash_lsh_index,
+        simhash_chunk_index,
+        simhash_near_dups_incremental,
+    )
+
+    old = docs.filter("doc_id in (1, 4)")
+    overlapping = docs.filter("doc_id in (1, 3)")  # re-ingests id 1
+    mh_index = minhash_lsh_index(old, "text", "doc_id")
+    with pytest.raises(ValueError, match="re-ingests id"):
+        minhash_lsh_candidates_incremental(
+            overlapping, mh_index, "text", "doc_id", assert_new_ids=True
+        )
+    # default-off: the same call stays lazy and silent (documented trade)
+    minhash_lsh_candidates_incremental(overlapping, mh_index, "text", "doc_id")
+
+    sh_index = simhash_chunk_index(old, "text", "doc_id")
+    with pytest.raises(ValueError, match="re-ingests id"):
+        simhash_near_dups_incremental(
+            overlapping, sh_index, "text", "doc_id", assert_new_ids=True
+        )
