@@ -66,6 +66,8 @@ EXTRA = [
     "sample_token_budget",
     "dedup_simhash_incremental",
     "dedup_cosine_incremental",
+    # round-7 addition
+    "sample_token_budget_sharded",
 ]
 
 

@@ -3610,6 +3610,45 @@ def sample_token_budget(spark, sf_dir):
 
 
 @q(
+    "sample_token_budget_sharded",
+    "WITH d AS (SELECT doc_id, source, lang, CAST(len(" + _TOKS_SQL + ") "
+    "AS BIGINT) AS n_tokens FROM documents), "
+    "s AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY source), "
+    "wts AS (SELECT source, CAST(floor(round(pow(src_tokens, 0.7) / "
+    "sum(pow(src_tokens, 0.7)) OVER (), 4) * 5000) AS BIGINT) AS _budget FROM s), "
+    "sh AS (SELECT source, lang, sum(n_tokens) AS shard_tokens FROM d "
+    "GROUP BY source, lang), "
+    "shb AS (SELECT sh.source, sh.lang, "
+    "CAST(floor(wts._budget * sh.shard_tokens / s.src_tokens) AS BIGINT) "
+    "AS _budget FROM sh JOIN wts ON sh.source = wts.source "
+    "JOIN s ON sh.source = s.source), "
+    "c AS (SELECT doc_id, source, lang, n_tokens, "
+    "CAST(sum(n_tokens) OVER (PARTITION BY source, lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_tokens FROM d) "
+    "SELECT c.source, c.lang, c.doc_id, c.n_tokens, c.cum_tokens FROM c "
+    "JOIN shb ON c.source = shb.source AND c.lang = shb.lang "
+    "WHERE c.cum_tokens <= shb._budget",
+    doc="Shard-parallel token-budget subsample (round-6 verdict #2: the "
+    "per-source greedy fill serialized each source through ONE reducer — "
+    "3 sources over 100 TB meant ~33 TB per reducer sort). Each source's "
+    "n^0.7 budget is floor-split across its shards proportionally to "
+    "shard token mass and the greedy md5(id)-order fill runs per "
+    "(source, shard): parallelism becomes sources × shards with the "
+    "per-source total within one document per shard of the unsharded "
+    "budget (property-tested). The shard column here is lang "
+    "(operators/packing.py:sample_token_budget with shard_col).",
+    tags=("sampling", "mixture", "packing", "llm", "scale"),
+)
+def sample_token_budget_sharded(spark, sf_dir):
+    from syncmaven_spark.operators.packing import sample_token_budget as op
+
+    t = _t(spark, sf_dir)
+    return op(t["documents"], total_budget=5000, shard_col="lang")
+
+
+@q(
     "mix_sampling_weights",
     "WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(len(" + _TOKS_SQL + ")) AS BIGINT) AS n_tokens "

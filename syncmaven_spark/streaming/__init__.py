@@ -1,6 +1,7 @@
 """Structured Streaming execution paths."""
 
 from syncmaven_spark.streaming.incremental import (  # noqa: F401
+    compact_state,
     dedup_within_watermark,
     run_streaming_near_dup_sync,
     run_streaming_sync,

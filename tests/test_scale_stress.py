@@ -165,3 +165,40 @@ def test_incremental_lsh_equals_full_pass_at_sf01(spark, docs):
     }
     assert inc == full
     assert len(inc) > 0
+
+
+def test_streaming_near_dup_equals_full_pass_at_sf01(spark, docs, tmp_path):
+    """The streaming composition's incremental≡full property at sf0.1: the
+    5k-doc corpus arrives as three micro-batches, verification runs from
+    the bucket-pruned persisted sets table, and the accumulated pairs must
+    equal the uncapped full-corpus batch pass (same recipe/threshold)."""
+    from syncmaven_spark.operators import minhash_verified_pairs
+    from syncmaven_spark.streaming import run_streaming_near_dup_sync
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        threshold=0.8, num_perm=64, bands=32, shingle_k=3,
+        max_bucket_size=None,
+    )
+    corpus = docs.select("doc_id", "text")
+    schema = corpus.schema
+    for part in range(3):
+        corpus.filter(F.col("doc_id") % 3 == part).write.mode(
+            "append"
+        ).parquet(src)
+        run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    streamed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(state + "/pairs").collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_verified_pairs(
+            corpus, "text", "doc_id", **kwargs
+        ).collect()
+    }
+    assert streamed == full
+    assert len(full) > 0

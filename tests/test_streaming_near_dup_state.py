@@ -1,0 +1,309 @@
+"""Round-7 streaming near-dup state machinery: bounded verification fetch
+(id-bucket-pruned sets/vecs tables), the generalized family driver,
+the stale-checkpoint guard, and epoch-dir compaction."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from syncmaven_spark.streaming import compact_state, run_streaming_near_dup_sync
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+NEAR = BASE.replace("warm windowsill", "cold doorstep")
+OTHER = (
+    "completely different content about distributed query engines "
+    "shuffling partitioned columnar data across executors tonight"
+)
+
+
+def _write_docs(spark, src, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+
+def _pairs(spark, state):
+    return spark.read.parquet(state + "/pairs")
+
+
+def test_minhash_state_persists_sets_not_corpus(spark, tmp_path):
+    """Round-6 verdict #1: the raw text corpus is no longer persisted at
+    all — the hashed-shingle-set table (id → array<long>, id-bucket
+    partitioned) replaces it, and cross-run verification works from it."""
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    _write_docs(spark, src, [(1, BASE), (2, OTHER)])
+    schema = spark.read.parquet(src).schema
+    kwargs = dict(threshold=0.3, max_bucket_size=None)
+
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    _write_docs(spark, src, [(3, NEAR)])
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    got = {(r.id_a, r.id_b) for r in _pairs(spark, state).collect()}
+    assert (1, 3) in got  # cross-run pair verified from the sets table
+    assert not os.path.isdir(state + "/corpus")
+    sets = spark.read.parquet(state + "/sets")
+    assert set(sets.columns) >= {"doc_id", "_set", "bucket", "epoch"}
+    assert sorted(
+        r.doc_id for r in sets.select("doc_id").distinct().collect()
+    ) == [1, 2, 3]
+    # the partition layout is the pruning contract: bucket dirs exist
+    epoch_dirs = [d for d in os.listdir(state + "/sets") if "epoch=" in d]
+    assert epoch_dirs
+    assert any(
+        b.startswith("bucket=")
+        for b in os.listdir(os.path.join(state + "/sets", epoch_dirs[0]))
+    )
+
+
+def test_pruned_state_read_skips_untouched_buckets(spark, tmp_path):
+    """The verification fetch reads only candidate-touched id-bucket
+    partitions: the pruned plan's input files are a strict subset of the
+    table's files and only cover the requested buckets."""
+    from syncmaven_spark.streaming.incremental import (
+        _id_bucket,
+        _read_epoch_state,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "sets")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id")).alias("_set"),
+    ).withColumn("bucket", _id_bucket("doc_id", 8))
+    df.write.partitionBy("bucket").parquet(table + "/epoch=0")
+
+    all_files = spark.read.parquet(table).inputFiles()
+    pruned = _read_epoch_state(
+        spark, table, ["doc_id", "_set"],
+        "doc_id long, _set array<bigint>", epoch_id=1, bucket_vals=[0, 3],
+    )
+    # the bucket filter reaches the scan as a PARTITION filter (directory
+    # pruning at planning time, not a post-scan row filter) ...
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part_filters = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert part_filters and "bucket" in part_filters[0]
+    # ... and the files ACTUALLY read (input_file_name at execution) are a
+    # strict subset of the table's files, all under the requested buckets
+    from pyspark.sql.functions import input_file_name
+
+    read_files = {
+        r[0] for r in pruned.select(input_file_name()).distinct().collect()
+    }
+    assert 0 < len(read_files) < len(all_files)
+    assert all("bucket=0" in f or "bucket=3" in f for f in read_files)
+    # and the rows really are the two buckets' rows
+    expected = {r.doc_id for r in df.filter("bucket in (0, 3)").collect()}
+    assert {r.doc_id for r in pruned.collect()} == expected
+
+
+def test_streaming_family_simhash(spark, tmp_path):
+    """The generalized driver runs the SimHash family: signatures ride the
+    index (no auxiliary table), and cross-run hamming-0 pairs surface."""
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    _write_docs(spark, src, [(1, BASE), (2, OTHER)])
+    schema = spark.read.parquet(src).schema
+    kwargs = dict(family="simhash", max_hamming=8, max_bucket_size=None)
+
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    _write_docs(spark, src, [(3, BASE)])  # exact token copy of indexed doc 1
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    got = {
+        (r.id_a, r.id_b): r.hamming for r in _pairs(spark, state).collect()
+    }
+    assert got[(1, 3)] == 0
+    assert not os.path.isdir(state + "/sets")
+    assert not os.path.isdir(state + "/vecs")
+    idx = spark.read.parquet(state + "/index")
+    assert "simhash" in idx.columns
+
+
+def test_streaming_family_cosine(spark, tmp_path):
+    """The generalized driver runs the cosine family: normalized vectors
+    are the persisted verification artifact (bucket-partitioned) and
+    cross-run near-identical vectors pair up."""
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.01
+    far = rng.standard_normal(16)
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+
+    def write_vecs(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_vecs([(1, [float(x) for x in base]), (2, [float(x) for x in far])])
+    schema = spark.read.parquet(src).schema
+    kwargs = dict(
+        family="cosine", threshold=0.9, n_planes=4, n_tables=12,
+        max_bucket_size=None,
+    )
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    write_vecs([(3, [float(x) for x in near])])
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    got = {(r.id_a, r.id_b) for r in _pairs(spark, state).collect()}
+    assert (1, 3) in got
+    vecs = spark.read.parquet(state + "/vecs")
+    assert set(vecs.columns) >= {"doc_id", "vec", "norm", "bucket", "epoch"}
+    assert not os.path.isdir(state + "/sets")
+
+
+def test_streaming_rejects_unknown_family(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown near-dup family"):
+        run_streaming_near_dup_sync(
+            spark, str(tmp_path / "src"), None, str(tmp_path / "state"),
+            str(tmp_path / "ckpt"), family="phash",
+        )
+
+
+def test_stale_checkpoint_fails_fast(spark, tmp_path):
+    """Round-6 advice: a recreated checkpoint over multi-epoch state used
+    to re-deliver the whole corpus as epoch 0 beside stale higher-epoch
+    dirs. epochs.json now records the max processed epoch and an
+    out-of-order batch fails fast."""
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    _write_docs(spark, src, [(1, BASE)])
+    schema = spark.read.parquet(src).schema
+    kwargs = dict(threshold=0.5, max_bucket_size=None)
+
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    _write_docs(spark, src, [(2, OTHER)])
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    # checkpoint recreated from scratch over the 2-epoch state
+    shutil.rmtree(ckpt)
+    with pytest.raises(Exception, match="checkpoint was recreated"):
+        run_streaming_near_dup_sync(
+            spark, src, schema, state, str(ckpt), **kwargs
+        )
+
+
+def _drop_latest_commit(ckpt):
+    """Simulate a crash between state writes and the offset commit: remove
+    the latest commit marker (and its local-FS checksum shadow — leaving
+    the .crc behind makes the replay's rename fail with
+    FileAlreadyExistsException instead of replaying)."""
+    commits = os.path.join(ckpt, "commits")
+    latest = max((n for n in os.listdir(commits) if n.isdigit()), key=int)
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_compaction_preserves_probe_results_and_replay(spark, tmp_path):
+    """compact_state folds epoch dirs < up_to_epoch into one epoch=-1 base:
+    (a) a later batch over compacted state yields EXACTLY the pairs the
+    uncompacted clone yields; (b) an at-least-once replay of the latest
+    (never-compacted) epoch still excludes its own writes and rewrites
+    identical pairs once."""
+    src = str(tmp_path / "src")
+    state_a, ckpt_a = str(tmp_path / "state_a"), str(tmp_path / "ckpt_a")
+    kwargs = dict(threshold=0.3, max_bucket_size=None)
+
+    _write_docs(spark, src, [(1, BASE), (2, OTHER)])
+    schema = spark.read.parquet(src).schema
+    run_streaming_near_dup_sync(spark, src, schema, state_a, ckpt_a, **kwargs)
+    _write_docs(spark, src, [(3, NEAR)])
+    run_streaming_near_dup_sync(spark, src, schema, state_a, ckpt_a, **kwargs)
+
+    # clone the 2-epoch state+checkpoint, compact the clone
+    state_b, ckpt_b = str(tmp_path / "state_b"), str(tmp_path / "ckpt_b")
+    shutil.copytree(state_a, state_b)
+    shutil.copytree(ckpt_a, ckpt_b)
+    folded = compact_state(spark, state_b, up_to_epoch=1)
+    assert folded["index"] == 1 and folded["sets"] == 1
+    assert os.path.isdir(state_b + "/index/epoch=-1")
+    assert not os.path.isdir(state_b + "/index/epoch=0")
+    # the never-compacted latest epoch keeps its own dir
+    assert os.path.isdir(state_b + "/index/epoch=1")
+    # the sets base keeps its bucket partitioning (the pruning contract)
+    assert any(
+        b.startswith("bucket=")
+        for b in os.listdir(state_b + "/sets/epoch=-1")
+    )
+
+    # (a) identical next-batch results on both clones
+    _write_docs(spark, src, [(4, BASE)])
+    run_streaming_near_dup_sync(spark, src, schema, state_a, ckpt_a, **kwargs)
+    run_streaming_near_dup_sync(spark, src, schema, state_b, ckpt_b, **kwargs)
+    pa = {(r.id_a, r.id_b, r.jaccard) for r in _pairs(spark, state_a).collect()}
+    pb = {(r.id_a, r.id_b, r.jaccard) for r in _pairs(spark, state_b).collect()}
+    assert pa == pb
+    assert any(a == 1 and b == 4 for a, b, _ in pb)  # probes span the base
+
+    # (b) replay the latest epoch on the compacted clone: drop its commit
+    # marker (crash between state write and offset commit) and re-run
+    before = sorted(pb)
+    _drop_latest_commit(ckpt_b)
+    run_streaming_near_dup_sync(spark, src, schema, state_b, ckpt_b, **kwargs)
+    after = sorted(
+        (r.id_a, r.id_b, r.jaccard) for r in _pairs(spark, state_b).collect()
+    )
+    assert after == before  # exactly once, no 2×2 fan-out, no loss
+
+
+def test_compaction_guards(spark, tmp_path):
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    _write_docs(spark, src, [(1, BASE)])
+    schema = spark.read.parquet(src).schema
+    run_streaming_near_dup_sync(
+        spark, src, schema, state, ckpt, threshold=0.5, max_bucket_size=None
+    )
+    with pytest.raises(ValueError, match="latest epoch can never"):
+        compact_state(spark, state, up_to_epoch=5)
+    with pytest.raises(ValueError, match="no epochs.json"):
+        compact_state(spark, str(tmp_path / "nostate"), up_to_epoch=0)
+    # compacting below the first epoch is a no-op
+    assert compact_state(spark, state, up_to_epoch=0) == {
+        "index": 0, "sets": 0, "pairs": 0
+    }
+
+
+def test_streaming_accumulated_pairs_equal_full_corpus_pass(spark, tmp_path):
+    """The composition-level incremental≡full property: pairs accumulated
+    over THREE micro-batches (verified from the pruned sets table) equal
+    the uncapped full-corpus batch pass over the final corpus."""
+    from syncmaven_spark.operators import minhash_verified_pairs
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    batches = [
+        [(1, BASE), (2, OTHER)],
+        [(3, NEAR), (4, OTHER + " with a short extra tail")],
+        [(5, BASE), (6, NEAR.replace("garden", "meadow"))],
+    ]
+    kwargs = dict(
+        threshold=0.3, num_perm=64, bands=32, shingle_k=3,
+        max_bucket_size=None,
+    )
+    schema = None
+    for rows in batches:
+        _write_docs(spark, src, rows)
+        if schema is None:
+            schema = spark.read.parquet(src).schema
+        run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    streamed = {
+        (r.id_a, r.id_b, r.jaccard) for r in _pairs(spark, state).collect()
+    }
+    corpus = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_verified_pairs(
+            corpus, "text", "doc_id", **kwargs
+        ).collect()
+    }
+    assert streamed == full
+    assert len(full) >= 4  # the fixture really exercises cross-batch pairs
