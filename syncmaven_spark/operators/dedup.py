@@ -544,10 +544,17 @@ def minhash_lsh_candidates_incremental(
     shingle_k: int = 3,
     max_bucket_size: int | None = 200,
     assert_new_ids: bool = False,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs introduced by a NEW document batch against an
     existing LSH ``index`` (from ``minhash_lsh_index`` with the SAME
     num_perm/bands/shingle_k) — the continuous-ingestion recipe.
+
+    ``new_index`` optionally supplies the batch's own band rows when the
+    caller has already built them (e.g. to collect the batch's hash-bucket
+    values for a partition-pruned read of the stored index); it must come
+    from :func:`minhash_lsh_index` with the same recipe (the stamp is
+    asserted) and skips the internal rebuild.
 
     Only the new batch is signed and banded; candidates are the union of
     new-vs-indexed (one equi-join on the band key — with the index stored
@@ -575,19 +582,21 @@ def minhash_lsh_candidates_incremental(
     the disjoint-ids contract eagerly (one batch-sized semi-join;
     default-off to keep the hot path job-free).
     """
-    check_index_recipe(
-        index, "band_hash",
-        {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-    )
+    recipe = {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k}
+    check_index_recipe(index, "band_hash", recipe)
     if assert_new_ids:
         _check_new_ids_disjoint(
             new_df, index, id_col, "minhash_lsh_candidates_incremental"
         )
-    new_melted = minhash_lsh_index(
-        new_df, text_col, id_col,
-        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-        max_bucket_size=max_bucket_size,
-    )
+    if new_index is None:
+        new_melted = minhash_lsh_index(
+            new_df, text_col, id_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
+        )
+    else:
+        check_index_recipe(new_index, "band_hash", recipe)
+        new_melted = new_index.select(id_col, "band_id", "band_hash")
     # the batch's band rows feed two joins — persist the O(batch) table
     new_melted = _persist_scoped(new_melted)
 
@@ -820,11 +829,14 @@ def simhash_near_dups_incremental(
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
     assert_new_ids: bool = False,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming-≤ pairs introduced by a NEW batch against an existing
     :func:`simhash_chunk_index` built with the SAME ``max_hamming`` —
     SimHash's continuous-ingestion path, mirroring
-    :func:`minhash_lsh_candidates_incremental`.
+    :func:`minhash_lsh_candidates_incremental`. ``new_index`` optionally
+    supplies the batch's own chunk rows (same-recipe stamp asserted),
+    skipping the internal rebuild.
 
     Only the batch is signed; candidates are new-vs-indexed (one chunk-key
     probe of the index) plus new-vs-new (batch self-join), with the true
@@ -841,12 +853,17 @@ def simhash_near_dups_incremental(
         _check_new_ids_disjoint(
             new_df, index, id_col, "simhash_near_dups_incremental"
         )
-    new_chunks = _persist_scoped(
-        simhash_chunk_index(
+    if new_index is None:
+        new_chunks = simhash_chunk_index(
             new_df, text_col, id_col,
             max_hamming=max_hamming, max_bucket_size=max_bucket_size,
         )
-    )
+    else:
+        check_index_recipe(new_index, "chunk_val", {"max_hamming": max_hamming})
+        new_chunks = new_index.select(
+            id_col, "simhash", "chunk_id", "chunk_val"
+        )
+    new_chunks = _persist_scoped(new_chunks)
     key = ["chunk_id", "chunk_val"]
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
 

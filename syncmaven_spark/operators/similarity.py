@@ -427,6 +427,7 @@ def cosine_lsh_candidates_incremental(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     assert_new_ids: bool = False,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate ``(id_a, id_b)`` pairs introduced by a NEW embedding batch
     against an existing :func:`cosine_lsh_index` — the candidate stage of
@@ -435,7 +436,9 @@ def cosine_lsh_candidates_incremental(
 
     A stamped index built with a different (n_planes, n_tables, seed, dim)
     recipe fails fast; ``assert_new_ids=True`` eagerly enforces the
-    disjoint-ids contract (one batch-sized semi-join).
+    disjoint-ids contract (one batch-sized semi-join). ``new_index``
+    optionally supplies the batch's own bucket rows (same-recipe stamp
+    asserted), skipping the internal rebuild.
     """
     from syncmaven_spark.operators.cache import persist_scoped
     from syncmaven_spark.operators.dedup import (
@@ -444,23 +447,25 @@ def cosine_lsh_candidates_incremental(
     )
 
     first = _usable_vectors(new_df, id_col, vec_col).select(vec_col).first()
+    recipe = {"n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+              "dim": len(first[0]) if first is not None else 0}
     if first is not None:
-        check_index_recipe(
-            index, "bucket",
-            {"n_planes": n_planes, "n_tables": n_tables, "seed": seed,
-             "dim": len(first[0])},
-        )
+        check_index_recipe(index, "bucket", recipe)
     if assert_new_ids:
         _check_new_ids_disjoint(
             new_df, index, id_col, "cosine_lsh_candidates_incremental"
         )
-    new_melt = persist_scoped(
-        cosine_lsh_index(
+    if new_index is None:
+        new_melt = cosine_lsh_index(
             new_df, id_col=id_col, vec_col=vec_col,
             n_planes=n_planes, n_tables=n_tables, seed=seed,
             max_bucket_size=max_bucket_size,
         )
-    )
+    else:
+        if first is not None:
+            check_index_recipe(new_index, "bucket", recipe)
+        new_melt = new_index.select(id_col, "table_id", "bucket")
+    new_melt = persist_scoped(new_melt)
     key = ["table_id", "bucket"]
     cross = (
         new_melt.select(*key, F.col(id_col).alias("_id_n"))

@@ -222,10 +222,12 @@ def run_streaming_sync(
     return totals
 
 
-#: number of id-hash partitions for the verification-artifact tables
-#: (hashed shingle sets / normalized vectors). Part of the stored recipe:
-#: probes compute the same bucket function to prune their reads.
-DEFAULT_ID_BUCKETS = 32
+#: partition fan-out for the persisted state tables: the verification
+#: artifacts (hashed shingle sets / normalized vectors) partition by an
+#: id hash, and the LSH index partitions by a band/chunk/bucket-hash
+#: modulus. Part of the stored recipe: probes compute the same bucket
+#: functions to prune their reads.
+DEFAULT_STATE_BUCKETS = 32
 
 #: the compacted-base epoch. Reads filter ``epoch < epoch_id`` and every
 #: live epoch id is >= 0, so a base written at -1 is visible to every
@@ -266,20 +268,21 @@ def _read_epoch_state(
     ddl: str,
     epoch_id: int,
     bucket_vals: list[int] | None = None,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Read an epoch-partitioned state table, excluding the current epoch's
-    own (possibly replayed) writes, optionally pruned to an id-bucket list.
+    own (possibly replayed) writes, optionally pruned to a bucket list.
 
     A missing directory (not yet written) → empty; any OTHER read error
     must propagate — treating corrupted/unreadable state as "first epoch"
     would silently drop every cross-batch pair (round-6 review).
 
-    Both filters hit PARTITION columns (``epoch=<n>`` and, for the
-    verification tables, ``bucket=<m>`` directories), so Spark prunes the
-    directories at planning time: per-batch I/O on the sets/vecs tables is
-    O(candidate-touched buckets), not O(corpus) — the round-6 verdict's #1
-    ask (the previous layout re-SCANNED the whole persisted text corpus
-    every micro-batch for a handful of candidate texts).
+    Both filters hit PARTITION columns (``epoch=<n>`` plus ``bucket=<m>``
+    id-hash dirs on the verification tables / ``hbucket=<m>`` band-hash
+    dirs on the index), so Spark prunes the directories at planning time:
+    per-batch I/O is O(touched buckets), not O(corpus) — the round-6
+    verdict's #1 ask (the previous layout re-SCANNED the whole persisted
+    text corpus every micro-batch for a handful of candidate texts).
     """
     import os
 
@@ -289,7 +292,9 @@ def _read_epoch_state(
         F.col("epoch") < F.lit(int(epoch_id))
     )
     if bucket_vals is not None:
-        df = df.filter(F.col("bucket").isin([int(b) for b in bucket_vals]))
+        df = df.filter(
+            F.col(bucket_col).isin([int(b) for b in bucket_vals])
+        )
     return df.select(*cols)
 
 
@@ -312,7 +317,7 @@ def run_streaming_near_dup_sync(
     n_planes: int = 8,
     n_tables: int = 6,
     seed: int = 42,
-    id_buckets: int = DEFAULT_ID_BUCKETS,
+    state_buckets: int = DEFAULT_STATE_BUCKETS,
 ) -> None:
     """Continuous near-dup mining over a growing parquet directory — ONE
     streaming driver shared by all three incremental index families
@@ -338,15 +343,23 @@ def run_streaming_near_dup_sync(
     **Bounded verification I/O** (round-6 verdict #1): the raw corpus is
     never persisted. Instead each batch appends its VERIFICATION ARTIFACT —
     hashed shingle sets (minhash) or normalized vectors (cosine), both far
-    smaller than text — partitioned by ``pmod(xxhash64(id), id_buckets)``.
-    Verification collects the candidate-touched ids' bucket values (≤
-    ``id_buckets`` ints, one tiny aggregate over the already-persisted
-    candidate table) and reads ONLY those partitions, semi-joined down to
-    the touched ids. Per-batch I/O is O(touched buckets), not O(corpus).
-    The index table stays a full (epoch-filtered) read — its rows are a
-    few longs per doc, ~1-2% of corpus bytes, and the band/chunk equi-join
-    prunes it cheaply; bucket it by hash-key on a real deployment if even
-    that read matters.
+    smaller than text — partitioned by ``pmod(xxhash64(id),
+    state_buckets)``. Verification collects the candidate-touched ids'
+    bucket values (≤ ``state_buckets`` ints, one tiny aggregate over the
+    already-persisted candidate table) and reads ONLY those partitions,
+    semi-joined down to the touched ids. Per-batch I/O is O(touched
+    buckets), not O(corpus).
+
+    **Bounded probe I/O**: the index table is partitioned the same way on
+    its HASH key (``hbucket = pmod(band_hash | chunk_val | bucket,
+    state_buckets)``). The batch's own index rows are built once (probe
+    and state-write share them), their distinct hash-bucket values are
+    collected (≤ ``state_buckets`` ints), and the stored-index read prunes
+    to those partitions — sound because a candidate requires hash
+    EQUALITY, which implies the same hbucket. A small ingest batch
+    therefore probes a sliver of a 100-TB corpus's index instead of
+    scanning all of it; a huge batch degrades gracefully to the full read
+    it genuinely needs.
 
     Crash safety: every write lands under ``epoch=<id>`` with
     ``mode("overwrite")``, so a replayed micro-batch (at-least-once
@@ -412,15 +425,16 @@ def run_streaming_near_dup_sync(
     id_type = schema[id_col].dataType.simpleString()
 
     recipe: dict = {"family": family, "id_col": id_col,
-                    "max_bucket_size": max_bucket_size}
+                    "max_bucket_size": max_bucket_size,
+                    "state_buckets": state_buckets}
     if family == "minhash":
         recipe.update(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-                      text_col=text_col, id_buckets=id_buckets)
+                      text_col=text_col)
     elif family == "simhash":
         recipe.update(max_hamming=max_hamming, text_col=text_col)
     else:
         recipe.update(n_planes=n_planes, n_tables=n_tables, seed=seed,
-                      vec_col=vec_col, id_buckets=id_buckets)
+                      vec_col=vec_col)
     stored = _load_json(recipe_path)
     if stored is not None:
         if stored != recipe:
@@ -435,7 +449,32 @@ def run_streaming_near_dup_sync(
         os.makedirs(state_dir, exist_ok=True)
         _atomic_write_json(recipe_path, recipe)
 
-    def _verified_pairs(batch: DataFrame, epoch_id: int) -> DataFrame:
+    #: the index's hash column per family — the pruning/partition key
+    hash_col = {
+        "minhash": "band_hash", "simhash": "chunk_val", "cosine": "bucket"
+    }[family]
+
+    def _build_batch_index(batch: DataFrame) -> DataFrame:
+        if family == "minhash":
+            return minhash_lsh_index(
+                batch, text_col, id_col,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                max_bucket_size=max_bucket_size,
+            )
+        if family == "simhash":
+            return simhash_chunk_index(
+                batch, text_col, id_col,
+                max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+            )
+        return cosine_lsh_index(
+            batch, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, seed=seed,
+            max_bucket_size=max_bucket_size,
+        )
+
+    def _verified_pairs(
+        batch: DataFrame, batch_index: DataFrame, epoch_id: int
+    ) -> DataFrame:
         index_cols = {
             "minhash": [id_col, "band_id", "band_hash"],
             "simhash": [id_col, "simhash", "chunk_id", "chunk_val"],
@@ -447,13 +486,22 @@ def run_streaming_near_dup_sync(
                 f"{id_col} {id_type}, simhash bigint, chunk_id int, "
                 "chunk_val bigint"
             ),
-            # NB: the cosine index's hash column is named "bucket" too; it
-            # is NOT the partition column (the index table isn't
-            # id-bucketed), so no bucket_vals pruning is ever passed here.
             "cosine": f"{id_col} {id_type}, table_id int, bucket bigint",
         }[family]
+        # prune the stored-index read to the batch's own hash buckets: a
+        # candidate requires hash EQUALITY, which implies the same hbucket,
+        # so partitions outside the batch's ≤ state_buckets values cannot
+        # contribute (the pruning that keeps small-batch probes from
+        # scanning a 100-TB corpus's whole index)
+        hb_vals = [
+            r[0]
+            for r in batch_index.select(
+                F.pmod(F.col(hash_col), F.lit(state_buckets)).alias("h")
+            ).distinct().collect()
+        ]
         index = _read_epoch_state(
-            spark, index_dir, index_cols, index_ddl, epoch_id
+            spark, index_dir, index_cols, index_ddl, epoch_id,
+            bucket_vals=hb_vals, bucket_col="hbucket",
         )
 
         if family == "simhash":
@@ -461,13 +509,14 @@ def run_streaming_near_dup_sync(
             return simhash_near_dups_incremental(
                 batch, index, text_col, id_col,
                 max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+                new_index=batch_index,
             )
 
         if family == "minhash":
             cands = minhash_lsh_candidates_incremental(
                 batch, index, text_col, id_col,
                 num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-                max_bucket_size=max_bucket_size,
+                max_bucket_size=max_bucket_size, new_index=batch_index,
             ).select("id_a", "id_b")
             batch_aux = hashed_shingle_sets(batch, text_col, id_col, shingle_k)
             aux_cols, aux_ddl = (
@@ -478,7 +527,7 @@ def run_streaming_near_dup_sync(
             cands = cosine_lsh_candidates_incremental(
                 batch, index, id_col=id_col, vec_col=vec_col,
                 n_planes=n_planes, n_tables=n_tables, seed=seed,
-                max_bucket_size=max_bucket_size,
+                max_bucket_size=max_bucket_size, new_index=batch_index,
             )
             batch_aux = normalized_vectors(batch, id_col, vec_col)
             aux_cols, aux_ddl = (
@@ -487,13 +536,13 @@ def run_streaming_near_dup_sync(
             )
         cands = persist_scoped(cands)
         touched = persist_scoped(touched_ids(cands, id_col))
-        # the touched ids' bucket values: ≤ id_buckets ints — THE pruning
-        # key that bounds the verification fetch to candidate-touched
-        # partitions of the persisted artifact table
+        # the touched ids' bucket values: ≤ state_buckets ints — THE
+        # pruning key that bounds the verification fetch to
+        # candidate-touched partitions of the persisted artifact table
         bucket_vals = [
             r[0]
             for r in touched.select(
-                _id_bucket(id_col, id_buckets).alias("b")
+                _id_bucket(id_col, state_buckets).alias("b")
             ).distinct().collect()
         ]
         old_aux = _read_epoch_state(
@@ -525,35 +574,28 @@ def run_streaming_near_dup_sync(
                 "fresh checkpoint."
             )
 
-        pairs = _verified_pairs(batch, epoch_id)
+        # the batch's index rows are built ONCE: the probe and the state
+        # write share the persisted table (the previous layout signed the
+        # batch twice — once inside the candidates call, once for the
+        # write)
+        batch_index = persist_scoped(_build_batch_index(batch))
+        pairs = _verified_pairs(batch, batch_index, epoch_id)
         epoch = f"epoch={int(epoch_id)}"
         pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, epoch))
-        if family == "minhash":
-            new_index = minhash_lsh_index(
-                batch, text_col, id_col,
-                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-                max_bucket_size=max_bucket_size,
-            )
-            new_aux = hashed_shingle_sets(batch, text_col, id_col, shingle_k)
-        elif family == "simhash":
-            new_index = simhash_chunk_index(
-                batch, text_col, id_col,
-                max_hamming=max_hamming, max_bucket_size=max_bucket_size,
-            )
-            new_aux = None
-        else:
-            new_index = cosine_lsh_index(
-                batch, id_col=id_col, vec_col=vec_col,
-                n_planes=n_planes, n_tables=n_tables, seed=seed,
-                max_bucket_size=max_bucket_size,
-            )
-            new_aux = normalized_vectors(batch, id_col, vec_col)
-        new_index.write.mode("overwrite").parquet(
+        batch_index.withColumn(
+            "hbucket", F.pmod(F.col(hash_col), F.lit(state_buckets))
+        ).write.partitionBy("hbucket").mode("overwrite").parquet(
             os.path.join(index_dir, epoch)
         )
+        if family == "minhash":
+            new_aux = hashed_shingle_sets(batch, text_col, id_col, shingle_k)
+        elif family == "simhash":
+            new_aux = None
+        else:
+            new_aux = normalized_vectors(batch, id_col, vec_col)
         if new_aux is not None:
             new_aux.withColumn(
-                "bucket", _id_bucket(id_col, id_buckets)
+                "bucket", _id_bucket(id_col, state_buckets)
             ).write.partitionBy("bucket").mode("overwrite").parquet(
                 os.path.join(aux_dir, epoch)
             )
@@ -645,10 +687,12 @@ def compact_state(
         tmp = os.path.join(state_dir, f".compact_tmp_{table}")
         shutil.rmtree(tmp, ignore_errors=True)
         writer = df.select(*out_cols).write.mode("overwrite")
-        if "bucket" in out_cols and table in ("sets", "vecs"):
-            writer = df.select(*out_cols).write.partitionBy("bucket").mode(
-                "overwrite"
-            )
+        if "hbucket" in out_cols:
+            # the index keeps its hash-bucket layout (probe pruning)
+            writer = writer.partitionBy("hbucket")
+        elif "bucket" in out_cols and table in ("sets", "vecs"):
+            # the verification tables keep their id-bucket layout
+            writer = writer.partitionBy("bucket")
         writer.parquet(tmp)
         for path in to_fold.values():
             shutil.rmtree(path)

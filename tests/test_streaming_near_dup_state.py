@@ -52,13 +52,31 @@ def test_minhash_state_persists_sets_not_corpus(spark, tmp_path):
     assert sorted(
         r.doc_id for r in sets.select("doc_id").distinct().collect()
     ) == [1, 2, 3]
-    # the partition layout is the pruning contract: bucket dirs exist
+    # the partition layout is the pruning contract: id-bucket dirs on the
+    # sets table, hash-bucket dirs on the index
     epoch_dirs = [d for d in os.listdir(state + "/sets") if "epoch=" in d]
     assert epoch_dirs
     assert any(
         b.startswith("bucket=")
         for b in os.listdir(os.path.join(state + "/sets", epoch_dirs[0]))
     )
+    idx_epochs = [d for d in os.listdir(state + "/index") if "epoch=" in d]
+    assert any(
+        b.startswith("hbucket=")
+        for b in os.listdir(os.path.join(state + "/index", idx_epochs[0]))
+    )
+    # the epochs manifest records the watermark and per-epoch thresholds
+    # (round-6 advice: a threshold change between runs was unrecorded)
+    import json
+
+    with open(state + "/epochs.json", encoding="utf-8") as f:
+        epochs = json.load(f)
+    assert epochs["max_epoch"] == 1
+    assert epochs["thresholds"] == {"0": 0.3, "1": 0.3}
+    with open(state + "/recipe.json", encoding="utf-8") as f:
+        recipe = json.load(f)
+    assert recipe["max_bucket_size"] is None
+    assert recipe["state_buckets"] == 32
 
 
 def test_pruned_state_read_skips_untouched_buckets(spark, tmp_path):
@@ -227,10 +245,15 @@ def test_compaction_preserves_probe_results_and_replay(spark, tmp_path):
     assert not os.path.isdir(state_b + "/index/epoch=0")
     # the never-compacted latest epoch keeps its own dir
     assert os.path.isdir(state_b + "/index/epoch=1")
-    # the sets base keeps its bucket partitioning (the pruning contract)
+    # the compacted bases keep their partition layouts (the pruning
+    # contracts): id buckets on sets, hash buckets on the index
     assert any(
         b.startswith("bucket=")
         for b in os.listdir(state_b + "/sets/epoch=-1")
+    )
+    assert any(
+        b.startswith("hbucket=")
+        for b in os.listdir(state_b + "/index/epoch=-1")
     )
 
     # (a) identical next-batch results on both clones
@@ -307,3 +330,76 @@ def test_streaming_accumulated_pairs_equal_full_corpus_pass(spark, tmp_path):
     }
     assert streamed == full
     assert len(full) >= 4  # the fixture really exercises cross-batch pairs
+
+
+def test_index_read_prunes_on_hash_buckets(spark, tmp_path):
+    """The stored index is partitioned by hbucket = pmod(hash, N) and the
+    probe's read prunes to the batch's own hash buckets (sound: candidates
+    need hash equality → same hbucket)."""
+    from pyspark.sql import functions as F
+    from syncmaven_spark.streaming.incremental import _read_epoch_state
+
+    table = str(tmp_path / "index")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.xxhash64(F.col("id").cast("string")).alias("band_hash"),
+    ).withColumn("hbucket", F.pmod(F.col("band_hash"), F.lit(8)))
+    df.write.partitionBy("hbucket").parquet(table + "/epoch=0")
+
+    pruned = _read_epoch_state(
+        spark, table, ["doc_id", "band_id", "band_hash"],
+        "doc_id long, band_id int, band_hash bigint",
+        epoch_id=1, bucket_vals=[2, 5], bucket_col="hbucket",
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "hbucket" in pf[0]
+    read_files = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files and all(
+        "hbucket=2" in f or "hbucket=5" in f for f in read_files
+    )
+    expected = {r.doc_id for r in df.filter("hbucket in (2, 5)").collect()}
+    assert {r.doc_id for r in pruned.collect()} == expected
+
+
+def test_new_index_passthrough_matches_internal_build(spark, tmp_path):
+    """The new_index pass-through (probe and state-write share one batch
+    index) yields identical candidates to the internal rebuild, and a
+    wrong-recipe pass-through fails fast on the stamp."""
+    from syncmaven_spark.operators import (
+        minhash_lsh_candidates_incremental,
+        minhash_lsh_index,
+    )
+
+    rows = [(1, BASE), (2, OTHER)], [(3, NEAR), (4, BASE)]
+    old = spark.createDataFrame(rows[0], "doc_id long, text string")
+    new = spark.createDataFrame(rows[1], "doc_id long, text string")
+    cfg = dict(num_perm=64, bands=32, shingle_k=3, max_bucket_size=None)
+    index = minhash_lsh_index(old, "text", "doc_id", **cfg)
+    batch_index = minhash_lsh_index(new, "text", "doc_id", **cfg)
+
+    internal = {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in minhash_lsh_candidates_incremental(
+            new, index, "text", "doc_id", **cfg
+        ).collect()
+    }
+    passed = {
+        (r.id_a, r.id_b, r.n_shared_bands)
+        for r in minhash_lsh_candidates_incremental(
+            new, index, "text", "doc_id", new_index=batch_index, **cfg
+        ).collect()
+    }
+    assert passed == internal and len(passed) > 0
+
+    wrong = minhash_lsh_index(
+        new, "text", "doc_id", num_perm=64, bands=16, max_bucket_size=None
+    )
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        minhash_lsh_candidates_incremental(
+            new, index, "text", "doc_id", new_index=wrong, **cfg
+        )
