@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 DEFAULT_NUM_PERM = 64
-DEFAULT_BANDS = 16
+#: ONE shared default across build (minhash_lsh_index), probe
+#: (*_incremental) and the self-contained passes (minhash_lsh_candidates /
+#: minhash_verified_pairs): 32 bands × 2 rows/band is the production
+#: recipe (miss p ≈ 2e-10 at j=0.8). Round-7 review: aligning only the
+#: build/probe pair at 16 silently de-aligned them from the full pass's
+#: hardcoded 32 — default incremental runs would have measurably worse
+#: candidate recall than the full pass they are documented to equal.
+DEFAULT_BANDS = 32
 
 # Persisted intermediates go through the shared count- and byte-bounded
 # pool — see operators/cache.py for the policy and rationale.
@@ -444,8 +451,8 @@ def minhash_verified_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 32,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
     max_bucket_size: int | None = 200,
 ) -> DataFrame:
@@ -518,9 +525,13 @@ def _check_new_ids_disjoint(
     dropped by the self-pair filter, so the old-vs-new near-dup pair is
     simply never emitted. Cost: one batch-sized semi-join probed with
     ``limit(1)`` — it never materializes more than one collision."""
+    # left_semi already emits each probe-side row at most once, so no
+    # distinct on the corpus-sized index side — a .distinct() there would
+    # force a full O(corpus) exchange+aggregate before the join (round-7
+    # review), defeating the 'batch-sized' cost claim
     hit = (
         new_df.select(id_col)
-        .join(index.select(id_col).distinct(), id_col, "left_semi")
+        .join(index.select(id_col), id_col, "left_semi")
         .limit(1)
         .collect()
     )

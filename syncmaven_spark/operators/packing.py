@@ -168,12 +168,16 @@ def sample_token_budget(
             .select(
                 source_col,
                 shard_col,
+                # divide FIRST: budget * shard_tokens as long*long wraps
+                # int64 at real scale (1e12-token budget × 1e13-token
+                # shard ≈ 1e25 >> 2^63) — the double ratio keeps the
+                # product in range and the DuckDB oracle computes the
+                # identical IEEE expression (round-7 review)
                 F.when(F.col("_src_tokens") == 0, F.lit(0))
                 .otherwise(
                     F.floor(
                         F.col("_budget")
-                        * F.col("_shard_tokens")
-                        / F.col("_src_tokens")
+                        * (F.col("_shard_tokens") / F.col("_src_tokens"))
                     )
                 )
                 .cast("long")

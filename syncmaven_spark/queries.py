@@ -3619,7 +3619,8 @@ def sample_token_budget(spark, sf_dir):
     "sh AS (SELECT source, lang, sum(n_tokens) AS shard_tokens FROM d "
     "GROUP BY source, lang), "
     "shb AS (SELECT sh.source, sh.lang, "
-    "CAST(floor(wts._budget * sh.shard_tokens / s.src_tokens) AS BIGINT) "
+    "CAST(floor(wts._budget * (CAST(sh.shard_tokens AS DOUBLE) / "
+    "s.src_tokens)) AS BIGINT) "
     "AS _budget FROM sh JOIN wts ON sh.source = wts.source "
     "JOIN s ON sh.source = s.source), "
     "c AS (SELECT doc_id, source, lang, n_tokens, "

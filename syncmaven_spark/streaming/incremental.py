@@ -435,6 +435,47 @@ def run_streaming_near_dup_sync(
     else:
         recipe.update(n_planes=n_planes, n_tables=n_tables, seed=seed,
                       vec_col=vec_col)
+    # consistency guards before starting the stream (round-7 review):
+    # 1. a pending compaction journal means a compact_state crashed between
+    #    deleting folded epoch dirs and installing the base — reads would
+    #    silently miss rows; re-running compact_state recovers it.
+    if os.path.isdir(state_dir):
+        pending = [
+            n for n in os.listdir(state_dir)
+            if n.startswith(".compact_journal_")
+        ]
+        if pending:
+            raise ValueError(
+                f"run_streaming_near_dup_sync: state at {state_dir!r} has "
+                f"an incomplete compaction ({pending}). Re-run "
+                "compact_state on this state_dir to recover before "
+                "streaming — probing mid-surgery state would silently "
+                "miss indexed documents."
+            )
+    # 2. the symmetric twin of the stale-checkpoint guard: a WIPED (or
+    #    repointed) state_dir under a SURVIVING checkpoint means earlier
+    #    files will never be re-delivered or re-indexed — every pair
+    #    between new docs and the pre-wipe corpus would silently never be
+    #    emitted. epochs.json is written before every offset commit, so
+    #    commits-without-epochs.json can only mean the state went missing.
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    epochs_path_early = os.path.join(state_dir, "epochs.json")
+    if (
+        os.path.isdir(commits_dir)
+        and any(n.isdigit() for n in os.listdir(commits_dir))
+        and not os.path.exists(epochs_path_early)
+    ):
+        raise ValueError(
+            f"run_streaming_near_dup_sync: checkpoint {checkpoint_dir!r} "
+            f"has committed batches but state at {state_dir!r} has no "
+            "epochs.json — the state was wiped or repointed under a "
+            "surviving checkpoint, so already-committed source files "
+            "would never be re-indexed and cross-corpus pairs would "
+            "silently never be emitted. Start a fresh checkpoint with the "
+            "fresh state (re-delivering the source), or restore the "
+            "original state_dir."
+        )
+
     stored = _load_json(recipe_path)
     if stored is not None:
         if stored != recipe:
@@ -472,8 +513,21 @@ def run_streaming_near_dup_sync(
             max_bucket_size=max_bucket_size,
         )
 
+    def _build_batch_aux(batch: DataFrame) -> DataFrame | None:
+        """The batch's verification artifact — built ONCE per micro-batch
+        (probe and state write share it; round-7 review: the first layout
+        ran the shingle/normalize projection twice per batch)."""
+        if family == "minhash":
+            return hashed_shingle_sets(batch, text_col, id_col, shingle_k)
+        if family == "cosine":
+            return normalized_vectors(batch, id_col, vec_col)
+        return None  # simhash: signatures ride the index
+
     def _verified_pairs(
-        batch: DataFrame, batch_index: DataFrame, epoch_id: int
+        batch: DataFrame,
+        batch_index: DataFrame,
+        batch_aux: DataFrame | None,
+        epoch_id: int,
     ) -> DataFrame:
         index_cols = {
             "minhash": [id_col, "band_id", "band_hash"],
@@ -518,7 +572,6 @@ def run_streaming_near_dup_sync(
                 num_perm=num_perm, bands=bands, shingle_k=shingle_k,
                 max_bucket_size=max_bucket_size, new_index=batch_index,
             ).select("id_a", "id_b")
-            batch_aux = hashed_shingle_sets(batch, text_col, id_col, shingle_k)
             aux_cols, aux_ddl = (
                 [id_col, "_set"],
                 f"{id_col} {id_type}, _set array<bigint>",
@@ -529,7 +582,6 @@ def run_streaming_near_dup_sync(
                 n_planes=n_planes, n_tables=n_tables, seed=seed,
                 max_bucket_size=max_bucket_size, new_index=batch_index,
             )
-            batch_aux = normalized_vectors(batch, id_col, vec_col)
             aux_cols, aux_ddl = (
                 [id_col, "vec", "norm"],
                 f"{id_col} {id_type}, vec array<double>, norm double",
@@ -557,9 +609,6 @@ def run_streaming_near_dup_sync(
         return verify_cosine_candidates(cands, aux, id_col, threshold)
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.select(id_col, value_col)
-        if batch.isEmpty():
-            return
         epochs = _load_json(epochs_path) or {}
         max_seen = epochs.get("max_epoch")
         if max_seen is not None and int(epoch_id) < int(max_seen):
@@ -573,13 +622,26 @@ def run_streaming_near_dup_sync(
                 "original checkpoint, or start a fresh state_dir with the "
                 "fresh checkpoint."
             )
+        batch = batch_df.select(id_col, value_col)
+        if batch.isEmpty():
+            # still advance the watermark: committed Spark offsets and
+            # epochs.json must stay in lock-step or the wiped-state guard
+            # (commits-without-epochs.json) would misfire on a stream
+            # whose only batches were empty
+            _atomic_write_json(
+                epochs_path, {**epochs, "max_epoch": int(epoch_id)}
+            )
+            return
 
-        # the batch's index rows are built ONCE: the probe and the state
-        # write share the persisted table (the previous layout signed the
-        # batch twice — once inside the candidates call, once for the
-        # write)
+        # the batch's index rows and verification artifact are each built
+        # ONCE: the probe and the state write share the persisted tables
+        # (the previous layout signed the batch twice — once inside the
+        # candidates call, once for the write)
         batch_index = persist_scoped(_build_batch_index(batch))
-        pairs = _verified_pairs(batch, batch_index, epoch_id)
+        batch_aux = _build_batch_aux(batch)
+        if batch_aux is not None:
+            batch_aux = persist_scoped(batch_aux)
+        pairs = _verified_pairs(batch, batch_index, batch_aux, epoch_id)
         epoch = f"epoch={int(epoch_id)}"
         pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, epoch))
         batch_index.withColumn(
@@ -587,14 +649,8 @@ def run_streaming_near_dup_sync(
         ).write.partitionBy("hbucket").mode("overwrite").parquet(
             os.path.join(index_dir, epoch)
         )
-        if family == "minhash":
-            new_aux = hashed_shingle_sets(batch, text_col, id_col, shingle_k)
-        elif family == "simhash":
-            new_aux = None
-        else:
-            new_aux = normalized_vectors(batch, id_col, vec_col)
-        if new_aux is not None:
-            new_aux.withColumn(
+        if batch_aux is not None:
+            batch_aux.withColumn(
                 "bucket", _id_bucket(id_col, state_buckets)
             ).write.partitionBy("bucket").mode("overwrite").parquet(
                 os.path.join(aux_dir, epoch)
@@ -636,11 +692,22 @@ def compact_state(
       every live epoch id, so every future batch sees exactly the rows it
       saw before compaction (byte-identical probe inputs);
     - an at-least-once replay only ever re-delivers the LATEST epoch, and
-      ``up_to_epoch`` is clamped to ``max_epoch`` from ``epochs.json`` (the
-      latest epoch's dirs are never folded), so a replayed epoch still
-      excludes its own prior writes — folding the latest epoch into the
-      base would make its replay see itself and fan pairs out 2×2, the
-      exact round-6 bug the epoch filter exists to prevent.
+      ``up_to_epoch`` must be ≤ ``max_epoch`` from ``epochs.json``
+      (exceeding it raises — the latest epoch's dirs are never folded), so
+      a replayed epoch still excludes its own prior writes — folding the
+      latest epoch into the base would make its replay see itself and fan
+      pairs out 2×2, the exact round-6 bug the epoch filter exists to
+      prevent.
+
+    Crash safety (round-7 review): the dangerous window — folded epoch
+    dirs deleted, new base not yet installed — is covered by a per-table
+    write-ahead journal (``.compact_journal_<table>.json``, written AFTER
+    the tmp base is fully materialized and removed after the base is
+    installed). A re-run of ``compact_state`` first completes any
+    journaled surgery (delete remaining listed dirs, install the tmp base)
+    instead of rebuilding the base from a table that no longer contains
+    the deleted rows; ``run_streaming_near_dup_sync`` refuses to probe a
+    state with a pending journal.
 
     Partition-layout fidelity: the sets/vecs verification tables are
     re-written ``partitionBy("bucket")``, so the id-bucket pruning that
@@ -649,6 +716,25 @@ def compact_state(
     """
     import os
     import shutil
+
+    # phase 0 — complete any journaled surgery from a crashed prior run
+    # BEFORE reading anything: the journal means folded dirs may already
+    # be deleted and the only copy of their rows lives in the tmp base.
+    for table in ("index", "sets", "vecs", "pairs"):
+        journal_path = os.path.join(
+            state_dir, f".compact_journal_{table}.json"
+        )
+        journal = _load_json(journal_path)
+        if journal is None:
+            continue
+        tmp = os.path.join(state_dir, f".compact_tmp_{table}")
+        base = os.path.join(state_dir, table, f"epoch={BASE_EPOCH}")
+        if os.path.isdir(tmp):
+            for path in journal.get("fold", []):
+                shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, base)
+        # tmp missing → the base was already installed; journal is stale
+        os.remove(journal_path)
 
     epochs = _load_json(os.path.join(state_dir, "epochs.json"))
     if epochs is None or "max_epoch" not in epochs:
@@ -685,6 +771,8 @@ def compact_state(
         )
         out_cols = [c for c in df.columns if c != "epoch"]
         tmp = os.path.join(state_dir, f".compact_tmp_{table}")
+        # a stale tmp WITHOUT a journal means a prior run crashed before
+        # any deletion — the epoch dirs are intact, so rebuilding is safe
         shutil.rmtree(tmp, ignore_errors=True)
         writer = df.select(*out_cols).write.mode("overwrite")
         if "hbucket" in out_cols:
@@ -694,9 +782,21 @@ def compact_state(
             # the verification tables keep their id-bucket layout
             writer = writer.partitionBy("bucket")
         writer.parquet(tmp)
+        # write-ahead journal: from here until the base is installed, the
+        # tmp dir may hold the ONLY copy of the folded rows — a crash in
+        # this window is recovered by phase 0 above instead of silently
+        # rebuilding a base that misses the already-deleted dirs
+        journal_path = os.path.join(
+            state_dir, f".compact_journal_{table}.json"
+        )
+        _atomic_write_json(
+            journal_path,
+            {"fold": sorted(to_fold.values()), "up_to": int(up_to_epoch)},
+        )
         for path in to_fold.values():
             shutil.rmtree(path)
         os.replace(tmp, os.path.join(table_dir, f"epoch={BASE_EPOCH}"))
+        os.remove(journal_path)
         folded[table] = len(to_fold)
     # drop per-epoch threshold records that no longer have their own dirs
     thresholds = {

@@ -182,8 +182,10 @@ def test_sample_token_budget_sharded_matches_unsharded_within_one_doc(spark):
     src_tokens = {}
     for (src, sh), n in tok.items():
         src_tokens[src] = src_tokens.get(src, 0) + n
+    # divide-first like the operator (long*long products overflow at the
+    # scale the operator targets; python floats mirror Spark's doubles)
     shard_budget = {
-        (src, sh): math.floor(src_budget[src] * n / src_tokens[src])
+        (src, sh): math.floor(src_budget[src] * (n / src_tokens[src]))
         for (src, sh), n in tok.items()
     }
 

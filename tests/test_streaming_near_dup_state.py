@@ -403,3 +403,109 @@ def test_new_index_passthrough_matches_internal_build(spark, tmp_path):
         minhash_lsh_candidates_incremental(
             new, index, "text", "doc_id", new_index=wrong, **cfg
         )
+
+
+def test_compaction_journal_recovers_crash_window(spark, tmp_path):
+    """Round-7 review: a crash between deleting the folded epoch dirs and
+    installing the new base left the tmp dir holding the ONLY copy of the
+    folded rows — and a naive re-run destroyed it. The write-ahead journal
+    makes the re-run COMPLETE the surgery; streaming refuses to probe a
+    mid-surgery state."""
+    src = str(tmp_path / "src")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    kwargs = dict(threshold=0.3, max_bucket_size=None)
+    _write_docs(spark, src, [(1, BASE), (2, OTHER)])
+    schema = spark.read.parquet(src).schema
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    _write_docs(spark, src, [(3, NEAR)])
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    # clean-compacted clone = the expected end state
+    clean_state, clean_ckpt = str(tmp_path / "clean"), str(tmp_path / "ckc")
+    shutil.copytree(state, clean_state)
+    shutil.copytree(ckpt, clean_ckpt)
+    compact_state(spark, clean_state, up_to_epoch=1)
+
+    # reproduce the exact crash window on the victim: compact fully, then
+    # move the installed base back to tmp and restore the journal — folded
+    # dirs deleted, base missing, tmp + journal present
+    import json
+
+    compact_state(spark, state, up_to_epoch=1)
+    base = state + "/index/epoch=-1"
+    tmp = state + "/.compact_tmp_index"
+    os.rename(base, tmp)
+    with open(state + "/.compact_journal_index.json", "w") as f:
+        json.dump({"fold": [state + "/index/epoch=0"], "up_to": 1}, f)
+
+    # streaming fails fast on the pending journal
+    with pytest.raises(Exception, match="incomplete compaction"):
+        run_streaming_near_dup_sync(
+            spark, src, schema, state, ckpt, **kwargs
+        )
+    # a compact_state re-run completes the surgery instead of rebuilding
+    # a base from the already-deleted dirs
+    compact_state(spark, state, up_to_epoch=1)
+    assert os.path.isdir(base) and not os.path.exists(tmp)
+    assert not os.path.exists(state + "/.compact_journal_index.json")
+
+    # both clones now yield identical next-batch results
+    _write_docs(spark, src, [(4, BASE)])
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    run_streaming_near_dup_sync(
+        spark, src, schema, clean_state, clean_ckpt, **kwargs
+    )
+    pa = {(r.id_a, r.id_b, r.jaccard) for r in _pairs(spark, state).collect()}
+    pc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in _pairs(spark, clean_state).collect()
+    }
+    assert pa == pc
+    assert any(a == 1 and b == 4 for a, b, _ in pa)
+
+
+def test_wiped_state_under_surviving_checkpoint_fails_fast(spark, tmp_path):
+    """Round-7 review: the twin of the stale-checkpoint case — a wiped
+    state_dir under a surviving checkpoint meant already-committed files
+    were never re-indexed, silently losing every cross-corpus pair."""
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    kwargs = dict(threshold=0.5, max_bucket_size=None)
+    _write_docs(spark, src, [(1, BASE)])
+    schema = spark.read.parquet(src).schema
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    shutil.rmtree(state)
+    _write_docs(spark, src, [(2, BASE)])
+    with pytest.raises(Exception, match="wiped or repointed"):
+        run_streaming_near_dup_sync(
+            spark, src, schema, state, ckpt, **kwargs
+        )
+
+
+def test_empty_batch_advances_epoch_watermark(spark, tmp_path):
+    """An empty micro-batch (a 0-row source file) still advances the
+    epochs.json watermark so committed offsets and the manifest stay in
+    lock-step (otherwise the wiped-state guard would misfire)."""
+    import json
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    kwargs = dict(threshold=0.5, max_bucket_size=None)
+    _write_docs(spark, src, [(1, BASE)])
+    schema = spark.read.parquet(src).schema
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    # a new file with zero rows → a delivered batch with no data
+    spark.createDataFrame([], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    with open(state + "/epochs.json", encoding="utf-8") as f:
+        epochs = json.load(f)
+    assert epochs["max_epoch"] == 1
+    assert list(epochs["thresholds"]) == ["0"]  # no threshold for empty
+    # and the stream still runs afterwards (no guard misfire)
+    _write_docs(spark, src, [(2, BASE)])
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    got = {(r.id_a, r.id_b) for r in _pairs(spark, state).collect()}
+    assert (1, 2) in got
