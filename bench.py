@@ -66,8 +66,9 @@ EXTRA = [
     "sample_token_budget",
     "dedup_simhash_incremental",
     "dedup_cosine_incremental",
-    # round-7 addition
+    # round-7 additions
     "sample_token_budget_sharded",
+    "knn_ivf_index_probe",
 ]
 
 

@@ -36,6 +36,8 @@ from syncmaven_spark.operators.similarity import (  # noqa: F401
     cosine_pairs_lsh_incremental,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
+    ivf_index,
+    ivf_probe,
     normalized_vectors,
     verify_cosine_candidates,
 )

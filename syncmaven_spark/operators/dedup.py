@@ -66,8 +66,14 @@ def check_index_recipe(index: DataFrame, col_name: str, expected: dict) -> None:
     stored = (field.metadata or {}).get(RECIPE_META_KEY) if field else None
     if stored is None:
         return
-    stored_n = {k: int(v) for k, v in stored.items()}
-    expected_n = {k: int(v) for k, v in expected.items()}
+
+    def _norm(v):
+        # numeric values compare as ints (parquet metadata JSON round-trips
+        # can widen them); strings (e.g. centroid checksums) compare as-is
+        return int(v) if isinstance(v, (int, float)) else v
+
+    stored_n = {k: _norm(v) for k, v in stored.items()}
+    expected_n = {k: _norm(v) for k, v in expected.items()}
     if stored_n != expected_n:
         raise ValueError(
             f"index recipe mismatch: the index was built with {stored_n} "

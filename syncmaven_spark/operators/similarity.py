@@ -592,6 +592,179 @@ def cosine_pairs_lsh(
     return _verify_cosine_pairs(candidate_ids, vecs, id_col, threshold, round_to)
 
 
+def _centroid_checksum(centroids: np.ndarray) -> str:
+    """Deterministic fingerprint of a centroid matrix (rounded to 6
+    decimals so a parquet round-trip through array<double> cannot flip
+    it). Stamped on both IVF artifacts so probing assignments with the
+    WRONG centroid table — which silently searches the wrong cells —
+    fails fast instead."""
+    import hashlib
+
+    arr = np.ascontiguousarray(np.round(np.asarray(centroids, float), 6))
+    return hashlib.md5(
+        arr.tobytes() + str(arr.shape).encode()
+    ).hexdigest()[:16]
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    iterations: int = 5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE IVF-ANN artifacts — ANN's analog of the dedup
+    trilogy's index/probe split (a continuous pipeline trains the index
+    once offline and probes it per query batch instead of re-training
+    k-means and re-assigning the whole corpus on every run).
+
+    Returns ``(assignments, centroids_df)``:
+
+    - ``assignments``: ``(id, cell, vec, norm)`` — one row per corpus
+      vector, its nearest-centroid cell plus the normalized-lookup columns
+      verification needs. Write it ``partitionBy("cell")`` so probes prune
+      to the probed cells' directories (cell count is ``n_centroids``, so
+      the partition fan-out is small and fixed).
+    - ``centroids_df``: ``(centroid_id, centroid)`` — the tiny k-means
+      codebook (``n_centroids × dim`` doubles).
+
+    Both carry a recipe stamp (``dedup.RECIPE_META_KEY``, survives
+    parquet) with the centroid checksum: :func:`ivf_probe` recomputes the
+    checksum from the codebook it is given and fails fast if the
+    assignments were built from different centroids — the mismatch would
+    otherwise silently probe the wrong cells with ZERO errors (the same
+    failure mode as the LSH recipe stamps).
+
+    Training is the bounded driver-side k-means of :func:`train_centroids`
+    (sample ≤ ``sample_size``, centroids are the only state leaving the
+    cluster), sampled in ``xxhash64(id)`` order for determinism.
+    """
+    from syncmaven_spark.operators.dedup import _with_recipe_meta
+
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    usable = _usable_vectors(corpus, id_col, vec_col)
+    if usable.select(vec_col).first() is None:  # empty corpus
+        return (
+            spark.createDataFrame(
+                [],
+                f"{id_col} {id_type}, cell int, vec array<double>, "
+                "norm double",
+            ),
+            spark.createDataFrame([], "centroid_id int, centroid array<double>"),
+        )
+    centroids = train_centroids(
+        usable, vec_col, n_centroids,
+        sample_size=sample_size, iterations=iterations, seed=seed,
+        order_col=id_col,
+    )
+    recipe = {
+        "checksum": _centroid_checksum(centroids),
+        "n_centroids": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+    }
+    assignments = (
+        assign_cells(usable, centroids, vec_col, n_probe=1, out_col="_cells")
+        .select(
+            F.col(id_col),
+            F.col("_cells")[0].alias("cell"),
+            _as_double(F.col(vec_col)).alias("vec"),
+        )
+        .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    )
+    centroids_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    return (
+        _with_recipe_meta(assignments, "cell", recipe),
+        _with_recipe_meta(centroids_df, "centroid_id", recipe),
+    )
+
+
+def ivf_probe(
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k against a persisted :func:`ivf_index`:
+    ``(q_id, n_id, cos_sim, rank)``.
+
+    The query batch is assigned its ``n_probe`` nearest cells in one
+    vectorized pass; the distinct probed-cell ids (≤ ``n_centroids`` ints)
+    are collected and the assignments read is FILTERED to them — on a
+    ``partitionBy("cell")`` store that is directory-level pruning, so a
+    small query batch reads only the cells it probes, not the whole
+    corpus. Candidates then score with one broadcast join keyed by cell
+    and rank through the standard top-k window.
+
+    The centroid checksum recomputed from ``centroids_df`` must match the
+    stamp on ``assignments`` (built-with-different-centroids probes are
+    silently wrong otherwise — they search the wrong cells).
+    """
+    from syncmaven_spark.operators.dedup import check_index_recipe
+
+    rows = centroids_df.select("centroid_id", "centroid").collect()
+    if not rows:
+        raise ValueError(
+            "ivf_probe: empty centroid table — build the index with "
+            "ivf_index over a non-empty corpus first"
+        )
+    centroids = np.array(
+        [r[1] for r in sorted(rows, key=lambda r: r[0])], dtype=np.float64
+    )
+    check_index_recipe(
+        assignments, "cell",
+        {
+            "checksum": _centroid_checksum(centroids),
+            "n_centroids": int(centroids.shape[0]),
+            "dim": int(centroids.shape[1]),
+        },
+    )
+    q = _usable_vectors(queries, id_col, vec_col)
+    q_assigned = (
+        assign_cells(q, centroids, vec_col, n_probe=n_probe, out_col="_cells")
+        .select(
+            F.col(id_col).alias("q_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+            F.explode(F.col("_cells")).alias("cell"),
+        )
+        .withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    # ≤ n_centroids ints — the pruning key for a cell-partitioned store
+    cells = [r[0] for r in q_assigned.select("cell").distinct().collect()]
+    cand = assignments.filter(F.col("cell").isin(cells)).select(
+        F.col("cell"),
+        F.col(id_col).alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    pairs = cand.join(F.broadcast(q_assigned), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("n_id"))
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        _cosine(
+            _dot(F.col("q_vec"), F.col("n_vec")),
+            F.col("q_norm"), F.col("n_norm"), round_to,
+        ).alias("cos_sim"),
+    ).dropDuplicates(["q_id", "n_id"])
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

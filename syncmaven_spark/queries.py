@@ -1552,6 +1552,62 @@ def dedup_cosine_incremental(spark, sf_dir):
 
 
 @q(
+    "knn_ivf_index_probe",
+    "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
+    "TRUE AS recall_ge_04 FROM embeddings "
+    "WHERE vec_id % 5 = 0 AND vec_id < 40",
+    doc="Persistable IVF index + batch probe — ANN's analog of the dedup "
+    "trilogy's continuous-ingestion split (ivf_index trains the codebook "
+    "once and assigns the corpus to cells, both stamped with a centroid "
+    "checksum that survives parquet; ivf_probe assigns only the query "
+    "batch, prunes the assignments read to the probed cells — directory "
+    "pruning on a cell-partitioned store — and fails fast on a codebook/"
+    "assignments mismatch that would otherwise silently search the wrong "
+    "cells). Index = the 80% base corpus, queries = 8 held-out vectors. "
+    "ANN results are sketch-dependent, so the derived oracle checks the "
+    "contract per query: exactly k returned, recall vs the in-query "
+    "brute-force top-5 over the same corpus ≥ 0.4. Parquet-round-trip "
+    "equivalence with the one-shot cosine_topk_ivf is asserted in tests.",
+    tags=("similarity", "knn", "ivf", "incremental"),
+)
+def knn_ivf_index_probe(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        cosine_topk_bruteforce,
+        ivf_index,
+        ivf_probe,
+    )
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40))
+    assignments, centroids_df = ivf_index(corpus, n_centroids=8)
+    ivf = ivf_probe(
+        queries, assignments, centroids_df, k=5, n_probe=4,
+        exclude_self=False,
+    ).select("q_id", "n_id")
+    bf = cosine_topk_bruteforce(
+        corpus, queries, k=5, exclude_self=False
+    ).select("q_id", "n_id")
+    hits = (
+        ivf.join(bf, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        ivf.groupBy("q_id")
+        .agg(F.count("*").alias("n_returned"))
+        .join(hits, "q_id", "left")
+        .na.fill(0, ["_hits"])
+        .select(
+            "q_id",
+            "n_returned",
+            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
+        )
+    )
+
+
+@q(
     "knn_cosine_ivf",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
     "TRUE AS recall_ge_04 FROM embeddings WHERE vec_id < 8",

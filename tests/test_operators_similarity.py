@@ -139,3 +139,76 @@ def test_similarity_empty_corpus(spark):
     assert cosine_pairs_exact(empty, 0.9).count() == 0
     with _pytest.raises(ValueError, match="empty"):
         train_centroids(empty)
+
+
+def test_ivf_index_probe_roundtrip_and_checksum(embeddings, tmp_path):
+    """The persistable IVF split: index once, probe from parquet — results
+    match the one-shot cosine_topk_ivf under the same centroids; probing
+    assignments with the WRONG codebook fails fast on the checksum stamp;
+    the probed read prunes to the probed cells' partitions."""
+    from pyspark.sql import functions as F
+    from syncmaven_spark.operators import ivf_index, ivf_probe
+
+    spark = embeddings.sparkSession
+    corpus = embeddings.filter("vec_id % 5 <> 0")
+    queries = embeddings.filter("vec_id % 5 = 0 AND vec_id < 40")
+
+    assignments, centroids_df = ivf_index(corpus, n_centroids=8)
+    a_path, c_path = str(tmp_path / "assign"), str(tmp_path / "cents")
+    assignments.write.partitionBy("cell").parquet(a_path)
+    centroids_df.write.parquet(c_path)
+    stored_a = spark.read.parquet(a_path)
+    stored_c = spark.read.parquet(c_path)
+
+    got = ivf_probe(
+        queries, stored_a, stored_c, k=5, n_probe=4, exclude_self=False
+    )
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.n_id, r.cos_sim))
+    assert len(by_q) == queries.count()
+    for q_id, hits in by_q.items():
+        assert sorted(r for r, _, _ in hits) == [1, 2, 3, 4, 5]
+
+    # equivalence with the one-shot composition under the SAME centroids
+    cents = np.array(
+        [r[1] for r in sorted(
+            stored_c.collect(), key=lambda r: r["centroid_id"]
+        )]
+    )
+    oneshot = cosine_topk_ivf(
+        corpus, queries, k=5, n_probe=4, centroids=cents,
+        exclude_self=False,
+    )
+    a = {(r.q_id, r.n_id, r.cos_sim, r.rank) for r in rows}
+    b = {(r.q_id, r.n_id, r.cos_sim, r.rank) for r in oneshot.collect()}
+    assert a == b
+
+    # cell pruning reaches the partitioned store
+    q_cells = {
+        int(c)
+        for r in assign_cells(
+            queries, cents, n_probe=4, out_col="_cells"
+        ).select("_cells").collect()
+        for c in r[0]
+    }
+    if len(q_cells) < 8:  # only assert pruning when some cell is unprobed
+        read_files = {
+            r[0]
+            for r in stored_a.filter(
+                F.col("cell").isin(sorted(q_cells))
+            ).select(F.input_file_name()).distinct().collect()
+        }
+        assert read_files and all(
+            any(f"cell={c}" in f for c in q_cells) for f in read_files
+        )
+
+    # wrong codebook → fail fast (the stamp survives parquet)
+    wrong_assignments, _ = ivf_index(corpus, n_centroids=4)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        ivf_probe(queries, wrong_assignments, stored_c, k=5)
+
+    # empty codebook → explicit error
+    with pytest.raises(ValueError, match="empty centroid table"):
+        ivf_probe(queries, stored_a, stored_c.limit(0), k=5)

@@ -23,6 +23,12 @@ EXECUTES_ON_BUILD = {
     "graph_connected_components",
     "dedup_cluster_pipeline",
     "knn_cosine_ivf",
+    # trains the IVF codebook (driver k-means) at build time like
+    # knn_cosine_ivf, and its recall contract intentionally contains the
+    # brute-force baseline's tiny-broadcast product (8 query vectors);
+    # the probe path's plan properties are asserted by its dedicated test
+    # (tests/test_operators_similarity.py ivf roundtrip)
+    "knn_ivf_index_probe",
 }
 
 # 1-row scalar broadcasts: join of an aggregate total with no join key.
