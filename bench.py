@@ -69,6 +69,7 @@ EXTRA = [
     # round-7 additions
     "sample_token_budget_sharded",
     "knn_ivf_index_probe",
+    "decontamination_fuzzy",
 ]
 
 

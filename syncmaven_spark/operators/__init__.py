@@ -9,6 +9,7 @@ broadcast arrays).
 
 from syncmaven_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    fuzzy_decontamination_pairs,
     hashed_shingle_sets,
     minhash_signatures,
     minhash_lsh_candidates,

@@ -686,6 +686,91 @@ def minhash_verified_pairs_incremental(
     return minhash_verify_candidates(cands, sets, id_col, threshold)
 
 
+def fuzzy_decontamination_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Near-duplicate TRAIN×BENCHMARK matches — fuzzy decontamination,
+    the companion of the exact n-gram overlap pass (``text_decontamination``
+    in the catalog): a training document that is a near-copy of an eval
+    document leaks the benchmark even when no 8-gram matches verbatim
+    (whitespace/punctuation edits, shuffled sentences).
+
+    Output: ``(train_id, bench_id, jaccard ≥ threshold)`` — strictly CROSS
+    pairs (train-train and bench-bench pairs are never emitted, unlike the
+    self-join dedup passes), so the two id spaces may overlap freely; drop
+    ``train.join(pairs, train_id, "left_anti")`` to decontaminate.
+
+    Scale shape — both sides band with the shared MinHash recipe and meet
+    in ONE equi-join on (band_id, band_hash); exact-Jaccard verification
+    reads only candidate-touched docs per side (semi-join pruned). The
+    benchmark side is typically tiny (an eval suite), so at 100 TB this
+    behaves like the incremental probe: index the benchmark once, stream
+    train batches through. Recall follows the banding bound documented on
+    :func:`minhash_verified_pairs` (≈2e-10 miss at j=0.8 with the default
+    64/32 recipe), which is what makes the all-pairs SQL oracle valid.
+    """
+    lm = _persist_scoped(
+        minhash_lsh_index(
+            train, text_col, id_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
+        )
+    )
+    rm = _persist_scoped(
+        minhash_lsh_index(
+            benchmark, text_col, id_col,
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
+        )
+    )
+    key = ["band_id", "band_hash"]
+    cands = _persist_scoped(
+        lm.select(*key, F.col(id_col).alias("train_id"))
+        .join(rm.select(*key, F.col(id_col).alias("bench_id")), key)
+        .select("train_id", "bench_id")
+        .dropDuplicates(["train_id", "bench_id"])
+    )
+    t_touched = cands.select(F.col("train_id").alias(id_col)).distinct()
+    b_touched = cands.select(F.col("bench_id").alias(id_col)).distinct()
+    t_sets = _hashed_shingle_sets(
+        _spread(train.join(t_touched, id_col, "left_semi"), id_col),
+        text_col, id_col, shingle_k,
+    )
+    b_sets = _hashed_shingle_sets(
+        _spread(benchmark.join(b_touched, id_col, "left_semi"), id_col),
+        text_col, id_col, shingle_k,
+    )
+    scored = (
+        cands.join(
+            t_sets.select(
+                F.col(id_col).alias("train_id"), F.col("_set").alias("_set_a")
+            ),
+            "train_id",
+        )
+        .join(
+            b_sets.select(
+                F.col(id_col).alias("bench_id"), F.col("_set").alias("_set_b")
+            ),
+            "bench_id",
+        )
+    )
+    inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    union = F.size(F.array_union("_set_a", "_set_b"))
+    return (
+        scored.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("train_id", "bench_id", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document (column ``simhash``).
 

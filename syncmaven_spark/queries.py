@@ -1340,6 +1340,47 @@ def dedup_minhash_incremental(spark, sf_dir):
 
 
 @q(
+    "decontamination_fuzzy",
+    "WITH w AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "ws AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> "
+    "array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w "
+    "WHERE len(toks) > 0) "
+    "SELECT a.doc_id AS train_id, b.doc_id AS bench_id, "
+    "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(list_distinct(a.ws || b.ws)), 4) AS jaccard "
+    "FROM ws a JOIN ws b ON a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0 "
+    "WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(list_distinct(a.ws || b.ws)), 4) >= 0.8",
+    doc="Fuzzy benchmark decontamination — the near-dup companion of the "
+    "exact 8-gram pass (text_decontamination): a training doc that is a "
+    "near-COPY of an eval doc leaks the benchmark even when no n-gram "
+    "matches verbatim. The corpus splits into train (doc_id % 7 != 0) and "
+    "benchmark (doc_id % 7 = 0); both sides band with the shared MinHash "
+    "recipe and meet in one (band_id, band_hash) equi-join — strictly "
+    "CROSS pairs, so overlapping id spaces are fine — with exact-Jaccard "
+    "verification on candidate-touched docs only. At the 64/32 recipe a "
+    "j=0.8 pair misses every band with p ≈ 2e-10, so the output equals "
+    "the all-pairs cross set the SQL oracle computes directly "
+    "(operators/dedup.py:fuzzy_decontamination_pairs).",
+    tags=("dedup", "decontamination", "minhash", "llm"),
+)
+def decontamination_fuzzy(spark, sf_dir):
+    from syncmaven_spark.operators import fuzzy_decontamination_pairs
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return fuzzy_decontamination_pairs(
+        train, bench, "text", "doc_id",
+        threshold=0.8, num_perm=64, bands=32, shingle_k=3,
+        max_bucket_size=None,
+    )
+
+
+@q(
     "dedup_simhash_pairs",
     "WITH m AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000, text FROM documents), "

@@ -376,3 +376,44 @@ def test_assert_new_ids_rejects_reingested_id(docs):
         simhash_near_dups_incremental(
             overlapping, sh_index, "text", "doc_id", assert_new_ids=True
         )
+
+
+def test_fuzzy_decontamination_cross_pairs_only(spark):
+    """Planted contamination: a train doc near-copies a benchmark doc →
+    pair emitted; train-train and bench-bench near-dups are NOT emitted;
+    overlapping id spaces are handled (ids are per-side)."""
+    from syncmaven_spark.operators import fuzzy_decontamination_pairs
+
+    train = spark.createDataFrame(
+        [
+            (1, BASE),                 # near-copy of bench doc 10
+            (2, BASE),                 # train-train dup of 1 (must NOT pair)
+            (3, OTHER),
+            (10, OTHER + " more tail"),  # id collides with bench id 10
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(10, NEAR), (11, "totally unrelated benchmark prompt text here")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.train_id, r.bench_id): r.jaccard
+        for r in fuzzy_decontamination_pairs(
+            train, bench, "text", "doc_id",
+            threshold=0.3, max_bucket_size=None,
+        ).collect()
+    }
+    assert (1, 10) in pairs and (2, 10) in pairs
+    # the id-10 train doc (OTHER-based) must not match bench id 10 (NEAR)
+    assert (10, 10) not in pairs
+    assert all(b in (10, 11) for _, b in pairs)
+    # decontamination = anti-join on the pair table
+    clean = train.join(
+        spark.createDataFrame(
+            [(t,) for t, _ in pairs], ["doc_id"]
+        ).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [3, 10]

@@ -67,6 +67,12 @@ _SCALE_QUADRATIC_ORACLES = {
     # operator itself is additionally gated by the full-pass-equivalence
     # property test in tests/test_operators_dedup.py
     "dedup_minhash_incremental",
+    # train×benchmark all-pairs cross oracle: measured 215 s at sf0.1 in
+    # DuckDB. Gated instead by sf0.01 parity, the planted cross-pair test
+    # (tests/test_operators_dedup.py::test_fuzzy_decontamination_cross_
+    # pairs_only), and the always-on sf0.1 recall gate on the SAME MinHash
+    # recipe (tests/test_scale_gate.py)
+    "decontamination_fuzzy",
 }
 
 scale = pytest.mark.skipif(
