@@ -695,7 +695,7 @@ def fuzzy_decontamination_pairs(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
-    max_bucket_size: int | None = 200,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate TRAIN×BENCHMARK matches — fuzzy decontamination,
     the companion of the exact n-gram overlap pass (``text_decontamination``
@@ -716,6 +716,17 @@ def fuzzy_decontamination_pairs(
     train batches through. Recall follows the banding bound documented on
     :func:`minhash_verified_pairs` (≈2e-10 miss at j=0.8 with the default
     64/32 recipe), which is what makes the all-pairs SQL oracle valid.
+
+    ``max_bucket_size`` defaults to ``None`` (uncapped) here, UNLIKE the
+    self-dedup passes: decontamination's common failure shape is MANY
+    train near-copies of one benchmark doc, which all share every band
+    bucket — a build-time cap would silently exempt the copies past the
+    cap from detection, defeating the function's purpose (round-7
+    review; in self-dedup the cap only trades pairs WITHIN an
+    already-detected boilerplate cluster). The quadratic risk the cap
+    guards against is bounded anyway: one side is the (small) benchmark.
+    Set a cap only if the benchmark itself is boilerplate-heavy AND
+    partial detection is acceptable.
     """
     lm = _persist_scoped(
         minhash_lsh_index(

@@ -678,8 +678,13 @@ def ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid_id int, centroid array<double>",
     )
+    # the stamp rides `norm`, NOT `cell`: `cell` is the documented
+    # partitionBy column, and parquet DROPS field metadata on partition
+    # columns (verified empirically — a partitionBy('cell') round-trip
+    # returns {} metadata, silently disabling the checksum fail-fast;
+    # round-7 review). `norm` is a plain data column on every layout.
     return (
-        _with_recipe_meta(assignments, "cell", recipe),
+        _with_recipe_meta(assignments, "norm", recipe),
         _with_recipe_meta(centroids_df, "centroid_id", recipe),
     )
 
@@ -722,15 +727,22 @@ def ivf_probe(
         [r[1] for r in sorted(rows, key=lambda r: r[0])], dtype=np.float64
     )
     check_index_recipe(
-        assignments, "cell",
+        assignments, "norm",
         {
             "checksum": _centroid_checksum(centroids),
             "n_centroids": int(centroids.shape[0]),
             "dim": int(centroids.shape[1]),
         },
     )
+    from syncmaven_spark.operators.cache import persist_scoped
+
     q = _usable_vectors(queries, id_col, vec_col)
-    q_assigned = (
+    # persisted: the assignment UDF + query scan feed BOTH the
+    # distinct-cells collect and the broadcast join — without the persist
+    # they execute twice, and a non-deterministic queries lineage
+    # (sample/limit) could even assign different cells between the two
+    # runs, silently pruning a query's candidates (round-7 review)
+    q_assigned = persist_scoped(
         assign_cells(q, centroids, vec_col, n_probe=n_probe, out_col="_cells")
         .select(
             F.col(id_col).alias("q_id"),

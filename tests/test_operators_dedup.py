@@ -417,3 +417,18 @@ def test_fuzzy_decontamination_cross_pairs_only(spark):
         "left_anti",
     )
     assert sorted(r.doc_id for r in clean.collect()) == [3, 10]
+
+    # DEFAULTS must catch mass contamination: many train near-copies of
+    # one benchmark doc share every band bucket, so a default build-time
+    # cap would silently exempt the copies past it (round-7 review —
+    # max_bucket_size defaults to None here, unlike self-dedup)
+    many = spark.createDataFrame(
+        [(100 + i, BASE) for i in range(30)], ["doc_id", "text"]
+    )
+    caught = {
+        r.train_id
+        for r in fuzzy_decontamination_pairs(
+            many, bench, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert caught == {100 + i for i in range(30)}

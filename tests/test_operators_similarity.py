@@ -204,7 +204,18 @@ def test_ivf_index_probe_roundtrip_and_checksum(embeddings, tmp_path):
             any(f"cell={c}" in f for c in q_cells) for f in read_files
         )
 
-    # wrong codebook → fail fast (the stamp survives parquet)
+    # the stamp must survive the DOCUMENTED partitionBy('cell') layout:
+    # parquet drops field metadata on PARTITION columns, so the stamp
+    # rides `norm` (round-7 review found the cell-stamped variant's
+    # fail-fast silently never fired on persisted indexes)
+    from syncmaven_spark.operators.dedup import RECIPE_META_KEY
+
+    assert RECIPE_META_KEY in (stored_a.schema["norm"].metadata or {})
+    # wrong codebook against the PERSISTED assignments → fail fast
+    _, wrong_cents = ivf_index(corpus, n_centroids=4)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        ivf_probe(queries, stored_a, wrong_cents, k=5)
+    # and the in-memory direction too (wrong assignments, right codebook)
     wrong_assignments, _ = ivf_index(corpus, n_centroids=4)
     with pytest.raises(ValueError, match="recipe mismatch"):
         ivf_probe(queries, wrong_assignments, stored_c, k=5)
