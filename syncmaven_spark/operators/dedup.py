@@ -53,24 +53,39 @@ def _with_recipe_meta(df: DataFrame, col_name: str, recipe: dict) -> DataFrame:
     )
 
 
+def stamped_recipe(index: DataFrame, col_name: str) -> dict | None:
+    """The build recipe stamped on ``col_name``'s field metadata, or
+    ``None`` for hand-built / legacy indexes without a stamp."""
+    if col_name not in index.columns:
+        return None
+    return (index.schema[col_name].metadata or {}).get(RECIPE_META_KEY)
+
+
 def check_index_recipe(index: DataFrame, col_name: str, expected: dict) -> None:
     """Assert a probe's recipe matches the one stamped on the index.
 
     Indexes built by this package carry their recipe as field metadata on
     the hash/bucket column (see :data:`RECIPE_META_KEY`); hand-built or
     legacy indexes without the stamp are accepted unchecked (the contract
-    is then the caller's, as before). Values compare as ints so a JSON
-    round-trip through parquet metadata cannot produce false mismatches.
+    is then the caller's, as before). Integral numerics compare as ints so
+    a JSON round-trip through parquet metadata cannot produce false
+    mismatches (int 32 vs float 32.0).
     """
-    field = index.schema[col_name] if col_name in index.columns else None
-    stored = (field.metadata or {}).get(RECIPE_META_KEY) if field else None
+    stored = stamped_recipe(index, col_name)
     if stored is None:
         return
 
     def _norm(v):
-        # numeric values compare as ints (parquet metadata JSON round-trips
-        # can widen them); strings (e.g. centroid checksums) compare as-is
-        return int(v) if isinstance(v, (int, float)) else v
+        # integral numerics compare as ints (parquet metadata JSON
+        # round-trips can widen them); NON-integral floats (a threshold, a
+        # radius) must compare as floats — int() coercion collapsed 0.8 and
+        # 0.3 both to 0, silently disabling the fail-fast for any future
+        # float-valued recipe key (round-7 advice); strings (e.g. centroid
+        # checksums) compare as-is
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return v
+        f = float(v)
+        return int(f) if f.is_integer() else f
 
     stored_n = {k: _norm(v) for k, v in stored.items()}
     expected_n = {k: _norm(v) for k, v in expected.items()}

@@ -444,26 +444,52 @@ def cosine_lsh_candidates_incremental(
     from syncmaven_spark.operators.dedup import (
         _check_new_ids_disjoint,
         check_index_recipe,
+        stamped_recipe,
     )
 
-    first = _usable_vectors(new_df, id_col, vec_col).select(vec_col).first()
-    recipe = {"n_planes": n_planes, "n_tables": n_tables, "seed": seed,
-              "dim": len(first[0]) if first is not None else 0}
-    if first is not None:
-        check_index_recipe(index, "bucket", recipe)
     if assert_new_ids:
         _check_new_ids_disjoint(
             new_df, index, id_col, "cosine_lsh_candidates_incremental"
         )
     if new_index is None:
+        # `dim` (planes derive from it) comes from scanning the batch —
+        # the same scan cosine_lsh_index needs anyway to build the rows
+        first = _usable_vectors(new_df, id_col, vec_col).select(vec_col).first()
+        if first is not None:
+            check_index_recipe(
+                index, "bucket",
+                {"n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+                 "dim": len(first[0])},
+            )
         new_melt = cosine_lsh_index(
             new_df, id_col=id_col, vec_col=vec_col,
             n_planes=n_planes, n_tables=n_tables, seed=seed,
             max_bucket_size=max_bucket_size,
         )
     else:
-        if first is not None:
+        # the caller already built the batch's bucket rows: read `dim`
+        # from the stamps instead of eagerly scanning new_df — that
+        # `first()` ran one Spark job per call purely to derive dim, and
+        # in the streaming driver it re-executed the micro-batch source
+        # once per epoch (round-7 advice, the double-execution class)
+        dim = next(
+            (
+                int(stamp["dim"])
+                for stamp in (
+                    stamped_recipe(new_index, "bucket"),
+                    stamped_recipe(index, "bucket"),
+                )
+                if stamp is not None and "dim" in stamp
+            ),
+            None,
+        )
+        if dim is not None:
+            recipe = {"n_planes": n_planes, "n_tables": n_tables,
+                      "seed": seed, "dim": dim}
+            check_index_recipe(index, "bucket", recipe)
             check_index_recipe(new_index, "bucket", recipe)
+        # neither side stamped → hand-built indexes, contract is the
+        # caller's (same acceptance as check_index_recipe's no-stamp path)
         new_melt = new_index.select(id_col, "table_id", "bucket")
     new_melt = persist_scoped(new_melt)
     key = ["table_id", "bucket"]
