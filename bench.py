@@ -70,6 +70,8 @@ EXTRA = [
     "sample_token_budget_sharded",
     "knn_ivf_index_probe",
     "decontamination_fuzzy",
+    # round-8 additions
+    "decontamination_fuzzy_incremental",
 ]
 
 

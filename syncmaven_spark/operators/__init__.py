@@ -9,7 +9,9 @@ broadcast arrays).
 
 from syncmaven_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    decontamination_index,
     fuzzy_decontamination_pairs,
+    fuzzy_decontamination_pairs_incremental,
     hashed_shingle_sets,
     minhash_signatures,
     minhash_lsh_candidates,

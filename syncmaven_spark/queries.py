@@ -1381,6 +1381,67 @@ def decontamination_fuzzy(spark, sf_dir):
 
 
 @q(
+    "decontamination_fuzzy_incremental",
+    "WITH w AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "ws AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> "
+    "array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w "
+    "WHERE len(toks) > 0) "
+    "SELECT a.doc_id AS train_id, b.doc_id AS bench_id, "
+    "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(list_distinct(a.ws || b.ws)), 4) AS jaccard "
+    "FROM ws a JOIN ws b ON a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0 "
+    "WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(list_distinct(a.ws || b.ws)), 4) >= 0.8",
+    doc="Streaming-shaped fuzzy decontamination — the benchmark (doc_id % "
+    "7 = 0) is indexed ONCE (decontamination_index: banded rows + hashed "
+    "shingle sets, both recipe-stamped), then the train side streams "
+    "through in THREE batches (doc_id % 3), each signed once and probed "
+    "against the static index with one (band_id, band_hash) equi-join; "
+    "benchmark text is never re-shingled (verification reads the "
+    "persisted sets). Batches are independent — strictly-cross pairs "
+    "never pair train docs with each other — so the 3-batch union equals "
+    "the one-shot pass AND the same all-pairs SQL oracle, with no "
+    "disjoint-ids contract between batches (round-7 verdict #1: the "
+    "dedup incrementals' least/greatest normalization loses the "
+    "train-vs-bench side under overlapping ids; this path keeps the "
+    "sides). operators/dedup.py:fuzzy_decontamination_pairs_incremental.",
+    tags=("dedup", "decontamination", "minhash", "llm", "incremental"),
+)
+def decontamination_fuzzy_incremental(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        decontamination_index,
+        fuzzy_decontamination_pairs_incremental,
+    )
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    recipe = dict(num_perm=64, bands=32, shingle_k=3)
+    idx, sets = decontamination_index(bench, "text", "doc_id", **recipe)
+    # the static benchmark artifacts feed all three probes — persist them
+    # like the streaming driver's parquet-backed tables (one build, not
+    # one per batch)
+    from syncmaven_spark.operators.cache import persist_scoped
+
+    idx, sets = persist_scoped(idx), persist_scoped(sets)
+    batches = [train.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    parts = [
+        fuzzy_decontamination_pairs_incremental(
+            b, idx, sets, "text", "doc_id",
+            threshold=0.8, max_bucket_size=None, **recipe,
+        )
+        for b in batches
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
     "dedup_simhash_pairs",
     "WITH m AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000, text FROM documents), "
@@ -3825,6 +3886,9 @@ _DRIVER_CHECKED = frozenset({
     'dedup_minhash_incremental', 'text_quality_filter',
     'sample_token_budget', 'dedup_simhash_incremental',
     'dedup_cosine_incremental',
+    # newly green in CORRECTNESS_r07.json (all 3 round-7 additions):
+    'sample_token_budget_sharded', 'knn_ivf_index_probe',
+    'decontamination_fuzzy',
 })
 
 

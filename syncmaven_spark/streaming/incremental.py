@@ -320,6 +320,94 @@ def _read_epoch_state(
     return df.select(*cols)
 
 
+def _guard_state_consistency(
+    state_dir: str, checkpoint_dir: str, fn_name: str
+) -> None:
+    """Consistency guards shared by the streaming drivers (round-7
+    review):
+
+    1. a pending compaction journal means a compact_state crashed between
+       deleting folded epoch dirs and installing the base — reads would
+       silently miss rows; re-running compact_state recovers it.
+    2. the symmetric twin of the stale-checkpoint guard: a WIPED (or
+       repointed) state_dir under a SURVIVING checkpoint means earlier
+       files will never be re-delivered or re-indexed — every pair
+       between new docs and the pre-wipe corpus would silently never be
+       emitted. epochs.json is written before every offset commit, so
+       commits-without-epochs.json can only mean the state went missing.
+    """
+    import os
+
+    if os.path.isdir(state_dir):
+        pending = [
+            n for n in os.listdir(state_dir)
+            if n.startswith(".compact_journal_")
+        ]
+        if pending:
+            raise ValueError(
+                f"{fn_name}: state at {state_dir!r} has "
+                f"an incomplete compaction ({pending}). Re-run "
+                "compact_state on this state_dir to recover before "
+                "streaming — probing mid-surgery state would silently "
+                "miss indexed documents."
+            )
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    if (
+        os.path.isdir(commits_dir)
+        and any(n.isdigit() for n in os.listdir(commits_dir))
+        and not os.path.exists(os.path.join(state_dir, "epochs.json"))
+    ):
+        raise ValueError(
+            f"{fn_name}: checkpoint {checkpoint_dir!r} "
+            f"has committed batches but state at {state_dir!r} has no "
+            "epochs.json — the state was wiped or repointed under a "
+            "surviving checkpoint, so already-committed source files "
+            "would never be re-indexed and cross-corpus pairs would "
+            "silently never be emitted. Start a fresh checkpoint with the "
+            "fresh state (re-delivering the source), or restore the "
+            "original state_dir."
+        )
+
+
+def _check_or_write_recipe(
+    state_dir: str, recipe: dict, fn_name: str, require_existing: bool = False
+) -> None:
+    """Assert an existing state's recipe.json matches (with the dedicated
+    older-layout message — round-7 advice) or write it for a fresh state.
+    ``require_existing=True`` additionally refuses a missing recipe
+    (drivers whose state must be PREPARED first, e.g. decontamination)."""
+    import os
+
+    recipe_path = os.path.join(state_dir, "recipe.json")
+    stored = _load_json(recipe_path)
+    if stored is not None:
+        if stored.get("layout") != STATE_LAYOUT_VERSION:
+            raise ValueError(
+                f"{fn_name}: state at {state_dir!r} was "
+                f"written by an older/different on-disk layout (stored "
+                f"layout {stored.get('layout')!r}, this version writes "
+                f"{STATE_LAYOUT_VERSION}). The directory structure and "
+                "recipe keys are not compatible across layouts — rebuild "
+                "the state from source with a fresh state_dir + checkpoint."
+            )
+        if stored != recipe:
+            raise ValueError(
+                f"{fn_name}: LSH recipe mismatch with the "
+                f"existing state at {state_dir!r}: stored {stored}, got "
+                f"{recipe}. Hashes from different recipes never match "
+                "— probing would silently find no cross-batch pairs. Use "
+                "the stored recipe or start a fresh state_dir."
+            )
+    elif require_existing:
+        raise ValueError(
+            f"{fn_name}: no recipe.json under {state_dir!r} — the state "
+            "must be prepared first (prepare_decontamination_state)."
+        )
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        _atomic_write_json(recipe_path, recipe)
+
+
 def run_streaming_near_dup_sync(
     spark: SparkSession,
     source_dir: str,
@@ -442,7 +530,6 @@ def run_streaming_near_dup_sync(
         state_dir, "sets" if family == "minhash" else "vecs"
     )
     pairs_dir = os.path.join(state_dir, "pairs")
-    recipe_path = os.path.join(state_dir, "recipe.json")
     epochs_path = os.path.join(state_dir, "epochs.json")
     id_type = schema[id_col].dataType.simpleString()
 
@@ -458,69 +545,12 @@ def run_streaming_near_dup_sync(
     else:
         recipe.update(n_planes=n_planes, n_tables=n_tables, seed=seed,
                       vec_col=vec_col)
-    # consistency guards before starting the stream (round-7 review):
-    # 1. a pending compaction journal means a compact_state crashed between
-    #    deleting folded epoch dirs and installing the base — reads would
-    #    silently miss rows; re-running compact_state recovers it.
-    if os.path.isdir(state_dir):
-        pending = [
-            n for n in os.listdir(state_dir)
-            if n.startswith(".compact_journal_")
-        ]
-        if pending:
-            raise ValueError(
-                f"run_streaming_near_dup_sync: state at {state_dir!r} has "
-                f"an incomplete compaction ({pending}). Re-run "
-                "compact_state on this state_dir to recover before "
-                "streaming — probing mid-surgery state would silently "
-                "miss indexed documents."
-            )
-    # 2. the symmetric twin of the stale-checkpoint guard: a WIPED (or
-    #    repointed) state_dir under a SURVIVING checkpoint means earlier
-    #    files will never be re-delivered or re-indexed — every pair
-    #    between new docs and the pre-wipe corpus would silently never be
-    #    emitted. epochs.json is written before every offset commit, so
-    #    commits-without-epochs.json can only mean the state went missing.
-    commits_dir = os.path.join(checkpoint_dir, "commits")
-    epochs_path_early = os.path.join(state_dir, "epochs.json")
-    if (
-        os.path.isdir(commits_dir)
-        and any(n.isdigit() for n in os.listdir(commits_dir))
-        and not os.path.exists(epochs_path_early)
-    ):
-        raise ValueError(
-            f"run_streaming_near_dup_sync: checkpoint {checkpoint_dir!r} "
-            f"has committed batches but state at {state_dir!r} has no "
-            "epochs.json — the state was wiped or repointed under a "
-            "surviving checkpoint, so already-committed source files "
-            "would never be re-indexed and cross-corpus pairs would "
-            "silently never be emitted. Start a fresh checkpoint with the "
-            "fresh state (re-delivering the source), or restore the "
-            "original state_dir."
-        )
-
-    stored = _load_json(recipe_path)
-    if stored is not None:
-        if stored.get("layout") != STATE_LAYOUT_VERSION:
-            raise ValueError(
-                f"run_streaming_near_dup_sync: state at {state_dir!r} was "
-                f"written by an older/different on-disk layout (stored "
-                f"layout {stored.get('layout')!r}, this version writes "
-                f"{STATE_LAYOUT_VERSION}). The directory structure and "
-                "recipe keys are not compatible across layouts — rebuild "
-                "the state from source with a fresh state_dir + checkpoint."
-            )
-        if stored != recipe:
-            raise ValueError(
-                "run_streaming_near_dup_sync: LSH recipe mismatch with the "
-                f"existing state at {state_dir!r}: stored {stored}, got "
-                f"{recipe}. Hashes from different recipes never match "
-                "— probing would silently find no cross-batch pairs. Use "
-                "the stored recipe or start a fresh state_dir."
-            )
-    else:
-        os.makedirs(state_dir, exist_ok=True)
-        _atomic_write_json(recipe_path, recipe)
+    _guard_state_consistency(
+        state_dir, checkpoint_dir, "run_streaming_near_dup_sync"
+    )
+    _check_or_write_recipe(
+        state_dir, recipe, "run_streaming_near_dup_sync"
+    )
 
     #: the index's hash column per family — the pruning/partition key
     hash_col = {
@@ -707,6 +737,268 @@ def run_streaming_near_dup_sync(
         thresholds[str(int(epoch_id))] = (
             float(max_hamming) if family == "simhash" else float(threshold)
         )
+        _atomic_write_json(
+            epochs_path,
+            {**epochs, "max_epoch": int(epoch_id), "thresholds": thresholds},
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def prepare_decontamination_state(
+    spark: SparkSession,
+    benchmark: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    state_buckets: int = DEFAULT_STATE_BUCKETS,
+) -> None:
+    """Index a (small, static) benchmark corpus ONCE into ``state_dir`` for
+    :func:`run_streaming_decontamination_sync` — the persisted form of
+    :func:`~syncmaven_spark.operators.dedup.decontamination_index`:
+
+    - ``bench_index``: banded rows partitioned by
+      ``hbucket = pmod(band_hash, state_buckets)`` so each train batch's
+      probe prunes to its own hash buckets (directory-level);
+    - ``bench_sets``: hashed shingle sets partitioned by
+      ``bucket = pmod(xxhash64(id), state_buckets)`` so verification
+      fetches only candidate-touched benchmark partitions — benchmark
+      text is never re-shingled after this call.
+
+    Both tables keep their recipe stamps through parquet; the streaming
+    probe fail-fasts on a mismatch. Refuses an already-prepared
+    ``state_dir`` (rebuild into a fresh dir) and an effectively-empty
+    benchmark (every doc unusable — streaming against it would silently
+    report zero contamination forever).
+    """
+    import os
+
+    from syncmaven_spark.operators.dedup import decontamination_index
+
+    recipe_path = os.path.join(state_dir, "recipe.json")
+    if _load_json(recipe_path) is not None:
+        raise ValueError(
+            f"prepare_decontamination_state: {state_dir!r} is already "
+            "prepared. Rebuild into a fresh state_dir (and start a fresh "
+            "checkpoint) instead of overwriting state a stream may be "
+            "probing."
+        )
+    idx, sets = decontamination_index(
+        benchmark, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    )
+    idx = idx.withColumn(
+        "hbucket", F.pmod(F.col("band_hash"), F.lit(state_buckets))
+    ).persist()
+    if idx.isEmpty():
+        idx.unpersist()
+        raise ValueError(
+            "prepare_decontamination_state: the benchmark has no usable "
+            "documents (all NULL/empty/punctuation-only text) — a stream "
+            "probing it would silently report zero contamination forever."
+        )
+    try:
+        idx.write.partitionBy("hbucket").mode("errorifexists").parquet(
+            os.path.join(state_dir, "bench_index")
+        )
+        sets.withColumn(
+            "bucket", _id_bucket(id_col, state_buckets)
+        ).write.partitionBy("bucket").mode("errorifexists").parquet(
+            os.path.join(state_dir, "bench_sets")
+        )
+    finally:
+        idx.unpersist()
+    _atomic_write_json(
+        recipe_path,
+        {"layout": STATE_LAYOUT_VERSION, "family": "decontamination",
+         "id_col": id_col, "text_col": text_col,
+         "num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+         "state_buckets": state_buckets},
+    )
+
+
+def run_streaming_decontamination_sync(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Continuous fuzzy decontamination of a growing train corpus against
+    a benchmark prepared by :func:`prepare_decontamination_state` —
+    round-7 verdict #1's streaming mode: the one-shot
+    ``fuzzy_decontamination_pairs`` re-signs the FULL train side per
+    call, while this driver signs each micro-batch once and probes the
+    static benchmark index.
+
+    Per micro-batch (``availableNow`` trigger): band the batch, prune the
+    stored ``bench_index`` read to the batch's own hash buckets (hash
+    equality ⇒ same hbucket, so other partitions cannot contribute), one
+    (band_id, band_hash) equi-join for candidates, then exact-Jaccard
+    verification reading ONLY candidate-touched partitions of the stored
+    ``bench_sets`` (benchmark text is never re-shingled) and a semi-join
+    pruned re-shingle of the batch side. Pairs land under
+    ``pairs/epoch=<id>`` with ``mode("overwrite")`` — an at-least-once
+    replay rewrites its own epoch idempotently, and unlike the near-dup
+    driver NOTHING of the train side persists (batches never pair with
+    each other or with later batches), so there is no epoch-filtered
+    state read at all: state stays O(benchmark + emitted pairs).
+
+    The train batch's buckets default to UNCAPPED (``max_bucket_size``,
+    same rationale as the one-shot: a cap exempts mass contamination past
+    it); quadratic risk is bounded by the small benchmark side.
+    ``threshold`` may vary between runs and is recorded per epoch in
+    ``epochs.json`` (read back by :func:`read_pairs`); the recipe itself
+    is pinned by ``recipe.json`` from the prepare step. The
+    stale-checkpoint / wiped-state / pending-compaction guards match the
+    near-dup driver.
+    """
+    import os
+
+    from syncmaven_spark.operators.cache import persist_scoped
+    from syncmaven_spark.operators.dedup import (
+        _cross_jaccard_scored,
+        _hashed_shingle_sets,
+        _spread,
+        check_index_recipe,
+        minhash_lsh_index,
+    )
+
+    recipe_path = os.path.join(state_dir, "recipe.json")
+    stored = _load_json(recipe_path)
+    _guard_state_consistency(
+        state_dir, checkpoint_dir, "run_streaming_decontamination_sync"
+    )
+    if stored is None:
+        raise ValueError(
+            f"run_streaming_decontamination_sync: no recipe.json under "
+            f"{state_dir!r} — prepare the benchmark index first "
+            "(prepare_decontamination_state)."
+        )
+    if stored.get("layout") != STATE_LAYOUT_VERSION:
+        raise ValueError(
+            f"run_streaming_decontamination_sync: state at {state_dir!r} "
+            f"was written by an older/different on-disk layout (stored "
+            f"layout {stored.get('layout')!r}, this version writes "
+            f"{STATE_LAYOUT_VERSION}) — rebuild it from source."
+        )
+    if stored.get("family") != "decontamination":
+        raise ValueError(
+            f"run_streaming_decontamination_sync: state at {state_dir!r} "
+            f"belongs to family {stored.get('family')!r}, not "
+            "'decontamination' — point the near-dup driver at it instead."
+        )
+    id_col = stored["id_col"]
+    text_col = stored["text_col"]
+    num_perm, bands = int(stored["num_perm"]), int(stored["bands"])
+    shingle_k = int(stored["shingle_k"])
+    state_buckets = int(stored["state_buckets"])
+    lsh_recipe = {"num_perm": num_perm, "bands": bands,
+                  "shingle_k": shingle_k}
+    pairs_dir = os.path.join(state_dir, "pairs")
+    epochs_path = os.path.join(state_dir, "epochs.json")
+
+    # the static benchmark tables: read once up front (plain reads — the
+    # recipe stamps ride the parquet footers and are asserted here, so a
+    # repointed state_dir with a different recipe fails fast)
+    bench_index = spark.read.parquet(os.path.join(state_dir, "bench_index"))
+    bench_sets = spark.read.parquet(os.path.join(state_dir, "bench_sets"))
+    check_index_recipe(bench_index, "band_hash", lsh_recipe)
+    check_index_recipe(bench_sets, "_set", lsh_recipe)
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epochs = _load_json(epochs_path) or {}
+        max_seen = epochs.get("max_epoch")
+        if max_seen is not None and int(epoch_id) < int(max_seen):
+            raise ValueError(
+                f"run_streaming_decontamination_sync: batch arrived with "
+                f"epoch {epoch_id} but state at {state_dir!r} has already "
+                f"processed epoch {max_seen} — the streaming checkpoint "
+                "was recreated over surviving state, so the source would "
+                "be re-delivered from epoch 0 and duplicate pairs. "
+                "Restore the original checkpoint, or start a fresh "
+                "state_dir + checkpoint."
+            )
+
+        def _advance() -> None:
+            _atomic_write_json(
+                epochs_path, {**epochs, "max_epoch": int(epoch_id)}
+            )
+
+        batch = batch_df.select(id_col, text_col)
+        if batch.isEmpty():
+            _advance()
+            return
+        batch_index = persist_scoped(
+            minhash_lsh_index(
+                batch, text_col, id_col,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                max_bucket_size=max_bucket_size,
+            )
+        )
+        if batch_index.isEmpty():  # all rows unusable — nothing to probe
+            _advance()
+            return
+        # prune the stored-index read to the batch's hash buckets
+        # (≤ state_buckets ints; equality ⇒ same hbucket, so the skipped
+        # partitions cannot contribute candidates)
+        hb_vals = [
+            r[0]
+            for r in batch_index.select(
+                F.pmod(F.col("band_hash"), F.lit(state_buckets)).alias("h")
+            ).distinct().collect()
+        ]
+        key = ["band_id", "band_hash"]
+        cands = persist_scoped(
+            batch_index.select(*key, F.col(id_col).alias("train_id"))
+            .join(
+                bench_index.filter(F.col("hbucket").isin(hb_vals)).select(
+                    *key, F.col(id_col).alias("bench_id")
+                ),
+                key,
+            )
+            .select("train_id", "bench_id")
+            .dropDuplicates(["train_id", "bench_id"])
+        )
+        t_touched = cands.select(F.col("train_id").alias(id_col)).distinct()
+        b_touched = persist_scoped(
+            cands.select(F.col("bench_id").alias(id_col)).distinct()
+        )
+        # candidate-touched benchmark partitions only (≤ state_buckets
+        # ints) — the directory-level prune that keeps verification I/O
+        # O(touched buckets) even against a huge benchmark
+        b_buckets = [
+            r[0]
+            for r in b_touched.select(
+                _id_bucket(id_col, state_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        b_sets = bench_sets.filter(F.col("bucket").isin(b_buckets)).join(
+            b_touched, id_col, "left_semi"
+        )
+        t_sets = _hashed_shingle_sets(
+            _spread(batch.join(t_touched, id_col, "left_semi"), id_col),
+            text_col, id_col, shingle_k,
+        )
+        pairs = _cross_jaccard_scored(cands, t_sets, b_sets, id_col, threshold)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch={int(epoch_id)}")
+        )
+        thresholds = dict(epochs.get("thresholds") or {})
+        thresholds[str(int(epoch_id))] = float(threshold)
         _atomic_write_json(
             epochs_path,
             {**epochs, "max_epoch": int(epoch_id), "thresholds": thresholds},
@@ -980,7 +1272,8 @@ def read_pairs(
         )
     family = recipe.get("family", "minhash")
     score_col = {
-        "minhash": "jaccard", "simhash": "hamming", "cosine": "cos_sim"
+        "minhash": "jaccard", "simhash": "hamming", "cosine": "cos_sim",
+        "decontamination": "jaccard",
     }[family]
     pairs_dir = os.path.join(state_dir, "pairs")
     df = spark.read.parquet(pairs_dir)

@@ -432,3 +432,65 @@ def test_fuzzy_decontamination_cross_pairs_only(spark):
         ).collect()
     }
     assert caught == {100 + i for i in range(30)}
+
+
+def test_fuzzy_decontamination_incremental_equals_one_shot(spark, tmp_path):
+    """Round-7 verdict #1: the benchmark is indexed ONCE
+    (decontamination_index, parquet-roundtripped so the recipe stamps are
+    exercised) and the train side streams through in 3 batches — the
+    union must equal the one-shot pass exactly, including a train doc
+    whose id COLLIDES with its benchmark near-copy's id (the case the
+    dedup incrementals' least/greatest normalization silently drops)."""
+    from syncmaven_spark.operators import (
+        decontamination_index,
+        fuzzy_decontamination_pairs,
+        fuzzy_decontamination_pairs_incremental,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, BASE),            # near-copy of bench 10
+            (2, BASE),            # another copy, lands in a different batch
+            (3, OTHER),
+            (5, NEAR),            # id 5 ALSO a bench id, text near bench 5
+            (10, OTHER + " more tail"),
+            (12, NEAR.replace("garden", "meadow")),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(10, NEAR), (5, NEAR), (11, "totally unrelated benchmark prompt")],
+        ["doc_id", "text"],
+    )
+    kw = dict(threshold=0.3, max_bucket_size=None)
+    one_shot = {
+        (r.train_id, r.bench_id, r.jaccard)
+        for r in fuzzy_decontamination_pairs(
+            train, bench, "text", "doc_id", **kw
+        ).collect()
+    }
+    assert (5, 5, 1.0) in one_shot  # same-id cross pair must survive
+
+    idx, sets = decontamination_index(bench, "text", "doc_id")
+    idx.write.parquet(str(tmp_path / "bidx"))
+    sets.write.parquet(str(tmp_path / "bsets"))
+    idx = spark.read.parquet(str(tmp_path / "bidx"))
+    sets = spark.read.parquet(str(tmp_path / "bsets"))
+
+    inc = set()
+    for i in range(3):
+        batch = train.filter(f"doc_id % 3 = {i}")
+        inc |= {
+            (r.train_id, r.bench_id, r.jaccard)
+            for r in fuzzy_decontamination_pairs_incremental(
+                batch, idx, sets, "text", "doc_id", **kw
+            ).collect()
+        }
+    assert inc == one_shot and len(inc) >= 4
+
+    # a probe with a different recipe fails fast on the parquet-survived
+    # stamp (both artifacts carry it)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        fuzzy_decontamination_pairs_incremental(
+            train, idx, sets, "text", "doc_id", bands=16, **kw
+        )

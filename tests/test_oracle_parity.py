@@ -73,6 +73,10 @@ _SCALE_QUADRATIC_ORACLES = {
     # pairs_only), and the always-on sf0.1 recall gate on the SAME MinHash
     # recipe (tests/test_scale_gate.py)
     "decontamination_fuzzy",
+    # identical all-pairs cross oracle; additionally gated by the 3-batch
+    # ≡ one-shot equivalence property (tests/test_operators_dedup.py) and
+    # its sf0.1 twin in tests/test_scale_stress.py
+    "decontamination_fuzzy_incremental",
 }
 
 scale = pytest.mark.skipif(

@@ -202,3 +202,41 @@ def test_streaming_near_dup_equals_full_pass_at_sf01(spark, docs, tmp_path):
     }
     assert streamed == full
     assert len(full) > 0
+
+
+def test_incremental_decontamination_equals_one_shot_at_sf01(spark, docs):
+    """sf0.1 stand-in for the quadratic-oracle-excluded
+    ``decontamination_fuzzy_incremental`` entry: the benchmark (doc_id %
+    7 = 0, ~700 docs) is indexed once and the 3-batch incremental union
+    must equal the one-shot cross pass at 5k docs — the same
+    Spark-vs-Spark equivalence the sf0.001 property test asserts, on the
+    real corpus with the production recipe."""
+    from syncmaven_spark.operators import (
+        decontamination_index,
+        fuzzy_decontamination_pairs,
+        fuzzy_decontamination_pairs_incremental,
+    )
+    from syncmaven_spark.operators.cache import persist_scoped
+
+    train = docs.filter("doc_id % 7 <> 0")
+    bench = docs.filter("doc_id % 7 = 0")
+    kw = dict(threshold=0.8, max_bucket_size=None)
+    one_shot = {
+        (r.train_id, r.bench_id, r.jaccard)
+        for r in fuzzy_decontamination_pairs(
+            train, bench, "text", "doc_id", **kw
+        ).collect()
+    }
+    idx, sets = decontamination_index(bench, "text", "doc_id")
+    idx, sets = persist_scoped(idx), persist_scoped(sets)
+    inc = set()
+    for i in range(3):
+        inc |= {
+            (r.train_id, r.bench_id, r.jaccard)
+            for r in fuzzy_decontamination_pairs_incremental(
+                train.filter(f"doc_id % 3 = {i}"), idx, sets,
+                "text", "doc_id", **kw,
+            ).collect()
+        }
+    assert inc == one_shot
+    assert len(inc) > 0

@@ -685,3 +685,103 @@ def test_read_pairs_single_threshold_no_warning(spark, tmp_path):
         warnings.simplefilter("error")
         got = read_pairs(spark, state)
     assert {(r.id_a, r.id_b) for r in got.collect()} == {(1, 2)}
+
+
+def test_streaming_decontamination_sync(spark, tmp_path):
+    """Round-7 verdict #1, streaming mode: the benchmark is prepared once
+    (prepare_decontamination_state) and train batches stream through —
+    pairs accumulate per epoch, strictly cross, nothing of the train side
+    persists, and read_pairs consumes the state."""
+    from syncmaven_spark.streaming import (
+        prepare_decontamination_state,
+        run_streaming_decontamination_sync,
+    )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    bench = spark.createDataFrame(
+        [(10, NEAR), (11, "totally unrelated benchmark prompt text")],
+        "doc_id long, text string",
+    )
+    prepare_decontamination_state(spark, bench, state)
+    # double-prepare refuses (a stream may be probing the state)
+    with pytest.raises(ValueError, match="already prepared"):
+        prepare_decontamination_state(spark, bench, state)
+
+    # batch 1: one contaminated train doc + one clean; batch 2: another
+    # contaminated doc whose id COLLIDES with the bench doc's id
+    _write_docs(spark, src, [(1, BASE), (2, OTHER)])
+    schema = spark.read.parquet(src).schema
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+    _write_docs(spark, src, [(10, BASE)])
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+
+    pairs = spark.read.parquet(state + "/pairs")
+    got = {(r.train_id, r.bench_id) for r in pairs.collect()}
+    assert got == {(1, 10), (10, 10)}  # same-id cross pair survives
+    # nothing of the train side persists — state is benchmark + pairs
+    assert sorted(
+        n for n in os.listdir(state) if not n.startswith(".")
+    ) == ["bench_index", "bench_sets", "epochs.json", "pairs", "recipe.json"]
+
+    # read_pairs understands the decontamination family
+    from syncmaven_spark.streaming import read_pairs
+
+    cut = read_pairs(spark, state, 0.3)
+    assert {(r.train_id, r.bench_id) for r in cut.collect()} == got
+
+    # an unprepared state fails fast with the dedicated message
+    with pytest.raises(ValueError, match="prepare the benchmark index"):
+        run_streaming_decontamination_sync(
+            spark, src, schema, str(tmp_path / "nostate"),
+            str(tmp_path / "nockpt"),
+        )
+    # the near-dup driver refuses a decontamination-family state... and
+    # vice versa: pointing this driver at a near-dup state fails fast
+    with pytest.raises(ValueError, match="recipe mismatch|belongs to family"):
+        run_streaming_near_dup_sync(
+            spark, src, schema, state, str(tmp_path / "ck2"), threshold=0.3
+        )
+
+
+def test_streaming_decontamination_empty_and_unusable_batches(spark, tmp_path):
+    """Empty and all-unusable train batches advance the watermark without
+    writing state; an all-unusable BENCHMARK refuses to prepare."""
+    import json
+
+    from syncmaven_spark.streaming import (
+        prepare_decontamination_state,
+        run_streaming_decontamination_sync,
+    )
+
+    with pytest.raises(ValueError, match="no usable"):
+        prepare_decontamination_state(
+            spark,
+            spark.createDataFrame([(1, "?!?!")], "doc_id long, text string"),
+            str(tmp_path / "badstate"),
+        )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    bench = spark.createDataFrame([(10, NEAR)], "doc_id long, text string")
+    prepare_decontamination_state(spark, bench, state)
+    _write_docs(spark, src, [(1, "---- ....")])  # unusable batch
+    schema = spark.read.parquet(src).schema
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+    assert not os.path.isdir(state + "/pairs/epoch=0")
+    with open(state + "/epochs.json", encoding="utf-8") as f:
+        assert json.load(f)["max_epoch"] == 0
+    # stream continues fine afterwards
+    _write_docs(spark, src, [(2, BASE)])
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+    got = {
+        (r.train_id, r.bench_id)
+        for r in spark.read.parquet(state + "/pairs").collect()
+    }
+    assert got == {(2, 10)}
