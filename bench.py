@@ -72,6 +72,7 @@ EXTRA = [
     "decontamination_fuzzy",
     # round-8 additions
     "decontamination_fuzzy_incremental",
+    "knn_ivf_append_probe",
 ]
 
 

@@ -39,6 +39,8 @@ from syncmaven_spark.operators.similarity import (  # noqa: F401
     cosine_pairs_lsh_incremental,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
+    ivf_append,
+    ivf_drift,
     ivf_index,
     ivf_probe,
     normalized_vectors,

@@ -691,6 +691,36 @@ def ivf_index(
         "n_centroids": int(centroids.shape[0]),
         "dim": int(centroids.shape[1]),
     }
+    centroids_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    return (
+        _ivf_assignments(usable, centroids, id_col, vec_col, recipe),
+        _with_recipe_meta(centroids_df, "centroid_id", recipe),
+    )
+
+
+def _ivf_assignments(
+    usable: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    recipe: dict,
+) -> DataFrame:
+    """``(id, cell, vec, norm)`` assignment rows under a fixed codebook —
+    shared by :func:`ivf_index` (initial build) and :func:`ivf_append`
+    (codebook-stable ingestion), so both produce the identical schema and
+    stamp.
+
+    The stamp rides ``norm``, NOT ``cell``: ``cell`` is the documented
+    partitionBy column, and parquet DROPS field metadata on partition
+    columns (verified empirically — a partitionBy('cell') round-trip
+    returns {} metadata, silently disabling the checksum fail-fast;
+    round-7 review). ``norm`` is a plain data column on every layout.
+    """
+    from syncmaven_spark.operators.dedup import _with_recipe_meta
+
     assignments = (
         assign_cells(usable, centroids, vec_col, n_probe=1, out_col="_cells")
         .select(
@@ -700,18 +730,112 @@ def ivf_index(
         )
         .withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
     )
-    centroids_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "centroid_id int, centroid array<double>",
+    return _with_recipe_meta(assignments, "norm", recipe)
+
+
+def _load_codebook(centroids_df: DataFrame) -> tuple[np.ndarray, dict]:
+    """Collect a (tiny) persisted codebook into the centroid matrix plus
+    its recomputed recipe — shared by :func:`ivf_probe`, :func:`ivf_append`
+    and :func:`ivf_drift`. A stamped codebook whose recomputed checksum no
+    longer matches its own stamp (rows dropped/edited after build) fails
+    fast here; the recipe is then asserted against whichever assignments
+    table the caller pairs it with."""
+    from syncmaven_spark.operators.dedup import check_index_recipe
+
+    rows = centroids_df.select("centroid_id", "centroid").collect()
+    if not rows:
+        raise ValueError(
+            "empty centroid table — build the index with "
+            "ivf_index over a non-empty corpus first"
+        )
+    centroids = np.array(
+        [r[1] for r in sorted(rows, key=lambda r: r[0])], dtype=np.float64
     )
-    # the stamp rides `norm`, NOT `cell`: `cell` is the documented
-    # partitionBy column, and parquet DROPS field metadata on partition
-    # columns (verified empirically — a partitionBy('cell') round-trip
-    # returns {} metadata, silently disabling the checksum fail-fast;
-    # round-7 review). `norm` is a plain data column on every layout.
-    return (
-        _with_recipe_meta(assignments, "norm", recipe),
-        _with_recipe_meta(centroids_df, "centroid_id", recipe),
+    recipe = {
+        "checksum": _centroid_checksum(centroids),
+        "n_centroids": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+    }
+    check_index_recipe(centroids_df, "centroid_id", recipe)
+    return centroids, recipe
+
+
+def ivf_append(
+    new_batch: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment rows for NEW corpus vectors under an EXISTING codebook —
+    IVF's continuous-ingestion path (round-7 verdict #2: the dedup trilogy
+    had index+probe, but adding corpus vectors to a persisted IVF index
+    meant retraining k-means and re-assigning everything).
+
+    Returns ``(id, cell, vec, norm)`` with the same schema and recipe
+    stamp as :func:`ivf_index`'s assignments; append it to the persisted
+    store with ``.write.partitionBy("cell").mode("append")`` and
+    :func:`ivf_probe` accepts the merged table unchanged. Because a
+    vector's cell depends only on (vector, codebook), assignment is
+    per-row under a FIXED codebook::
+
+        index(a).assignments ∪ append(b)  ==  assign(a ∪ b)   (same codebook)
+
+    so probes over the appended store equal probes over a from-scratch
+    assignment of the union (parquet-roundtrip-tested). New ids should be
+    disjoint from stored ids (same contract as every incremental path;
+    a re-ingested id would simply appear twice in the candidate set).
+
+    The codebook is validated against its own stamp before use, and the
+    returned rows carry that stamp — a later probe pairing the appended
+    store with a DIFFERENT codebook still fails fast on the checksum.
+    Quality erodes as the corpus drifts from the training distribution —
+    monitor :func:`ivf_drift` and retrain when the assigned-cell cosine
+    drops.
+    """
+    centroids, recipe = _load_codebook(centroids_df)
+    usable = _usable_vectors(new_batch, id_col, vec_col)
+    return _ivf_assignments(usable, centroids, id_col, vec_col, recipe)
+
+
+def ivf_drift(
+    assignments: DataFrame,
+    centroids_df: DataFrame,
+) -> DataFrame:
+    """The retrain signal for a codebook-stable IVF store: one row of
+    ``(n_vectors, mean_cell_cos, p10_cell_cos, min_cell_cos)`` where
+    ``cell_cos`` is each vector's cosine to its ASSIGNED centroid.
+
+    A codebook trained on the corpus keeps assigned-cell cosine high; as
+    appended batches drift from the training distribution the mean (and
+    especially the p10 tail) falls — vectors land in cells whose centroid
+    barely represents them, which is exactly when probe recall degrades
+    (a query's n_probe cells stop covering its true neighbors). Compare
+    against the value recorded at build time and retrain (fresh
+    :func:`ivf_index`) when it drops materially — e.g. mean down 10%+ or
+    p10 below the build-time mean.
+
+    One broadcast join (the codebook is ≤ n_centroids rows) + one
+    aggregate; all JVM-side column math, no collect of the corpus.
+    """
+    from syncmaven_spark.operators.dedup import check_index_recipe
+
+    centroids, recipe = _load_codebook(centroids_df)
+    check_index_recipe(assignments, "norm", recipe)
+    cents = centroids_df.select(
+        F.col("centroid_id").alias("cell"),
+        _as_double(F.col("centroid")).alias("c_vec"),
+    ).withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+    scored = assignments.join(F.broadcast(cents), "cell").select(
+        _cosine(
+            _dot(F.col("vec"), F.col("c_vec")),
+            F.col("norm"), F.col("c_norm"), 6,
+        ).alias("cell_cos")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("cell_cos"), 4).alias("mean_cell_cos"),
+        F.round(F.percentile_approx("cell_cos", 0.1), 4).alias("p10_cell_cos"),
+        F.round(F.min("cell_cos"), 4).alias("min_cell_cos"),
     )
 
 
@@ -743,23 +867,8 @@ def ivf_probe(
     """
     from syncmaven_spark.operators.dedup import check_index_recipe
 
-    rows = centroids_df.select("centroid_id", "centroid").collect()
-    if not rows:
-        raise ValueError(
-            "ivf_probe: empty centroid table — build the index with "
-            "ivf_index over a non-empty corpus first"
-        )
-    centroids = np.array(
-        [r[1] for r in sorted(rows, key=lambda r: r[0])], dtype=np.float64
-    )
-    check_index_recipe(
-        assignments, "norm",
-        {
-            "checksum": _centroid_checksum(centroids),
-            "n_centroids": int(centroids.shape[0]),
-            "dim": int(centroids.shape[1]),
-        },
-    )
+    centroids, recipe = _load_codebook(centroids_df)
+    check_index_recipe(assignments, "norm", recipe)
     from syncmaven_spark.operators.cache import persist_scoped
 
     q = _usable_vectors(queries, id_col, vec_col)

@@ -1710,6 +1710,66 @@ def knn_ivf_index_probe(spark, sf_dir):
 
 
 @q(
+    "knn_ivf_append_probe",
+    "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
+    "TRUE AS recall_ge_04 FROM embeddings "
+    "WHERE vec_id % 5 = 0 AND vec_id < 40",
+    doc="Codebook-stable IVF ingestion — ivf_append assigns a NEW corpus "
+    "batch under the existing stamped codebook (no k-means retrain, no "
+    "corpus re-assignment) and the appended rows merge into the "
+    "cell-partitioned store that ivf_probe consumes unchanged (round-7 "
+    "verdict #2: the one remaining build-everything-again path in the "
+    "continuous-ingestion surface). Here the codebook trains on the 40% "
+    "base, the other 40% arrives as an appended batch, and 8 held-out "
+    "vectors probe the merged assignments; the derived oracle checks the "
+    "ANN contract per query (exactly k returned, recall vs the in-query "
+    "brute-force top-5 over the same 80% corpus ≥ 0.4). append ∪ index ≡ "
+    "from-scratch assignment under the same codebook is asserted in "
+    "tests (parquet round-trip), and ivf_drift provides the retrain "
+    "signal (operators/similarity.py:ivf_append).",
+    tags=("similarity", "knn", "ivf", "incremental"),
+)
+def knn_ivf_append_probe(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        cosine_topk_bruteforce,
+        ivf_append,
+        ivf_index,
+        ivf_probe,
+    )
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    base = corpus.filter(F.col("vec_id") % 2 != 0)
+    batch = corpus.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40))
+    assignments, centroids_df = ivf_index(base, n_centroids=8)
+    merged = assignments.unionByName(ivf_append(batch, centroids_df))
+    ivf = ivf_probe(
+        queries, merged, centroids_df, k=5, n_probe=4, exclude_self=False
+    ).select("q_id", "n_id")
+    bf = cosine_topk_bruteforce(
+        corpus, queries, k=5, exclude_self=False
+    ).select("q_id", "n_id")
+    hits = (
+        ivf.join(bf, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        ivf.groupBy("q_id")
+        .agg(F.count("*").alias("n_returned"))
+        .join(hits, "q_id", "left")
+        .na.fill(0, ["_hits"])
+        .select(
+            "q_id",
+            "n_returned",
+            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
+        )
+    )
+
+
+@q(
     "knn_cosine_ivf",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
     "TRUE AS recall_ge_04 FROM embeddings WHERE vec_id < 8",

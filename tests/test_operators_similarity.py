@@ -223,3 +223,101 @@ def test_ivf_index_probe_roundtrip_and_checksum(embeddings, tmp_path):
     # empty codebook → explicit error
     with pytest.raises(ValueError, match="empty centroid table"):
         ivf_probe(queries, stored_a, stored_c.limit(0), k=5)
+
+
+def test_ivf_append_roundtrip_equals_union_assign(embeddings, tmp_path):
+    """Round-7 verdict #2: ivf_append assigns a new batch under the
+    STAMPED codebook and parquet-appends into the cell-partitioned store —
+    probes over index(a) ⊕ append(b) must equal probes over a from-scratch
+    assignment of a ∪ b under the same codebook, checksum still enforced."""
+    from pyspark.sql import functions as F
+
+    from syncmaven_spark.operators import (
+        ivf_append,
+        ivf_drift,
+        ivf_index,
+        ivf_probe,
+    )
+    from syncmaven_spark.operators.dedup import RECIPE_META_KEY
+
+    spark = embeddings.sparkSession
+    a = embeddings.filter("vec_id % 5 <> 0")
+    b = embeddings.filter("vec_id % 5 = 0")
+    queries = embeddings.filter("vec_id < 8")
+
+    assignments, centroids_df = ivf_index(a, n_centroids=8)
+    store = str(tmp_path / "ivf")
+    cpath = str(tmp_path / "cents")
+    assignments.write.partitionBy("cell").parquet(store)
+    centroids_df.write.parquet(cpath)
+
+    stored_c = spark.read.parquet(cpath)
+    appended = ivf_append(b, stored_c)
+    # same stamp as the build path (rides `norm`, survives parquet)
+    assert RECIPE_META_KEY in (appended.schema["norm"].metadata or {})
+    appended.write.partitionBy("cell").mode("append").parquet(store)
+
+    merged = spark.read.parquet(store)
+    got = {
+        (r.q_id, r.n_id, r.cos_sim, r.rank)
+        for r in ivf_probe(
+            queries, merged, stored_c, k=5, n_probe=4, exclude_self=False
+        ).collect()
+    }
+    # reference: one from-scratch assignment of the union, SAME codebook
+    union_assign = ivf_append(embeddings, stored_c)
+    want = {
+        (r.q_id, r.n_id, r.cos_sim, r.rank)
+        for r in ivf_probe(
+            queries, union_assign, stored_c, k=5, n_probe=4,
+            exclude_self=False,
+        ).collect()
+    }
+    assert got == want and len(got) == 8 * 5
+
+    # rows appended under the WRONG codebook carry ITS stamp, so probing
+    # them with the store's codebook fails fast (checksum stamp)
+    _, wrong_c = ivf_index(a, n_centroids=4)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        ivf_probe(queries, ivf_append(b, wrong_c), stored_c, k=5)
+    # a codebook edited after build fails its own recomputed checksum
+    doctored = stored_c.withColumn(
+        "centroid", F.transform("centroid", lambda x: x * 2.0)
+    )
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        ivf_append(b, doctored)
+
+
+def test_ivf_drift_signals_distribution_shift(spark):
+    """ivf_drift: assigned-cell cosine stays high for the training
+    distribution and falls for a drifted batch — the retrain signal."""
+    import numpy as np
+
+    from syncmaven_spark.operators import ivf_append, ivf_drift, ivf_index
+
+    rng = np.random.RandomState(3)
+    # training corpus: 3 tight clusters
+    centers = rng.standard_normal((3, 16)) * 4
+    rows = [
+        (i, (centers[i % 3] + rng.standard_normal(16) * 0.1).tolist())
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    assignments, centroids_df = ivf_index(corpus, n_centroids=3)
+    base = ivf_drift(assignments, centroids_df).first()
+    assert base.n_vectors == 120
+    assert base.mean_cell_cos > 0.95
+
+    # drifted batch: vectors unrelated to any training cluster
+    drifted = spark.createDataFrame(
+        [(1000 + i, rng.standard_normal(16).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    drift = ivf_drift(
+        ivf_append(drifted, centroids_df), centroids_df
+    ).first()
+    assert drift.n_vectors == 60
+    assert drift.mean_cell_cos < base.mean_cell_cos - 0.2
+    assert drift.p10_cell_cos < base.p10_cell_cos

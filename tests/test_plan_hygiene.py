@@ -29,6 +29,9 @@ EXECUTES_ON_BUILD = {
     # the probe path's plan properties are asserted by its dedicated test
     # (tests/test_operators_similarity.py ivf roundtrip)
     "knn_ivf_index_probe",
+    # same shape: trains the codebook at build time, contains the
+    # brute-force baseline's intended tiny-broadcast product
+    "knn_ivf_append_probe",
 }
 
 # 1-row scalar broadcasts: join of an aggregate total with no join key.
