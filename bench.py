@@ -157,11 +157,19 @@ def main() -> None:
             warm.append(time.perf_counter() - t0)
         extra_timings[name] = round(min(warm), 3)
 
+    # the FULL-suite warm total (headline + sync + extra tier): the wider
+    # comparator BASELINE.md freezes per round — `value` stays the fixed
+    # 29-entry historical gate, `value_full` tracks the whole catalog's
+    # benched surface as it grows (compare like-for-like on the entry
+    # lists BASELINE.md records next to each number).
+    value_full = round(total + sum(extra_timings.values()), 3)
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "value_full": value_full,
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold_timings,

@@ -794,6 +794,19 @@ def prepare_decontamination_state(
             "checkpoint) instead of overwriting state a stream may be "
             "probing."
         )
+    if any(
+        os.path.isdir(os.path.join(state_dir, d))
+        for d in ("bench_index", "bench_sets")
+    ):
+        # recipe.json is written LAST, so table dirs without it mean a
+        # prior prepare crashed mid-write; the errorifexists writes below
+        # would fail with a bare path-exists error — say what happened
+        raise ValueError(
+            f"prepare_decontamination_state: {state_dir!r} holds a "
+            "PARTIALLY prepared state (benchmark tables without "
+            "recipe.json — a prior prepare crashed mid-write). Delete the "
+            "state_dir and re-prepare."
+        )
     idx, sets = decontamination_index(
         benchmark, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
@@ -1276,6 +1289,12 @@ def read_pairs(
         "decontamination": "jaccard",
     }[family]
     pairs_dir = os.path.join(state_dir, "pairs")
+    if not os.path.isdir(pairs_dir):
+        # a state whose batches were all empty/unusable never wrote pairs
+        raise ValueError(
+            f"read_pairs: {state_dir!r} has no pairs table yet — no "
+            "non-empty micro-batch has been processed."
+        )
     df = spark.read.parquet(pairs_dir)
 
     thresholds = {

@@ -785,3 +785,27 @@ def test_streaming_decontamination_empty_and_unusable_batches(spark, tmp_path):
         for r in spark.read.parquet(state + "/pairs").collect()
     }
     assert got == {(2, 10)}
+
+
+def test_decontamination_prepare_partial_state_and_missing_pairs(
+    spark, tmp_path
+):
+    """A crashed prepare (tables without recipe.json) gets a dedicated
+    error instead of a bare path-exists failure; read_pairs on a state
+    with no pairs yet says so instead of PATH_NOT_FOUND."""
+    from syncmaven_spark.streaming import (
+        prepare_decontamination_state,
+        read_pairs,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state + "/bench_index")
+    bench = spark.createDataFrame([(10, NEAR)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="PARTIALLY prepared"):
+        prepare_decontamination_state(spark, bench, state)
+
+    state2 = str(tmp_path / "state2")
+    prepare_decontamination_state(spark, bench, state2)
+    # prepared but never streamed → epochs.json missing too
+    with pytest.raises(ValueError, match="recipe.json/epochs.json"):
+        read_pairs(spark, state2)
