@@ -765,6 +765,8 @@ def ivf_append(
     centroids_df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    assert_new_ids: bool = False,
 ) -> DataFrame:
     """Assignment rows for NEW corpus vectors under an EXISTING codebook —
     IVF's continuous-ingestion path (round-7 verdict #2: the dedup trilogy
@@ -781,9 +783,13 @@ def ivf_append(
         index(a).assignments ∪ append(b)  ==  assign(a ∪ b)   (same codebook)
 
     so probes over the appended store equal probes over a from-scratch
-    assignment of the union (parquet-roundtrip-tested). New ids should be
-    disjoint from stored ids (same contract as every incremental path;
-    a re-ingested id would simply appear twice in the candidate set).
+    assignment of the union (parquet-roundtrip-tested). New ids MUST be
+    disjoint from stored ids (same contract as every incremental path):
+    a re-ingested id appears TWICE in the probe's candidate set, and the
+    duplicate rows consume top-k slots — recall silently drops with zero
+    errors. Pass the stored ``assignments`` with ``assert_new_ids=True``
+    to enforce it eagerly (one batch-sized semi-join, the same guard the
+    dedup incrementals expose).
 
     The codebook is validated against its own stamp before use, and the
     returned rows carry that stamp — a later probe pairing the appended
@@ -792,6 +798,15 @@ def ivf_append(
     monitor :func:`ivf_drift` and retrain when the assigned-cell cosine
     drops.
     """
+    if assert_new_ids:
+        from syncmaven_spark.operators.dedup import _check_new_ids_disjoint
+
+        if assignments is None:
+            raise ValueError(
+                "ivf_append: assert_new_ids=True needs the stored "
+                "assignments table to check the batch's ids against"
+            )
+        _check_new_ids_disjoint(new_batch, assignments, id_col, "ivf_append")
     centroids, recipe = _load_codebook(centroids_df)
     usable = _usable_vectors(new_batch, id_col, vec_col)
     return _ivf_assignments(usable, centroids, id_col, vec_col, recipe)

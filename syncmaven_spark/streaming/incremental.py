@@ -369,27 +369,37 @@ def _guard_state_consistency(
         )
 
 
-def _check_or_write_recipe(
-    state_dir: str, recipe: dict, fn_name: str, require_existing: bool = False
+def _require_layout(
+    stored: dict | None, state_dir: str, fn_name: str
 ) -> None:
+    """The older-layout fail-fast (round-7 advice) shared by EVERY entry
+    point that consumes a stored state — drivers, compact_state and
+    read_pairs alike (round-8 review: the two new consumers skipped it,
+    so a pre-round-8 state flowed through the threshold-completeness
+    machinery with absent base_threshold records and silently
+    undercut)."""
+    if stored is None:
+        return
+    if stored.get("layout") != STATE_LAYOUT_VERSION:
+        raise ValueError(
+            f"{fn_name}: state at {state_dir!r} was "
+            f"written by an older/different on-disk layout (stored "
+            f"layout {stored.get('layout')!r}, this version writes "
+            f"{STATE_LAYOUT_VERSION}). The directory structure and "
+            "recipe keys are not compatible across layouts — rebuild "
+            "the state from source with a fresh state_dir + checkpoint."
+        )
+
+
+def _check_or_write_recipe(state_dir: str, recipe: dict, fn_name: str) -> None:
     """Assert an existing state's recipe.json matches (with the dedicated
-    older-layout message — round-7 advice) or write it for a fresh state.
-    ``require_existing=True`` additionally refuses a missing recipe
-    (drivers whose state must be PREPARED first, e.g. decontamination)."""
+    older-layout message — round-7 advice) or write it for a fresh state."""
     import os
 
     recipe_path = os.path.join(state_dir, "recipe.json")
     stored = _load_json(recipe_path)
     if stored is not None:
-        if stored.get("layout") != STATE_LAYOUT_VERSION:
-            raise ValueError(
-                f"{fn_name}: state at {state_dir!r} was "
-                f"written by an older/different on-disk layout (stored "
-                f"layout {stored.get('layout')!r}, this version writes "
-                f"{STATE_LAYOUT_VERSION}). The directory structure and "
-                "recipe keys are not compatible across layouts — rebuild "
-                "the state from source with a fresh state_dir + checkpoint."
-            )
+        _require_layout(stored, state_dir, fn_name)
         if stored != recipe:
             raise ValueError(
                 f"{fn_name}: LSH recipe mismatch with the "
@@ -398,11 +408,6 @@ def _check_or_write_recipe(
                 "— probing would silently find no cross-batch pairs. Use "
                 "the stored recipe or start a fresh state_dir."
             )
-    elif require_existing:
-        raise ValueError(
-            f"{fn_name}: no recipe.json under {state_dir!r} — the state "
-            "must be prepared first (prepare_decontamination_state)."
-        )
     else:
         os.makedirs(state_dir, exist_ok=True)
         _atomic_write_json(recipe_path, recipe)
@@ -901,18 +906,31 @@ def run_streaming_decontamination_sync(
             f"{state_dir!r} — prepare the benchmark index first "
             "(prepare_decontamination_state)."
         )
-    if stored.get("layout") != STATE_LAYOUT_VERSION:
-        raise ValueError(
-            f"run_streaming_decontamination_sync: state at {state_dir!r} "
-            f"was written by an older/different on-disk layout (stored "
-            f"layout {stored.get('layout')!r}, this version writes "
-            f"{STATE_LAYOUT_VERSION}) — rebuild it from source."
-        )
+    _require_layout(stored, state_dir, "run_streaming_decontamination_sync")
     if stored.get("family") != "decontamination":
         raise ValueError(
             f"run_streaming_decontamination_sync: state at {state_dir!r} "
             f"belongs to family {stored.get('family')!r}, not "
             "'decontamination' — point the near-dup driver at it instead."
+        )
+    # pin the batch-side bucket cap in the stored recipe exactly like the
+    # near-dup driver pins its cap: the cap changes which pairs an epoch
+    # emits (contamination past it is silently exempt), so a cap that
+    # varies between runs makes epochs undetectably incomplete (round-8
+    # review). The prepare step doesn't know the stream's cap, so the
+    # FIRST run records it and later runs must match.
+    if "max_bucket_size" not in stored:
+        stored = {**stored, "max_bucket_size": max_bucket_size}
+        _atomic_write_json(recipe_path, stored)
+    elif stored["max_bucket_size"] != max_bucket_size:
+        raise ValueError(
+            f"run_streaming_decontamination_sync: this state's epochs "
+            f"were mined with max_bucket_size="
+            f"{stored['max_bucket_size']!r} but this run passes "
+            f"{max_bucket_size!r}. The cap changes which pairs an epoch "
+            "emits (train copies past it are silently exempt), so mixing "
+            "caps makes the pairs table undetectably incomplete. Use the "
+            "stored cap or start a fresh state_dir."
         )
     id_col = stored["id_col"]
     text_col = stored["text_col"]
@@ -1123,6 +1141,13 @@ def compact_state(
     import os
     import shutil
 
+    # refuse an older layout BEFORE any surgery (round-8 review: the
+    # drivers enforced this; the state-mutating maintenance path did not)
+    _require_layout(
+        _load_json(os.path.join(state_dir, "recipe.json")),
+        state_dir, "compact_state",
+    )
+
     # phase 0 — complete any journaled surgery from a crashed prior run
     # BEFORE reading anything: the journal means folded dirs may already
     # be deleted and the only copy of their rows lives in the tmp output.
@@ -1282,6 +1307,23 @@ def read_pairs(
             f"read_pairs: {state_dir!r} has no recipe.json/epochs.json — "
             "not a streaming near-dup state (or written by an older "
             "layout; rebuild from source)."
+        )
+    _require_layout(recipe, state_dir, "read_pairs")
+    # a pending compaction journal means folded pairs dirs may already be
+    # deleted with their rows living only in the tmp output — reading
+    # through it would silently return a table missing those epochs
+    # (round-8 review: the drivers refused mid-surgery state, the
+    # consumer API did not)
+    pending = [
+        n for n in os.listdir(state_dir)
+        if n.startswith(".compact_journal_")
+    ]
+    if pending:
+        raise ValueError(
+            f"read_pairs: state at {state_dir!r} has an incomplete "
+            f"compaction ({pending}). Re-run compact_state to recover "
+            "first — reading mid-surgery state silently misses the "
+            "folded epochs' pairs."
         )
     family = recipe.get("family", "minhash")
     score_col = {

@@ -98,3 +98,126 @@ def test_read_epoch_state_tolerates_footerless_epoch_dir(spark, tmp_path):
     ).parquet(os.path.join(table, "epoch=1"))
     got = _read_epoch_state(spark, table, ["doc_id", "_set"], ddl, 2)
     assert got.count() == 20
+
+
+def test_ivf_append_assert_new_ids(spark):
+    """Round-8 review: a replayed append re-ingests stored ids — the
+    duplicate assignment rows consume top-k slots and silently evict true
+    neighbors. assert_new_ids enforces the disjointness contract eagerly."""
+    from syncmaven_spark.operators import ivf_append, ivf_index
+
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    a = emb.filter("vec_id < 40")
+    b = emb.filter("vec_id >= 40")
+    assignments, centroids_df = ivf_index(a, n_centroids=4)
+
+    ok = ivf_append(
+        b, centroids_df, assignments=assignments, assert_new_ids=True
+    )
+    assert ok.count() == 20
+    overlapping = emb.filter("vec_id in (0, 45)")  # 0 is stored
+    with pytest.raises(ValueError, match="re-ingests id"):
+        ivf_append(
+            overlapping, centroids_df,
+            assignments=assignments, assert_new_ids=True,
+        )
+    with pytest.raises(ValueError, match="needs the stored"):
+        ivf_append(b, centroids_df, assert_new_ids=True)
+
+
+def test_state_consumers_refuse_old_layout_and_pending_journal(
+    spark, tmp_path
+):
+    """Round-8 review: read_pairs and compact_state now enforce the same
+    layout version the drivers do, and read_pairs refuses a mid-surgery
+    state (pending compaction journal) instead of silently returning a
+    pairs table missing the folded epochs."""
+    import json
+
+    from syncmaven_spark.streaming import (
+        compact_state,
+        read_pairs,
+        run_streaming_near_dup_sync,
+    )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_streaming_near_dup_sync(
+        spark, src, schema, state, ckpt, threshold=0.3, max_bucket_size=None
+    )
+
+    # pending journal → read_pairs refuses
+    jpath = state + "/.compact_journal_pairs.json"
+    with open(jpath, "w") as f:
+        json.dump({"fold": [], "up_to": 0}, f)
+    with pytest.raises(ValueError, match="incomplete compaction"):
+        read_pairs(spark, state)
+    os.remove(jpath)
+    assert read_pairs(spark, state).count() >= 1
+
+    # old layout → both consumers refuse with the dedicated message
+    with open(state + "/recipe.json", encoding="utf-8") as f:
+        recipe = json.load(f)
+    recipe["layout"] = 2
+    with open(state + "/recipe.json", "w", encoding="utf-8") as f:
+        json.dump(recipe, f)
+    with pytest.raises(ValueError, match="older/different on-disk layout"):
+        read_pairs(spark, state)
+    with pytest.raises(ValueError, match="older/different on-disk layout"):
+        compact_state(spark, state, up_to_epoch=0)
+
+
+def test_decontamination_cap_pinned_across_runs(spark, tmp_path):
+    """Round-8 review: the decon driver pins max_bucket_size in
+    recipe.json on the first run — a later run with a different cap would
+    make epochs undetectably incomplete (contamination past the cap is
+    silently exempt) and fails fast instead."""
+    import json
+
+    from syncmaven_spark.streaming import (
+        prepare_decontamination_state,
+        run_streaming_decontamination_sync,
+    )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    text = "the quick brown fox jumps over the lazy dog in the garden"
+    bench = spark.createDataFrame(
+        [(10, text)], "doc_id long, text string"
+    )
+    prepare_decontamination_state(spark, bench, state)
+    spark.createDataFrame(
+        [(1, text + " today")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+    with open(state + "/recipe.json", encoding="utf-8") as f:
+        assert json.load(f)["max_bucket_size"] is None  # pinned on run 1
+
+    spark.createDataFrame(
+        [(2, text + " tomorrow")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        run_streaming_decontamination_sync(
+            spark, src, schema, state, ckpt, threshold=0.3,
+            max_bucket_size=5,
+        )
+    # the pinned cap still runs
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+    got = {
+        (r.train_id, r.bench_id)
+        for r in spark.read.parquet(state + "/pairs").collect()
+    }
+    assert got == {(1, 10), (2, 10)}
