@@ -766,7 +766,7 @@ def ivf_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignments: DataFrame | None = None,
-    assert_new_ids: bool = False,
+    assert_new_ids: bool | None = None,
 ) -> DataFrame:
     """Assignment rows for NEW corpus vectors under an EXISTING codebook —
     IVF's continuous-ingestion path (round-7 verdict #2: the dedup trilogy
@@ -787,9 +787,13 @@ def ivf_append(
     disjoint from stored ids (same contract as every incremental path):
     a re-ingested id appears TWICE in the probe's candidate set, and the
     duplicate rows consume top-k slots — recall silently drops with zero
-    errors. Pass the stored ``assignments`` with ``assert_new_ids=True``
-    to enforce it eagerly (one batch-sized semi-join, the same guard the
-    dedup incrementals expose).
+    errors. Pass the stored ``assignments`` to enforce it eagerly (one
+    batch-sized semi-join plus a batch-sized duplicate check — ids
+    repeated WITHIN the batch are caught too): supplying the table turns
+    the check ON (``assert_new_ids`` defaults to ``assignments is not
+    None`` — a caller who handed over the table believing they enabled
+    the guard IS protected; pass ``assert_new_ids=False`` explicitly to
+    carry the table without checking).
 
     The codebook is validated against its own stamp before use, and the
     returned rows carry that stamp — a later probe pairing the appended
@@ -798,6 +802,8 @@ def ivf_append(
     monitor :func:`ivf_drift` and retrain when the assigned-cell cosine
     drops.
     """
+    if assert_new_ids is None:
+        assert_new_ids = assignments is not None
     if assert_new_ids:
         from syncmaven_spark.operators.dedup import _check_new_ids_disjoint
 
@@ -807,6 +813,22 @@ def ivf_append(
                 "assignments table to check the batch's ids against"
             )
         _check_new_ids_disjoint(new_batch, assignments, id_col, "ivf_append")
+        # ids repeated WITHIN the batch duplicate assignment rows the
+        # same way a re-ingested stored id does (round-8 review pass 2)
+        dup = (
+            new_batch.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivf_append: the batch contains id {dup[0][0]!r} more "
+                "than once — duplicate assignment rows consume top-k "
+                "slots and silently evict true neighbors. Deduplicate "
+                "the batch before appending."
+            )
     centroids, recipe = _load_codebook(centroids_df)
     usable = _usable_vectors(new_batch, id_col, vec_col)
     return _ivf_assignments(usable, centroids, id_col, vec_col, recipe)

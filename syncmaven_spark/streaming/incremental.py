@@ -320,6 +320,29 @@ def _read_epoch_state(
     return df.select(*cols)
 
 
+def _refuse_pending_compaction(state_dir: str, fn_name: str) -> None:
+    """Refuse any state with a pending compaction journal — folded dirs
+    may already be deleted with their rows living only in the tmp output,
+    so reading through it silently misses them. ONE helper for every
+    consumer (drivers and read_pairs; round-8 review: the first fix
+    hand-copied this check)."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return
+    pending = [
+        n for n in os.listdir(state_dir)
+        if n.startswith(".compact_journal_")
+    ]
+    if pending:
+        raise ValueError(
+            f"{fn_name}: state at {state_dir!r} has "
+            f"an incomplete compaction ({pending}). Re-run "
+            "compact_state on this state_dir to recover first — "
+            "reading mid-surgery state would silently miss rows."
+        )
+
+
 def _guard_state_consistency(
     state_dir: str, checkpoint_dir: str, fn_name: str
 ) -> None:
@@ -338,19 +361,7 @@ def _guard_state_consistency(
     """
     import os
 
-    if os.path.isdir(state_dir):
-        pending = [
-            n for n in os.listdir(state_dir)
-            if n.startswith(".compact_journal_")
-        ]
-        if pending:
-            raise ValueError(
-                f"{fn_name}: state at {state_dir!r} has "
-                f"an incomplete compaction ({pending}). Re-run "
-                "compact_state on this state_dir to recover before "
-                "streaming — probing mid-surgery state would silently "
-                "miss indexed documents."
-            )
+    _refuse_pending_compaction(state_dir, fn_name)
     commits_dir = os.path.join(checkpoint_dir, "commits")
     if (
         os.path.isdir(commits_dir)
@@ -918,8 +929,24 @@ def run_streaming_decontamination_sync(
     # emits (contamination past it is silently exempt), so a cap that
     # varies between runs makes epochs undetectably incomplete (round-8
     # review). The prepare step doesn't know the stream's cap, so the
-    # FIRST run records it and later runs must match.
+    # first MINING run records it and later runs must match.
     if "max_bucket_size" not in stored:
+        # …but never pin RETROACTIVELY (round-8 review pass 2): a state
+        # that already processed epochs without a recorded cap was mined
+        # under an UNKNOWN cap — pinning this run's value would bless the
+        # mixed history as uniform, the exact silent incompleteness the
+        # pin exists to prevent.
+        prior = _load_json(os.path.join(state_dir, "epochs.json"))
+        if prior is not None and "max_epoch" in prior:
+            raise ValueError(
+                f"run_streaming_decontamination_sync: state at "
+                f"{state_dir!r} already processed epochs up to "
+                f"{prior['max_epoch']} without a recorded "
+                "max_bucket_size — the cap those epochs were mined "
+                "under is unknown, so it cannot be pinned now. Rebuild "
+                "into a fresh state_dir (or restore the original "
+                "recipe.json)."
+            )
         stored = {**stored, "max_bucket_size": max_bucket_size}
         _atomic_write_json(recipe_path, stored)
     elif stored["max_bucket_size"] != max_bucket_size:
@@ -1309,22 +1336,10 @@ def read_pairs(
             "layout; rebuild from source)."
         )
     _require_layout(recipe, state_dir, "read_pairs")
-    # a pending compaction journal means folded pairs dirs may already be
-    # deleted with their rows living only in the tmp output — reading
-    # through it would silently return a table missing those epochs
-    # (round-8 review: the drivers refused mid-surgery state, the
-    # consumer API did not)
-    pending = [
-        n for n in os.listdir(state_dir)
-        if n.startswith(".compact_journal_")
-    ]
-    if pending:
-        raise ValueError(
-            f"read_pairs: state at {state_dir!r} has an incomplete "
-            f"compaction ({pending}). Re-run compact_state to recover "
-            "first — reading mid-surgery state silently misses the "
-            "folded epochs' pairs."
-        )
+    # round-8 review: the drivers refused mid-surgery state, the consumer
+    # API did not — a pending journal means the pairs table is missing
+    # the folded epochs' rows
+    _refuse_pending_compaction(state_dir, "read_pairs")
     family = recipe.get("family", "minhash")
     score_col = {
         "minhash": "jaccard", "simhash": "hamming", "cosine": "cos_sim",

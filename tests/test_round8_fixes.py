@@ -125,6 +125,21 @@ def test_ivf_append_assert_new_ids(spark):
             overlapping, centroids_df,
             assignments=assignments, assert_new_ids=True,
         )
+    # supplying the table turns the check ON (review pass 2: the
+    # table-without-flag call was a silent no-op)
+    with pytest.raises(ValueError, match="re-ingests id"):
+        ivf_append(overlapping, centroids_df, assignments=assignments)
+    # ids repeated WITHIN the batch are caught too
+    with pytest.raises(ValueError, match="more than once"):
+        ivf_append(
+            b.unionByName(b.limit(1)), centroids_df,
+            assignments=assignments,
+        )
+    # explicit opt-out carries the table without checking
+    assert ivf_append(
+        overlapping, centroids_df,
+        assignments=assignments, assert_new_ids=False,
+    ).count() == 2
     with pytest.raises(ValueError, match="needs the stored"):
         ivf_append(b, centroids_df, assert_new_ids=True)
 
@@ -221,3 +236,41 @@ def test_decontamination_cap_pinned_across_runs(spark, tmp_path):
         for r in spark.read.parquet(state + "/pairs").collect()
     }
     assert got == {(1, 10), (2, 10)}
+
+
+def test_decontamination_cap_never_pinned_retroactively(spark, tmp_path):
+    """Review pass 2: a state that already processed epochs WITHOUT a
+    recorded cap was mined under an unknown cap — the next run must not
+    bless its own cap as the pinned history."""
+    import json
+
+    from syncmaven_spark.streaming import (
+        prepare_decontamination_state,
+        run_streaming_decontamination_sync,
+    )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    text = "the quick brown fox jumps over the lazy dog in the garden"
+    bench = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    prepare_decontamination_state(spark, bench, state)
+    spark.createDataFrame(
+        [(1, text + " now")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+
+    # simulate a pre-pin state: epochs processed, cap record missing
+    with open(state + "/recipe.json", encoding="utf-8") as f:
+        recipe = json.load(f)
+    del recipe["max_bucket_size"]
+    with open(state + "/recipe.json", "w", encoding="utf-8") as f:
+        json.dump(recipe, f)
+    spark.createDataFrame(
+        [(2, text + " later")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="unknown"):
+        run_streaming_decontamination_sync(
+            spark, src, schema, state, ckpt, threshold=0.3
+        )
