@@ -809,3 +809,54 @@ def test_decontamination_prepare_partial_state_and_missing_pairs(
     # prepared but never streamed → epochs.json missing too
     with pytest.raises(ValueError, match="recipe.json/epochs.json"):
         read_pairs(spark, state2)
+
+
+def test_decontamination_state_compacts_and_reads_back(spark, tmp_path):
+    """compact_state treats a decontamination state as a first-class
+    citizen: only its pairs table is epoch-keyed, the folded epochs'
+    thresholds roll into the base range, and read_pairs still serves a
+    complete cut afterwards (bench tables untouched)."""
+    from syncmaven_spark.streaming import (
+        compact_state,
+        prepare_decontamination_state,
+        read_pairs,
+        run_streaming_decontamination_sync,
+    )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    bench = spark.createDataFrame(
+        [(10, NEAR)], "doc_id long, text string"
+    )
+    prepare_decontamination_state(spark, bench, state)
+    schema = None
+    for i, text in enumerate([BASE, NEAR.replace("garden", "meadow"), BASE]):
+        _write_docs(spark, src, [(i + 1, text)])
+        if schema is None:
+            schema = spark.read.parquet(src).schema
+        run_streaming_decontamination_sync(
+            spark, src, schema, state, ckpt, threshold=0.3
+        )
+    before = {
+        (r.train_id, r.bench_id, r.jaccard)
+        for r in read_pairs(spark, state, 0.3).collect()
+    }
+    assert len(before) == 3  # every train doc matched the bench doc
+
+    folded = compact_state(spark, state, up_to_epoch=2)
+    assert folded == {"pairs": 2}  # only the pairs table is epoch-keyed
+    assert os.path.isdir(state + "/pairs/epoch=-1")
+    assert not os.path.isdir(state + "/pairs/epoch=0")
+    # bench tables are static — never touched by compaction
+    assert os.path.isdir(state + "/bench_index")
+
+    after = {
+        (r.train_id, r.bench_id, r.jaccard)
+        for r in read_pairs(spark, state, 0.3).collect()
+    }
+    assert after == before
+    import json
+
+    with open(state + "/epochs.json", encoding="utf-8") as f:
+        epochs = json.load(f)
+    assert epochs["base_threshold_min"] == 0.3
+    assert list(epochs["thresholds"]) == ["2"]
