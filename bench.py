@@ -73,6 +73,7 @@ EXTRA = [
     # round-8 additions
     "decontamination_fuzzy_incremental",
     "knn_ivf_append_probe",
+    "decontamination_containment",
 ]
 
 

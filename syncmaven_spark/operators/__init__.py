@@ -9,6 +9,7 @@ broadcast arrays).
 
 from syncmaven_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    containment_decontamination_pairs,
     decontamination_index,
     fuzzy_decontamination_pairs,
     fuzzy_decontamination_pairs_incremental,

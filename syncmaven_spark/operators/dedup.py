@@ -930,6 +930,77 @@ def fuzzy_decontamination_pairs_incremental(
     return _cross_jaccard_scored(cands, t_sets, b_sets, id_col, threshold)
 
 
+def containment_decontamination_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Containment-based decontamination: ``(train_id, bench_id,
+    containment ≥ threshold)`` where containment = |shingles(train) ∩
+    shingles(bench)| / |shingles(bench)| — the classic "≥X% of the
+    benchmark doc's n-grams appear in the training doc" rule.
+
+    This catches the contamination shape symmetric Jaccard
+    (:func:`fuzzy_decontamination_pairs`) structurally MISSES: a
+    benchmark question embedded verbatim inside a much longer training
+    document has near-1.0 containment but tiny Jaccard (the union is
+    dominated by the train doc's extra text), and MinHash banding misses
+    it for the same reason — the signatures barely overlap. Run both
+    passes: Jaccard for near-copies, containment for embeddings.
+
+    EXACT, no sketch — which is what makes the all-pairs SQL oracle
+    valid with no recall bound. Scale shape: the benchmark's distinct
+    hashed shingles explode to ``(bench_id, |B|, shingle)`` rows and
+    BROADCAST (an eval suite's shingle table is MBs); the train side
+    explodes its distinct shingles map-side into one broadcast hash join
+    keyed by the shingle — the 100-TB train corpus is never shuffled at
+    all — and the match counts partial-aggregate on (train_id,
+    bench_id). Pass ``broadcast_benchmark=False`` for a genuinely huge
+    benchmark side (falls back to a shuffle equi-join on the shingle
+    hash).
+
+    ``shingle_k=8`` mirrors the standard 8-gram contamination rule;
+    containment uses DISTINCT shingles on both sides (set semantics,
+    like the Jaccard passes). Zero-shingle docs (NULL/empty text) are
+    excluded on both sides — a benchmark doc with no shingles has no
+    well-defined containment. Strictly cross pairs; id spaces may
+    overlap freely.
+    """
+    b_sets = _hashed_shingle_sets(
+        _spread(benchmark, id_col), text_col, id_col, shingle_k
+    )
+    b_shingles = b_sets.select(
+        F.col(id_col).alias("bench_id"),
+        F.size("_set").alias("_bn"),
+        F.explode("_set").alias("_h"),
+    )
+    if broadcast_benchmark:
+        b_shingles = F.broadcast(b_shingles)
+    t_sets = _hashed_shingle_sets(
+        _spread(train, id_col), text_col, id_col, shingle_k
+    )
+    t_shingles = t_sets.select(
+        F.col(id_col).alias("train_id"), F.explode("_set").alias("_h")
+    )
+    hits = (
+        t_shingles.join(b_shingles, "_h")
+        .groupBy("train_id", "bench_id", "_bn")
+        .agg(F.count(F.lit(1)).alias("_matches"))
+    )
+    return (
+        hits.withColumn(
+            "containment",
+            F.round(F.col("_matches").cast("double") / F.col("_bn"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("train_id", "bench_id", "containment")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document (column ``simhash``).
 

@@ -1442,6 +1442,48 @@ def decontamination_fuzzy_incremental(spark, sf_dir):
 
 
 @q(
+    "decontamination_containment",
+    "WITH w AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "ws AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> "
+    "array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w "
+    "WHERE len(toks) > 0) "
+    "SELECT a.doc_id AS train_id, b.doc_id AS bench_id, "
+    "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(b.ws), 4) AS containment "
+    "FROM ws a JOIN ws b ON a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0 "
+    "WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(b.ws), 4) >= 0.8",
+    doc="Containment decontamination — the classic '≥X% of a benchmark "
+    "doc's n-grams appear in the training doc' rule, the asymmetric "
+    "companion of decontamination_fuzzy: a benchmark question EMBEDDED "
+    "verbatim inside a much longer train doc has near-1.0 containment "
+    "but tiny Jaccard (the union is dominated by the host doc), so the "
+    "MinHash pass structurally misses it (planted-pair test asserts "
+    "exactly that gap). EXACT, no sketch — the benchmark's distinct "
+    "hashed shingles broadcast as (bench_id, |B|, shingle) rows and the "
+    "train side explodes map-side into ONE broadcast hash join keyed by "
+    "the shingle: the train corpus is never shuffled, and match counts "
+    "partial-aggregate on (train_id, bench_id). Same train/bench split "
+    "as the fuzzy pass (doc_id % 7); the all-pairs SQL oracle computes "
+    "the identical |A∩B|/|B| directly "
+    "(operators/dedup.py:containment_decontamination_pairs).",
+    tags=("dedup", "decontamination", "llm"),
+)
+def decontamination_containment(spark, sf_dir):
+    from syncmaven_spark.operators import containment_decontamination_pairs
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return containment_decontamination_pairs(
+        train, bench, "text", "doc_id", threshold=0.8, shingle_k=3
+    )
+
+
+@q(
     "dedup_simhash_pairs",
     "WITH m AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000, text FROM documents), "

@@ -494,3 +494,80 @@ def test_fuzzy_decontamination_incremental_equals_one_shot(spark, tmp_path):
         fuzzy_decontamination_pairs_incremental(
             train, idx, sets, "text", "doc_id", bands=16, **kw
         )
+
+
+def test_containment_catches_embedded_benchmark_doc(spark):
+    """The contamination shape Jaccard structurally misses: a benchmark
+    doc embedded verbatim inside a much longer train doc has near-1.0
+    containment but tiny Jaccard (union dominated by the host doc)."""
+    from syncmaven_spark.operators import (
+        containment_decontamination_pairs,
+        fuzzy_decontamination_pairs,
+    )
+
+    filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(120))
+    train = spark.createDataFrame(
+        [
+            (1, filler + " " + NEAR + " " + filler[::-1].lower()),  # embeds 10
+            (2, OTHER),
+            (3, NEAR),  # near-copy (both passes should flag it)
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(10, NEAR), (11, "totally unrelated benchmark prompt text")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r.train_id, r.bench_id): r.containment
+        for r in containment_decontamination_pairs(
+            train, bench, "text", "doc_id", threshold=0.8, shingle_k=3
+        ).collect()
+    }
+    assert cont[(1, 10)] >= 0.9   # embedded doc caught
+    assert cont[(3, 10)] == 1.0   # exact copy fully contained
+    assert all(b in (10, 11) for _, b in cont)
+    assert (2, 10) not in cont and (2, 11) not in cont
+
+    # the symmetric-Jaccard pass misses the EMBEDDED copy (tiny union
+    # overlap) while still catching the near-copy — the reason both
+    # passes exist
+    jac = {
+        (r.train_id, r.bench_id)
+        for r in fuzzy_decontamination_pairs(
+            train, bench, "text", "doc_id",
+            threshold=0.8, shingle_k=3, max_bucket_size=None,
+        ).collect()
+    }
+    assert (1, 10) not in jac and (3, 10) in jac
+
+
+def test_containment_zero_shingle_and_overlapping_ids(spark):
+    """Zero-shingle docs are excluded on both sides (containment is
+    undefined against an empty benchmark doc); overlapping id spaces keep
+    their sides; the non-broadcast fallback agrees with the broadcast
+    path."""
+    from syncmaven_spark.operators import containment_decontamination_pairs
+
+    train = spark.createDataFrame(
+        [(5, NEAR), (6, "?!?!"), (7, None)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(5, NEAR), (8, "...")], ["doc_id", "text"]
+    )
+    kw = dict(threshold=0.5, shingle_k=3)
+    got = {
+        (r.train_id, r.bench_id): r.containment
+        for r in containment_decontamination_pairs(
+            train, bench, "text", "doc_id", **kw
+        ).collect()
+    }
+    assert got == {(5, 5): 1.0}  # same-id cross pair survives; empties drop
+    shuffled = {
+        (r.train_id, r.bench_id): r.containment
+        for r in containment_decontamination_pairs(
+            train, bench, "text", "doc_id",
+            broadcast_benchmark=False, **kw,
+        ).collect()
+    }
+    assert shuffled == got

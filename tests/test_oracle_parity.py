@@ -77,6 +77,11 @@ _SCALE_QUADRATIC_ORACLES = {
     # ≡ one-shot equivalence property (tests/test_operators_dedup.py) and
     # its sf0.1 twin in tests/test_scale_stress.py
     "decontamination_fuzzy_incremental",
+    # same all-pairs cross oracle SHAPE (|A∩B|/|B|); the Spark side is
+    # EXACT (no sketch, no recall bound), gated by sf0.01 parity, the
+    # planted embedded-doc test, and the sf0.1 emitted-pair precision
+    # stand-in below
+    "decontamination_containment",
 }
 
 scale = pytest.mark.skipif(
@@ -217,3 +222,44 @@ def test_all_queries_return_rows(spark):
     for name, qd in CATALOG.items():
         df = qd.spark_fn(spark, SF_CORRECTNESS)
         assert df.count() >= 0, name  # materializes; schema must be stable
+
+
+@scale
+def test_containment_scale_emitted_pair_precision(spark, scale_con):
+    """Scale stand-in for the ``decontamination_containment`` oracle
+    (quadratic at sf0.1): the operator is EXACT by construction (broadcast
+    shingle equi-join, no sketch — recall is covered by sf0.01 parity and
+    the planted embedded-doc test), so the scale gate checks every pair
+    Spark EMITS against DuckDB's |A∩B|/|B| — O(|pairs|)."""
+    from syncmaven_spark.operators import containment_decontamination_pairs
+    from syncmaven_spark.queries import _TOKS_SQL
+    from syncmaven_spark.session import load_tables
+
+    t = load_tables(spark, SF_SCALE)
+    docs = t["documents"]
+    pairs_pdf = containment_decontamination_pairs(
+        docs.filter("doc_id % 7 <> 0"),
+        docs.filter("doc_id % 7 = 0"),
+        "text", "doc_id", threshold=0.8, shingle_k=3,
+    ).toPandas()
+    assert len(pairs_pdf) > 0, "no containment pairs at sf0.1"
+    scale_con.register("spark_cpairs", pairs_pdf)
+
+    cte = (
+        "WITH w AS (SELECT doc_id, " + _TOKS_SQL + " AS toks "
+        "FROM documents), "
+        "ws AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(range(1, len(toks) - 1), i -> "
+        "array_to_string(toks[i:i+2], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w "
+        "WHERE len(toks) > 0) "
+    )
+    bad = scale_con.execute(
+        cte
+        + "SELECT count(*) FROM spark_cpairs p "
+        "JOIN ws a ON a.doc_id = p.train_id "
+        "JOIN ws b ON b.doc_id = p.bench_id "
+        "WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+        "len(b.ws), 4) <> p.containment OR p.containment < 0.8"
+    ).fetchone()[0]
+    assert bad == 0, f"{bad} emitted containment pairs fail verification"
