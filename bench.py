@@ -74,6 +74,7 @@ EXTRA = [
     "decontamination_fuzzy_incremental",
     "knn_ivf_append_probe",
     "decontamination_containment",
+    "decontamination_containment_incremental",
 ]
 
 

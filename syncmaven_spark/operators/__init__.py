@@ -10,6 +10,7 @@ broadcast arrays).
 from syncmaven_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     containment_decontamination_pairs,
+    containment_decontamination_pairs_incremental,
     decontamination_index,
     fuzzy_decontamination_pairs,
     fuzzy_decontamination_pairs_incremental,

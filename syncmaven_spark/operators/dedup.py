@@ -973,6 +973,24 @@ def containment_decontamination_pairs(
     b_sets = _hashed_shingle_sets(
         _spread(benchmark, id_col), text_col, id_col, shingle_k
     )
+    t_sets = _hashed_shingle_sets(
+        _spread(train, id_col), text_col, id_col, shingle_k
+    )
+    return _containment_pairs(
+        t_sets, b_sets, id_col, threshold, broadcast_benchmark
+    )
+
+
+def _containment_pairs(
+    t_sets: DataFrame,
+    b_sets: DataFrame,
+    id_col: str,
+    threshold: float,
+    broadcast_benchmark: bool,
+) -> DataFrame:
+    """The containment join/score over two ``(id, _set)`` hashed-shingle
+    tables — shared by the one-shot pass (fresh sets) and the incremental
+    probe (persisted benchmark sets)."""
     b_shingles = b_sets.select(
         F.col(id_col).alias("bench_id"),
         F.size("_set").alias("_bn"),
@@ -980,9 +998,6 @@ def containment_decontamination_pairs(
     )
     if broadcast_benchmark:
         b_shingles = F.broadcast(b_shingles)
-    t_sets = _hashed_shingle_sets(
-        _spread(train, id_col), text_col, id_col, shingle_k
-    )
     t_shingles = t_sets.select(
         F.col(id_col).alias("train_id"), F.explode("_set").alias("_h")
     )
@@ -998,6 +1013,46 @@ def containment_decontamination_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("train_id", "bench_id", "containment")
+    )
+
+
+def containment_decontamination_pairs_incremental(
+    train_batch: DataFrame,
+    bench_sets: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Containment matches introduced by ONE train batch against the
+    PERSISTED benchmark shingle-set table (the ``bench_sets`` half of
+    :func:`decontamination_index`) — benchmark text is never re-shingled,
+    and like the Jaccard incremental, batches are fully independent (no
+    train-train interaction, no disjoint-ids contract), so the union over
+    any batch split equals the one-shot
+    :func:`containment_decontamination_pairs` (property-tested).
+
+    A stamped ``bench_sets`` built with a different ``shingle_k`` fails
+    fast — mismatched shingle orders silently score near-zero containment
+    everywhere.
+    """
+    stamp = stamped_recipe(bench_sets, "_set")
+    if stamp is not None and "shingle_k" in stamp and (
+        int(stamp["shingle_k"]) != int(shingle_k)
+    ):
+        raise ValueError(
+            f"index recipe mismatch: bench_sets was built with "
+            f"shingle_k={stamp['shingle_k']} but is being probed with "
+            f"shingle_k={shingle_k}. Mismatched shingle orders never "
+            "match — containment would silently score ~0 everywhere. "
+            "Probe with the stored shingle_k or rebuild the sets."
+        )
+    t_sets = _hashed_shingle_sets(
+        _spread(train_batch, id_col), text_col, id_col, shingle_k
+    )
+    return _containment_pairs(
+        t_sets, bench_sets, id_col, threshold, broadcast_benchmark
     )
 
 

@@ -1484,6 +1484,60 @@ def decontamination_containment(spark, sf_dir):
 
 
 @q(
+    "decontamination_containment_incremental",
+    "WITH w AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "ws AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> "
+    "array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END) AS ws FROM w "
+    "WHERE len(toks) > 0) "
+    "SELECT a.doc_id AS train_id, b.doc_id AS bench_id, "
+    "round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(b.ws), 4) AS containment "
+    "FROM ws a JOIN ws b ON a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0 "
+    "WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / "
+    "len(b.ws), 4) >= 0.8",
+    doc="Streaming-shaped containment decontamination: the benchmark's "
+    "hashed shingle sets persist once (the bench_sets half of "
+    "decontamination_index, shingle_k-stamped) and the train side "
+    "streams through in THREE batches, each meeting the broadcast "
+    "benchmark shingle table in one equi-join — benchmark text is never "
+    "re-shingled and, unlike the Jaccard family, there is NO LSH stage "
+    "at all (the metric is exact, candidates are the join's output). "
+    "Batches are independent, so the 3-batch union equals the one-shot "
+    "pass and the same all-pairs |A∩B|/|B| SQL oracle "
+    "(operators/dedup.py:containment_decontamination_pairs_incremental; "
+    "the streaming driver's method='containment' mode runs exactly this "
+    "per micro-batch).",
+    tags=("dedup", "decontamination", "llm", "incremental"),
+)
+def decontamination_containment_incremental(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        containment_decontamination_pairs_incremental,
+        decontamination_index,
+    )
+    from syncmaven_spark.operators.cache import persist_scoped
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    _, sets = decontamination_index(bench, "text", "doc_id", shingle_k=3)
+    sets = persist_scoped(sets)
+    parts = [
+        containment_decontamination_pairs_incremental(
+            train.filter(F.col("doc_id") % 3 == i), sets,
+            "text", "doc_id", threshold=0.8, shingle_k=3,
+        )
+        for i in range(3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
     "dedup_simhash_pairs",
     "WITH m AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000, text FROM documents), "

@@ -865,6 +865,7 @@ def run_streaming_decontamination_sync(
     checkpoint_dir: str,
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    method: str = "jaccard",
 ) -> None:
     """Continuous fuzzy decontamination of a growing train corpus against
     a benchmark prepared by :func:`prepare_decontamination_state` —
@@ -894,6 +895,19 @@ def run_streaming_decontamination_sync(
     is pinned by ``recipe.json`` from the prepare step. The
     stale-checkpoint / wiped-state / pending-compaction guards match the
     near-dup driver.
+
+    ``method`` picks the contamination metric (pinned into the recipe on
+    the first mining run — mixing methods in one pairs table would be
+    semantically incoherent, and the pairs schema differs):
+
+    - ``"jaccard"`` (default): MinHash band probe + exact symmetric
+      Jaccard — the near-copy detector described above.
+    - ``"containment"``: exact |A∩B|/|B| against the persisted benchmark
+      shingle sets — the embedded-benchmark detector (a benchmark doc
+      inside a longer train doc has tiny Jaccard but ~1.0 containment).
+      No LSH probe at all: each batch's shingles meet the (broadcast)
+      benchmark shingle table in one equi-join, so ``bench_index`` is
+      never read and per-batch cost is one pass over the batch.
     """
     import os
 
@@ -924,16 +938,24 @@ def run_streaming_decontamination_sync(
             f"belongs to family {stored.get('family')!r}, not "
             "'decontamination' — point the near-dup driver at it instead."
         )
-    # pin the batch-side bucket cap in the stored recipe exactly like the
-    # near-dup driver pins its cap: the cap changes which pairs an epoch
-    # emits (contamination past it is silently exempt), so a cap that
-    # varies between runs makes epochs undetectably incomplete (round-8
-    # review). The prepare step doesn't know the stream's cap, so the
-    # first MINING run records it and later runs must match.
-    if "max_bucket_size" not in stored:
+    if method not in ("jaccard", "containment"):
+        raise ValueError(
+            f"unknown decontamination method {method!r}; expected "
+            "'jaccard' or 'containment'"
+        )
+    # pin the mining knobs (batch-side bucket cap + metric) in the stored
+    # recipe exactly like the near-dup driver pins its cap: both change
+    # which pairs an epoch emits (and the metric changes the pairs
+    # SCHEMA), so values that vary between runs make the table
+    # undetectably incomplete/incoherent (round-8 review). The prepare
+    # step doesn't know them, so the first MINING run records both and
+    # later runs must match.
+    pins = {"max_bucket_size": max_bucket_size, "method": method}
+    missing = [k for k in pins if k not in stored]
+    if missing:
         # …but never pin RETROACTIVELY (round-8 review pass 2): a state
-        # that already processed epochs without a recorded cap was mined
-        # under an UNKNOWN cap — pinning this run's value would bless the
+        # that already processed epochs without the records was mined
+        # under UNKNOWN knobs — pinning this run's values would bless the
         # mixed history as uniform, the exact silent incompleteness the
         # pin exists to prevent.
         prior = _load_json(os.path.join(state_dir, "epochs.json"))
@@ -941,13 +963,12 @@ def run_streaming_decontamination_sync(
             raise ValueError(
                 f"run_streaming_decontamination_sync: state at "
                 f"{state_dir!r} already processed epochs up to "
-                f"{prior['max_epoch']} without a recorded "
-                "max_bucket_size — the cap those epochs were mined "
-                "under is unknown, so it cannot be pinned now. Rebuild "
-                "into a fresh state_dir (or restore the original "
-                "recipe.json)."
+                f"{prior['max_epoch']} without recorded {missing} — the "
+                "values those epochs were mined under are unknown, so "
+                "they cannot be pinned now. Rebuild into a fresh "
+                "state_dir (or restore the original recipe.json)."
             )
-        stored = {**stored, "max_bucket_size": max_bucket_size}
+        stored = {**stored, **pins}
         _atomic_write_json(recipe_path, stored)
     elif stored["max_bucket_size"] != max_bucket_size:
         raise ValueError(
@@ -958,6 +979,15 @@ def run_streaming_decontamination_sync(
             "emits (train copies past it are silently exempt), so mixing "
             "caps makes the pairs table undetectably incomplete. Use the "
             "stored cap or start a fresh state_dir."
+        )
+    elif stored["method"] != method:
+        raise ValueError(
+            f"run_streaming_decontamination_sync: this state's epochs "
+            f"were mined with method={stored['method']!r} but this run "
+            f"passes {method!r}. The metric changes both the pairs "
+            "schema and what a pair MEANS — mixing them in one table is "
+            "incoherent. Use the stored method or start a fresh "
+            "state_dir."
         )
     id_col = stored["id_col"]
     text_col = stored["text_col"]
@@ -971,11 +1001,16 @@ def run_streaming_decontamination_sync(
 
     # the static benchmark tables: read once up front (plain reads — the
     # recipe stamps ride the parquet footers and are asserted here, so a
-    # repointed state_dir with a different recipe fails fast)
-    bench_index = spark.read.parquet(os.path.join(state_dir, "bench_index"))
+    # repointed state_dir with a different recipe fails fast). The
+    # containment method never touches bench_index at all (no LSH probe
+    # — candidates ARE the shingle join's output).
     bench_sets = spark.read.parquet(os.path.join(state_dir, "bench_sets"))
-    check_index_recipe(bench_index, "band_hash", lsh_recipe)
     check_index_recipe(bench_sets, "_set", lsh_recipe)
+    if method == "jaccard":
+        bench_index = spark.read.parquet(
+            os.path.join(state_dir, "bench_index")
+        )
+        check_index_recipe(bench_index, "band_hash", lsh_recipe)
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         epochs = _load_json(epochs_path) or {}
@@ -996,10 +1031,42 @@ def run_streaming_decontamination_sync(
                 epochs_path, {**epochs, "max_epoch": int(epoch_id)}
             )
 
+        def _commit_pairs(pairs: DataFrame) -> None:
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"epoch={int(epoch_id)}")
+            )
+            thresholds = dict(epochs.get("thresholds") or {})
+            thresholds[str(int(epoch_id))] = float(threshold)
+            _atomic_write_json(
+                epochs_path,
+                {**epochs, "max_epoch": int(epoch_id),
+                 "thresholds": thresholds},
+            )
+
         batch = batch_df.select(id_col, text_col)
         if batch.isEmpty():
             _advance()
             return
+
+        if method == "containment":
+            # no LSH, no bench_index: the batch's shingles meet the
+            # (broadcast) benchmark shingle table in one equi-join
+            from syncmaven_spark.operators.dedup import _containment_pairs
+
+            t_sets = persist_scoped(
+                _hashed_shingle_sets(
+                    _spread(batch, id_col), text_col, id_col, shingle_k
+                )
+            )
+            if t_sets.isEmpty():  # all rows unusable
+                _advance()
+                return
+            _commit_pairs(
+                _containment_pairs(t_sets, bench_sets, id_col, threshold,
+                                   broadcast_benchmark=True)
+            )
+            return
+
         batch_index = persist_scoped(
             minhash_lsh_index(
                 batch, text_col, id_col,
@@ -1051,15 +1118,8 @@ def run_streaming_decontamination_sync(
             _spread(batch.join(t_touched, id_col, "left_semi"), id_col),
             text_col, id_col, shingle_k,
         )
-        pairs = _cross_jaccard_scored(cands, t_sets, b_sets, id_col, threshold)
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"epoch={int(epoch_id)}")
-        )
-        thresholds = dict(epochs.get("thresholds") or {})
-        thresholds[str(int(epoch_id))] = float(threshold)
-        _atomic_write_json(
-            epochs_path,
-            {**epochs, "max_epoch": int(epoch_id), "thresholds": thresholds},
+        _commit_pairs(
+            _cross_jaccard_scored(cands, t_sets, b_sets, id_col, threshold)
         )
 
     q = (
@@ -1343,7 +1403,11 @@ def read_pairs(
     family = recipe.get("family", "minhash")
     score_col = {
         "minhash": "jaccard", "simhash": "hamming", "cosine": "cos_sim",
-        "decontamination": "jaccard",
+        # the decon driver pins its metric on the first mining run
+        "decontamination": (
+            "containment" if recipe.get("method") == "containment"
+            else "jaccard"
+        ),
     }[family]
     pairs_dir = os.path.join(state_dir, "pairs")
     if not os.path.isdir(pairs_dir):

@@ -32,7 +32,11 @@ def test_prefix_share_is_proportional():
         # one representative slot + stride share; allow ±3 slot rounding
         assert abs(prefix[fam] - expected) <= 3, (fam, prefix[fam], expected)
     # the regression that motivated this: rel (39 entries) got 5/50 slots
-    assert prefix["rel"] >= 15
+    # out of a then-103-entry catalog. The floor tracks the catalog's
+    # growth (rel's fair share of a 50-prefix shrinks as other families
+    # gain entries) while still catching an equal-weight-round-robin
+    # regression, which would hand rel only ~50/#families ≈ 4 slots.
+    assert prefix["rel"] >= int(50 * sizes["rel"] / len(names)) - 3
 
 
 def test_unchecked_entries_sort_first_within_family():

@@ -571,3 +571,56 @@ def test_containment_zero_shingle_and_overlapping_ids(spark):
         ).collect()
     }
     assert shuffled == got
+
+
+def test_containment_incremental_equals_one_shot(spark, tmp_path):
+    """Batches are independent (no train-train interaction), so the
+    3-batch union over the PERSISTED benchmark sets equals the one-shot
+    containment pass; a shingle_k-mismatched probe fails fast."""
+    from syncmaven_spark.operators import (
+        containment_decontamination_pairs,
+        containment_decontamination_pairs_incremental,
+        decontamination_index,
+    )
+
+    filler = " ".join(f"word{i} item{i}" for i in range(80))
+    train = spark.createDataFrame(
+        [
+            (1, filler + " " + NEAR + " tail"),  # embeds bench 10
+            (2, OTHER),
+            (3, NEAR),
+            (4, BASE),
+            (5, filler),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(10, NEAR), (11, "unrelated benchmark prompt")], ["doc_id", "text"]
+    )
+    kw = dict(threshold=0.5, shingle_k=3)
+    one_shot = {
+        (r.train_id, r.bench_id, r.containment)
+        for r in containment_decontamination_pairs(
+            train, bench, "text", "doc_id", **kw
+        ).collect()
+    }
+    assert any(t == 1 for t, _, _ in one_shot)  # the embedded doc
+
+    _, sets = decontamination_index(bench, "text", "doc_id", shingle_k=3)
+    sets.write.parquet(str(tmp_path / "bsets"))
+    stored = spark.read.parquet(str(tmp_path / "bsets"))
+    inc = set()
+    for i in range(3):
+        inc |= {
+            (r.train_id, r.bench_id, r.containment)
+            for r in containment_decontamination_pairs_incremental(
+                train.filter(f"doc_id % 3 = {i}"), stored,
+                "text", "doc_id", **kw,
+            ).collect()
+        }
+    assert inc == one_shot
+
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        containment_decontamination_pairs_incremental(
+            train, stored, "text", "doc_id", threshold=0.5, shingle_k=8
+        )

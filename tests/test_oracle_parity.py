@@ -82,6 +82,9 @@ _SCALE_QUADRATIC_ORACLES = {
     # planted embedded-doc test, and the sf0.1 emitted-pair precision
     # stand-in below
     "decontamination_containment",
+    # identical oracle; additionally gated by the 3-batch ≡ one-shot
+    # property test (tests/test_operators_dedup.py)
+    "decontamination_containment_incremental",
 }
 
 scale = pytest.mark.skipif(

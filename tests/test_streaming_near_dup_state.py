@@ -860,3 +860,49 @@ def test_decontamination_state_compacts_and_reads_back(spark, tmp_path):
         epochs = json.load(f)
     assert epochs["base_threshold_min"] == 0.3
     assert list(epochs["thresholds"]) == ["2"]
+
+
+def test_streaming_decontamination_containment_method(spark, tmp_path):
+    """method='containment': no LSH probe, no bench_index read — each
+    batch's shingles meet the broadcast benchmark shingle table in one
+    equi-join; the embedded-benchmark doc (tiny Jaccard) is caught, the
+    method is pinned, and read_pairs serves the containment column."""
+    from syncmaven_spark.streaming import (
+        prepare_decontamination_state,
+        read_pairs,
+        run_streaming_decontamination_sync,
+    )
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    bench = spark.createDataFrame(
+        [(10, NEAR)], "doc_id long, text string"
+    )
+    prepare_decontamination_state(spark, bench, state)
+
+    filler = " ".join(f"pad{i} fill{i}" for i in range(100))
+    _write_docs(spark, src, [(1, filler + " " + NEAR + " " + filler)])
+    schema = spark.read.parquet(src).schema
+    kwargs = dict(threshold=0.8, method="containment")
+    run_streaming_decontamination_sync(spark, src, schema, state, ckpt, **kwargs)
+    _write_docs(spark, src, [(2, NEAR), (3, OTHER)])
+    run_streaming_decontamination_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    got = {
+        (r.train_id, r.bench_id): r.containment
+        for r in spark.read.parquet(state + "/pairs").collect()
+    }
+    assert got[(1, 10)] >= 0.9  # the embedded doc Jaccard would miss
+    assert got[(2, 10)] >= 0.9
+    assert (3, 10) not in got
+
+    # the method is pinned: a jaccard run against this state fails fast
+    _write_docs(spark, src, [(4, NEAR)])
+    with pytest.raises(ValueError, match="method"):
+        run_streaming_decontamination_sync(
+            spark, src, schema, state, ckpt, threshold=0.8
+        )
+    # read_pairs picks the containment column for the cut
+    cut = read_pairs(spark, state, 0.9)
+    assert {(r.train_id, r.bench_id) for r in cut.collect()} == {
+        (1, 10), (2, 10)
+    }
