@@ -12,6 +12,7 @@ from syncmaven_spark.operators.dedup import (  # noqa: F401
     containment_decontamination_pairs,
     containment_decontamination_pairs_incremental,
     decontamination_index,
+    decontamination_sets,
     fuzzy_decontamination_pairs,
     fuzzy_decontamination_pairs_incremental,
     hashed_shingle_sets,

@@ -1016,6 +1016,26 @@ def _containment_pairs(
     )
 
 
+def decontamination_sets(
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """The containment-only benchmark artifact: the hashed-shingle-set
+    table stamped with its ``shingle_k`` — all
+    :func:`containment_decontamination_pairs_incremental` needs. Use
+    :func:`decontamination_index` when the Jaccard path is also wanted
+    (it returns the banded index AND a full-recipe-stamped sets table);
+    building that index just to discard it pays the 64-aggregate MinHash
+    plan construction and parks a never-executed signature plan in the
+    bounded persist pool (round-8 review pass 3)."""
+    return _with_recipe_meta(
+        hashed_shingle_sets(benchmark, text_col, id_col, shingle_k),
+        "_set", {"shingle_k": shingle_k},
+    )
+
+
 def containment_decontamination_pairs_incremental(
     train_batch: DataFrame,
     bench_sets: DataFrame,

@@ -1514,16 +1514,16 @@ def decontamination_containment(spark, sf_dir):
 def decontamination_containment_incremental(spark, sf_dir):
     from syncmaven_spark.operators import (
         containment_decontamination_pairs_incremental,
-        decontamination_index,
+        decontamination_sets,
     )
-    from syncmaven_spark.operators.cache import persist_scoped
 
     t = _t(spark, sf_dir)
     docs = t["documents"]
     train = docs.filter(F.col("doc_id") % 7 != 0)
     bench = docs.filter(F.col("doc_id") % 7 == 0)
-    _, sets = decontamination_index(bench, "text", "doc_id", shingle_k=3)
-    sets = persist_scoped(sets)
+    # sets-only artifact: hashed_shingle_sets inside already persists
+    # through the pool, and the MinHash index half is never needed here
+    sets = decontamination_sets(bench, "text", "doc_id", shingle_k=3)
     parts = [
         containment_decontamination_pairs_incremental(
             train.filter(F.col("doc_id") % 3 == i), sets,

@@ -943,44 +943,23 @@ def run_streaming_decontamination_sync(
             f"unknown decontamination method {method!r}; expected "
             "'jaccard' or 'containment'"
         )
-    # pin the mining knobs (batch-side bucket cap + metric) in the stored
-    # recipe exactly like the near-dup driver pins its cap: both change
-    # which pairs an epoch emits (and the metric changes the pairs
-    # SCHEMA), so values that vary between runs make the table
-    # undetectably incomplete/incoherent (round-8 review). The prepare
-    # step doesn't know them, so the first MINING run records both and
-    # later runs must match.
-    pins = {"max_bucket_size": max_bucket_size, "method": method}
-    missing = [k for k in pins if k not in stored]
-    if missing:
-        # …but never pin RETROACTIVELY (round-8 review pass 2): a state
-        # that already processed epochs without the records was mined
-        # under UNKNOWN knobs — pinning this run's values would bless the
-        # mixed history as uniform, the exact silent incompleteness the
-        # pin exists to prevent.
-        prior = _load_json(os.path.join(state_dir, "epochs.json"))
-        if prior is not None and "max_epoch" in prior:
-            raise ValueError(
-                f"run_streaming_decontamination_sync: state at "
-                f"{state_dir!r} already processed epochs up to "
-                f"{prior['max_epoch']} without recorded {missing} — the "
-                "values those epochs were mined under are unknown, so "
-                "they cannot be pinned now. Rebuild into a fresh "
-                "state_dir (or restore the original recipe.json)."
-            )
-        stored = {**stored, **pins}
+    # pin the mining knobs in the stored recipe exactly like the near-dup
+    # driver pins its cap: both change which pairs an epoch emits (and
+    # the metric changes the pairs SCHEMA), so values that vary between
+    # runs make the table undetectably incomplete/incoherent (round-8
+    # review). The prepare step doesn't know them, so the first MINING
+    # run records them and later runs must match.
+    prior = _load_json(os.path.join(state_dir, "epochs.json"))
+    has_epochs = prior is not None and "max_epoch" in prior
+    if "method" not in stored:
+        # unlike the cap, a missing method IS knowable for a state mined
+        # by the pre-'method' driver: jaccard was the only metric that
+        # existed (read_pairs defaults the same way) — pin the historical
+        # value, never this run's (round-8 review pass 3: refusing such
+        # states forced a pointless rebuild of unambiguous history)
+        stored = {**stored, "method": "jaccard" if has_epochs else method}
         _atomic_write_json(recipe_path, stored)
-    elif stored["max_bucket_size"] != max_bucket_size:
-        raise ValueError(
-            f"run_streaming_decontamination_sync: this state's epochs "
-            f"were mined with max_bucket_size="
-            f"{stored['max_bucket_size']!r} but this run passes "
-            f"{max_bucket_size!r}. The cap changes which pairs an epoch "
-            "emits (train copies past it are silently exempt), so mixing "
-            "caps makes the pairs table undetectably incomplete. Use the "
-            "stored cap or start a fresh state_dir."
-        )
-    elif stored["method"] != method:
+    if stored["method"] != method:
         raise ValueError(
             f"run_streaming_decontamination_sync: this state's epochs "
             f"were mined with method={stored['method']!r} but this run "
@@ -989,6 +968,39 @@ def run_streaming_decontamination_sync(
             "incoherent. Use the stored method or start a fresh "
             "state_dir."
         )
+    # the bucket cap only exists on the jaccard path (containment has no
+    # bucket stage at all — pinning it there would refuse runs over a
+    # no-op knob; round-8 review pass 3)
+    if method == "jaccard":
+        if "max_bucket_size" not in stored:
+            # never pin the cap RETROACTIVELY (round-8 review pass 2): a
+            # state that already processed epochs without the record was
+            # mined under an UNKNOWN cap — pinning this run's value would
+            # bless the mixed history as uniform, the exact silent
+            # incompleteness the pin exists to prevent.
+            if has_epochs:
+                raise ValueError(
+                    f"run_streaming_decontamination_sync: state at "
+                    f"{state_dir!r} already processed epochs up to "
+                    f"{prior['max_epoch']} without a recorded "
+                    "max_bucket_size — the cap those epochs were mined "
+                    "under is unknown, so it cannot be pinned now. "
+                    "Rebuild into a fresh state_dir (or restore the "
+                    "original recipe.json)."
+                )
+            stored = {**stored, "max_bucket_size": max_bucket_size}
+            _atomic_write_json(recipe_path, stored)
+        elif stored["max_bucket_size"] != max_bucket_size:
+            raise ValueError(
+                f"run_streaming_decontamination_sync: this state's "
+                f"epochs were mined with max_bucket_size="
+                f"{stored['max_bucket_size']!r} but this run passes "
+                f"{max_bucket_size!r}. The cap changes which pairs an "
+                "epoch emits (train copies past it are silently exempt), "
+                "so mixing caps makes the pairs table undetectably "
+                "incomplete. Use the stored cap or start a fresh "
+                "state_dir."
+            )
     id_col = stored["id_col"]
     text_col = stored["text_col"]
     num_perm, bands = int(stored["num_perm"]), int(stored["bands"])
@@ -1053,10 +1065,11 @@ def run_streaming_decontamination_sync(
             # (broadcast) benchmark shingle table in one equi-join
             from syncmaven_spark.operators.dedup import _containment_pairs
 
-            t_sets = persist_scoped(
-                _hashed_shingle_sets(
-                    _spread(batch, id_col), text_col, id_col, shingle_k
-                )
+            # _hashed_shingle_sets already persists through the pool — a
+            # second wrap would re-run the alias scan per batch for a
+            # guaranteed hit (round-8 review pass 3)
+            t_sets = _hashed_shingle_sets(
+                _spread(batch, id_col), text_col, id_col, shingle_k
             )
             if t_sets.isEmpty():  # all rows unusable
                 _advance()

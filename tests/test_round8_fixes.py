@@ -274,3 +274,79 @@ def test_decontamination_cap_never_pinned_retroactively(spark, tmp_path):
         run_streaming_decontamination_sync(
             spark, src, schema, state, ckpt, threshold=0.3
         )
+
+
+def test_decontamination_method_pin_legacy_and_cap_scoping(spark, tmp_path):
+    """Review pass 3: a pre-'method' state resumes as jaccard (the only
+    metric that existed — no pointless rebuild), a containment run
+    against it still fails fast, and the bucket cap is NOT pinned/checked
+    under containment (it has no bucket stage — refusing runs over a
+    no-op knob)."""
+    import json
+
+    from syncmaven_spark.streaming import (
+        prepare_decontamination_state,
+        run_streaming_decontamination_sync,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog in the garden"
+    bench = spark.createDataFrame([(10, text)], "doc_id long, text string")
+
+    # legacy state: mined, then 'method' stripped from the recipe
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    prepare_decontamination_state(spark, bench, state)
+    spark.createDataFrame(
+        [(1, text + " now")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+    with open(state + "/recipe.json", encoding="utf-8") as f:
+        recipe = json.load(f)
+    del recipe["method"]
+    with open(state + "/recipe.json", "w", encoding="utf-8") as f:
+        json.dump(recipe, f)
+
+    # containment against the legacy-jaccard history fails fast...
+    spark.createDataFrame(
+        [(2, text + " later")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="mined with method='jaccard'"):
+        run_streaming_decontamination_sync(
+            spark, src, schema, state, ckpt,
+            threshold=0.3, method="containment",
+        )
+    # ...while a jaccard resume re-pins the knowable historical value
+    run_streaming_decontamination_sync(
+        spark, src, schema, state, ckpt, threshold=0.3
+    )
+    with open(state + "/recipe.json", encoding="utf-8") as f:
+        assert json.load(f)["method"] == "jaccard"
+
+    # containment state: the cap is a no-op knob, never pinned/refused
+    src2, state2, ckpt2 = (
+        str(tmp_path / d) for d in ("src2", "state2", "ckpt2")
+    )
+    prepare_decontamination_state(spark, bench, state2)
+    spark.createDataFrame(
+        [(1, text + " x")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src2)
+    schema2 = spark.read.parquet(src2).schema
+    kw = dict(threshold=0.3, method="containment")
+    run_streaming_decontamination_sync(
+        spark, src2, schema2, state2, ckpt2, **kw
+    )
+    with open(state2 + "/recipe.json", encoding="utf-8") as f:
+        assert "max_bucket_size" not in json.load(f)
+    spark.createDataFrame(
+        [(2, text + " y")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src2)
+    run_streaming_decontamination_sync(
+        spark, src2, schema2, state2, ckpt2, max_bucket_size=200, **kw
+    )
+    got = {
+        (r.train_id, r.bench_id)
+        for r in spark.read.parquet(state2 + "/pairs").collect()
+    }
+    assert got == {(1, 10), (2, 10)}
