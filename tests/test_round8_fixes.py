@@ -350,3 +350,99 @@ def test_decontamination_method_pin_legacy_and_cap_scoping(spark, tmp_path):
         for r in spark.read.parquet(state2 + "/pairs").collect()
     }
     assert got == {(1, 10), (2, 10)}
+
+
+def test_merge_tmp_into_base_recovers_any_interruption_point(tmp_path):
+    """_merge_tmp_into_base must be resumable from ANY prefix of its file
+    moves: files already moved are no longer in tmp, never-moved files
+    still are, and a re-run completes the merge with nothing lost or
+    duplicated."""
+    from syncmaven_spark.streaming.incremental import _merge_tmp_into_base
+
+    def build_tmp(root):
+        files = []
+        for part in ("hbucket=0", "hbucket=3"):
+            d = root / part
+            d.mkdir(parents=True)
+            for i in range(3):
+                p = d / f"part-{part[-1]}{i}-uuid.parquet"
+                p.write_text(f"{part}/{i}")
+                files.append((part, p.name, f"{part}/{i}"))
+        (root / "_SUCCESS").write_text("")
+        (root / ".part-crc").write_text("")
+        return files
+
+    import itertools
+    import os
+    import shutil
+
+    for k in range(0, 7):  # interrupt after k of the 6 file moves
+        tmp = tmp_path / f"tmp{k}"
+        base = tmp_path / f"base{k}"
+        files = build_tmp(tmp)
+        # pre-existing base content from an earlier compaction must
+        # survive untouched
+        (base / "hbucket=0").mkdir(parents=True)
+        (base / "hbucket=0" / "part-old.parquet").write_text("old")
+        # simulate a crash: k files already moved (atomic renames)
+        for part, name, _ in itertools.islice(files, k):
+            os.makedirs(base / part, exist_ok=True)
+            os.replace(tmp / part / name, base / part / name)
+        _merge_tmp_into_base(str(tmp), str(base))
+        assert not tmp.exists()
+        got = {
+            (os.path.relpath(os.path.join(r, f), base))
+            for r, _, fs in os.walk(base)
+            for f in fs
+        }
+        want = {os.path.join(p, n) for p, n, _ in files} | {
+            os.path.join("hbucket=0", "part-old.parquet")
+        }
+        assert got == want, (k, got ^ want)
+        assert (base / "hbucket=0" / "part-old.parquet").read_text() == "old"
+        for part, name, content in files:
+            assert (base / part / name).read_text() == content
+        shutil.rmtree(base)
+
+
+def test_read_pairs_simhash_direction_flip(spark, tmp_path):
+    """For the simhash family the recorded per-epoch value is max_hamming
+    and the completeness direction FLIPS: an epoch mined with a SMALLER
+    bound never emitted pairs in (bound, requested], so it is the
+    incomplete one; pairs filter as hamming <= requested."""
+    from syncmaven_spark.streaming import (
+        read_pairs,
+        run_streaming_near_dup_sync,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog tonight"
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    # max_hamming is part of the RECIPE for simhash (it fixes the chunk
+    # layout), so unlike jaccard/cosine thresholds it cannot vary between
+    # epochs — the direction flip matters when the requested cut exceeds
+    # the constant recorded bound
+    kwargs = dict(family="simhash", max_hamming=8, max_bucket_size=None)
+    write([(1, base_text), (2, base_text + " extra tail words here")])
+    schema = spark.read.parquet(src).schema
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+    write([(3, base_text)])  # token-identical to 1 → hamming 0
+    run_streaming_near_dup_sync(spark, src, schema, state, ckpt, **kwargs)
+
+    # cut at 2: both epochs mined with max_hamming 8 >= 2 → complete;
+    # pairs filter hamming <= 2 (NOT >= — the flipped direction)
+    cut = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in read_pairs(spark, state, 2).collect()
+    }
+    assert all(h <= 2 for _, _, h in cut)
+    assert (1, 3, 0) in cut
+    # cut at 10: epochs were mined at 8 < 10 → pairs with hamming in
+    # (8, 10] were never emitted → incomplete, refuse
+    with pytest.raises(ValueError, match="mined at 8"):
+        read_pairs(spark, state, 10)
