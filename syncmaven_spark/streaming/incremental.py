@@ -535,6 +535,17 @@ def run_streaming_near_dup_sync(
     (the incremental operator's contract); Spark's source checkpoint
     guarantees each FILE is processed once, so id-unique input files
     satisfy this for free.
+
+    **Filesystem contract**: the parquet state tables are written by
+    executors through Spark, but the MANIFESTS (``recipe.json``,
+    ``epochs.json``, compaction journals) and the per-batch leaf listing
+    use driver-local file APIs — ``state_dir`` must therefore be a path
+    the DRIVER can read/write with POSIX semantics (local disk on
+    single-node, NFS or a FUSE-mounted object store on a cluster; plain
+    ``s3://``/``hdfs://`` URIs are not supported for the manifests).
+    This mirrors how the manifests are used: tiny, driver-authored,
+    atomically-replaced files — the same class of metadata Structured
+    Streaming keeps in its checkpoint dir.
     """
     import os
 
