@@ -273,6 +273,26 @@ def _load_json(path: str) -> dict | None:
         return json.load(f)
 
 
+def _list_epoch_dirs(
+    table_dir: str, below: int | None = None
+) -> list[tuple[int, str]]:
+    """Sorted ``(epoch, path)`` pairs for a state table's ``epoch=<n>``
+    partition dirs, optionally bounded to ``epoch < below`` — the ONE
+    directory-name parse shared by the per-batch reads and compaction
+    (round-8 review: two hand-rolled copies of the parse can drift)."""
+    import os
+
+    out = [
+        (epoch, os.path.join(table_dir, name))
+        for name in os.listdir(table_dir)
+        if name.startswith("epoch=")
+        for epoch in (int(name.split("=", 1)[1]),)
+        if below is None or epoch < below
+    ]
+    out.sort()
+    return out
+
+
 def _read_epoch_state(
     spark: SparkSession,
     path: str,
@@ -317,15 +337,16 @@ def _read_epoch_state(
         return spark.createDataFrame([], ddl)
     schema = f"{ddl}, epoch int, {bucket_col} int"
     reader = spark.read.schema(schema)
-    if bucket_vals is not None:
-        wanted = sorted({int(b) for b in bucket_vals})
+    wanted = (
+        sorted({int(b) for b in bucket_vals})
+        if bucket_vals is not None else None
+    )
+    if wanted is not None:
         leafs = [
-            os.path.join(path, name, f"{bucket_col}={b}")
-            for name in os.listdir(path)
-            if name.startswith("epoch=")
-            and int(name.split("=", 1)[1]) < int(epoch_id)
+            os.path.join(epoch_path, f"{bucket_col}={b}")
+            for _, epoch_path in _list_epoch_dirs(path, below=int(epoch_id))
             for b in wanted
-            if os.path.isdir(os.path.join(path, name, f"{bucket_col}={b}"))
+            if os.path.isdir(os.path.join(epoch_path, f"{bucket_col}={b}"))
         ]
         if not leafs:
             return spark.createDataFrame([], ddl)
@@ -333,10 +354,8 @@ def _read_epoch_state(
     else:
         df = reader.parquet(path)
     df = df.filter(F.col("epoch") < F.lit(int(epoch_id)))
-    if bucket_vals is not None:
-        df = df.filter(
-            F.col(bucket_col).isin([int(b) for b in bucket_vals])
-        )
+    if wanted is not None:
+        df = df.filter(F.col(bucket_col).isin(wanted))
     return df.select(*cols)
 
 
@@ -1319,16 +1338,12 @@ def compact_state(
         table_dir = os.path.join(state_dir, table)
         if not os.path.isdir(table_dir):
             continue
-        epoch_dirs = {
-            int(name.split("=", 1)[1]): os.path.join(table_dir, name)
-            for name in os.listdir(table_dir)
-            if name.startswith("epoch=")
-        }
         # only LIVE epochs fold; the base itself is never re-read or
         # re-written (the additive contract)
         to_fold = {
-            e: p for e, p in epoch_dirs.items()
-            if e != BASE_EPOCH and e < up_to_epoch
+            e: p
+            for e, p in _list_epoch_dirs(table_dir, below=up_to_epoch)
+            if e != BASE_EPOCH
         }
         if not to_fold:
             folded[table] = 0
