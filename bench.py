@@ -75,6 +75,7 @@ EXTRA = [
     "knn_ivf_append_probe",
     "decontamination_containment",
     "decontamination_containment_incremental",
+    "text_verbatim_dup",
 ]
 
 

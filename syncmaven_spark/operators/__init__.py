@@ -62,4 +62,5 @@ from syncmaven_spark.operators.text import (  # noqa: F401
     quality_filter,
     repetition_stats,
     token_count,
+    verbatim_window_stats,
 )

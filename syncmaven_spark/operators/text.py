@@ -336,3 +336,85 @@ def document_fingerprint(
         lambda acc, w: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(w), modulus), modulus),
     )
     return df.withColumn(out_col, rolling)
+
+
+def verbatim_window_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_k: int = 8,
+) -> DataFrame:
+    """Verbatim cross-document duplication score per doc: ``(id,
+    n_windows, n_dup_windows, dup_ratio)`` where a doc's POSITIONAL
+    ``window_k``-token windows count as duplicated when the same window
+    text appears in ANOTHER document.
+
+    This is the exact-substring dedup signal (the classic "remove
+    verbatim ≥k-token overlaps" pipeline stage): a doc that merely shares
+    vocabulary scores near 0, a doc whose paragraphs are copied verbatim
+    scores the copied fraction — orthogonal to shingle-SET Jaccard, which
+    ignores positions and multiplicity (a doc quoting one boilerplate
+    sentence 50 times has low Jaccard to its source but high verbatim
+    duplication). Filter with ``dup_ratio`` or route high scorers to the
+    near-dup pipeline.
+
+    Scale shape: one map-side window projection (tokens → rolling
+    xxhash64 of each k-window), ONE hash-keyed aggregation with map-side
+    combine deriving the cross-doc flag (``min(doc) != max(doc)`` —
+    cheaper than a distinct count and skew-tolerant: repeated boilerplate
+    windows partially aggregate before the shuffle), one AQE-skew-safe
+    join of the positions back onto their flags, and a per-doc count.
+    Windows hash to longs; the ~2⁻⁶⁴ collision trade is the same one the
+    shingle operators document. Docs with fewer than ``window_k`` tokens
+    have zero windows and ``dup_ratio`` 0.0 (no silent NaN); within-doc
+    repeats alone do NOT count (min == max — same doc).
+    """
+    if window_k < 1:
+        raise ValueError(f"window_k must be >= 1; got {window_k!r}")
+    from syncmaven_spark.operators.dedup import _spread
+
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - window_k)
+    windows = F.when(
+        n >= window_k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window_k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    per_pos = _spread(df, id_col).select(
+        F.col(id_col), F.explode(windows).alias("_h")
+    )
+    flags = per_pos.groupBy("_h").agg(
+        (F.min(id_col) != F.max(id_col)).alias("_dup")
+    )
+    stats = (
+        per_pos.join(flags, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .na.fill(0, ["n_windows", "n_dup_windows"])
+        .select(
+            id_col,
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+            F.when(F.col("n_windows") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_dup_windows").cast("double")
+                    / F.col("n_windows"),
+                    4,
+                )
+            )
+            .alias("dup_ratio"),
+        )
+    )

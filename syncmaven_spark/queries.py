@@ -3596,6 +3596,44 @@ def embedding_centroids(spark, sf_dir):
 
 
 @q(
+    "text_verbatim_dup",
+    "WITH w AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "win AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), "
+    "i -> array_to_string(toks[i:i+7], ' '))) AS win "
+    "FROM w WHERE len(toks) >= 8), "
+    "flag AS (SELECT win, min(doc_id) <> max(doc_id) AS dup "
+    "FROM win GROUP BY win), "
+    "s AS (SELECT win.doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
+    "CAST(sum(CASE WHEN flag.dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+    "FROM win JOIN flag USING (win) GROUP BY win.doc_id) "
+    "SELECT w.doc_id, coalesce(s.n_windows, 0) AS n_windows, "
+    "coalesce(s.n_dup, 0) AS n_dup_windows, "
+    "CASE WHEN coalesce(s.n_windows, 0) = 0 THEN 0.0 "
+    "ELSE round(CAST(s.n_dup AS DOUBLE) / s.n_windows, 4) END AS dup_ratio "
+    "FROM w LEFT JOIN s USING (doc_id)",
+    doc="Verbatim cross-document duplication score — the exact-substring "
+    "dedup signal ('remove verbatim ≥k-token overlaps'): for every doc, "
+    "the fraction of its POSITIONAL 8-token windows whose exact text "
+    "appears in ANOTHER document. Orthogonal to shingle-SET Jaccard "
+    "(positions and multiplicity count: a doc quoting one boilerplate "
+    "sentence 50 times has low Jaccard to its source but high verbatim "
+    "duplication) and to the pairwise text_decontamination join (this is "
+    "a per-doc score, not a pair table). One map-side rolling-hash "
+    "window projection, one hash-keyed aggregate with map-side combine "
+    "(min(doc) != max(doc) — skew-tolerant on boilerplate), one "
+    "AQE-skew-safe join back, one per-doc count; within-doc repeats "
+    "alone do not count and sub-8-token docs score 0.0 "
+    "(operators/text.py:verbatim_window_stats).",
+    tags=("text", "dedup", "llm"),
+)
+def text_verbatim_dup(spark, sf_dir):
+    from syncmaven_spark.operators import verbatim_window_stats
+
+    t = _t(spark, sf_dir)
+    return verbatim_window_stats(t["documents"], "text", "doc_id", window_k=8)
+
+
+@q(
     "text_decontamination",
     "WITH tok AS (SELECT doc_id, source, "
     "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "

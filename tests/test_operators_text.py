@@ -145,3 +145,36 @@ def test_quality_filter_rule_attribution(spark):
     assert rows[3]["keep"] is False and rows[3]["r_repetition"] is False
     assert rows[3]["r_min_words"] is True
     assert rows[4]["keep"] is False and rows[4]["r_alpha"] is False
+
+
+def test_verbatim_window_stats(spark):
+    """The exact-substring dedup signal: positional k-windows shared with
+    ANOTHER doc count; within-doc repeats alone don't; short/empty docs
+    score 0.0 with no NaN."""
+    from syncmaven_spark.operators import verbatim_window_stats
+
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, span + " zeta"),                  # 6 tokens → 4 windows (k=3)
+        (2, "intro words here " + span),      # shares span's windows w/ 1
+        (3, "totally unrelated text content thing"),
+        (4, "one two"),                       # < k tokens → 0 windows
+        (5, None),                            # NULL text → 0 windows
+        (6, "loop loop loop loop loop loop"), # within-doc repeats only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+        for r in verbatim_window_stats(df, window_k=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # doc 1: windows of 'alpha..zeta' = 4; the 3 windows inside span are
+    # shared with doc 2 (which contains the same 5-token span verbatim)
+    assert got[1] == (4, 3, 0.75)
+    # doc 2: 8 tokens → 6 windows; the same 3 span windows duplicated
+    assert got[2] == (6, 3, 0.5)
+    assert got[3] == (3, 0, 0.0)  # 5 tokens → 3 windows, none shared
+    assert got[4] == (0, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+    # within-doc repetition only — every window identical but same doc
+    assert got[6][1] == 0 and got[6][2] == 0.0
