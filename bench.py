@@ -76,6 +76,7 @@ EXTRA = [
     "decontamination_containment",
     "decontamination_containment_incremental",
     "text_verbatim_dup",
+    "text_verbatim_spans",
 ]
 
 

@@ -62,5 +62,6 @@ from syncmaven_spark.operators.text import (  # noqa: F401
     quality_filter,
     repetition_stats,
     token_count,
+    verbatim_spans,
     verbatim_window_stats,
 )

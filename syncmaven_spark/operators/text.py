@@ -418,3 +418,71 @@ def verbatim_window_stats(
             .alias("dup_ratio"),
         )
     )
+
+
+def verbatim_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_k: int = 8,
+) -> DataFrame:
+    """The ACTIONABLE half of exact-substring dedup: per document, the
+    maximal merged token intervals covered by cross-document verbatim
+    ``window_k``-token windows — ``(id, span_start, span_end,
+    n_windows_in_span)`` with 0-based token offsets into the
+    :func:`~syncmaven_spark.operators.dedup._words` tokenization
+    (``span_end`` exclusive). :func:`verbatim_window_stats` scores docs;
+    this emits WHAT to cut (or to inspect) — the span removal itself is
+    policy (drop, truncate, keep-first-occurrence) and stays with the
+    caller.
+
+    Execution mirrors the stats operator through the duplicated-window
+    flags (rolling-hash projection → map-side-combining hash aggregate →
+    join back), then merges overlapping/adjacent windows per doc with the
+    gaps-and-islands pattern: a window starting at ``p2`` merges into its
+    predecessor's interval iff ``p2 <= p1 + window_k`` ([p1, p1+k) and
+    [p2, p2+k) touch or overlap), so islands break where the gap exceeds
+    ``window_k``; one lag + one running-sum window per doc (per-doc
+    partitions — no global window). Docs with no duplicated windows emit
+    no rows.
+    """
+    if window_k < 1:
+        raise ValueError(f"window_k must be >= 1; got {window_k!r}")
+    from pyspark.sql import Window as W
+
+    from syncmaven_spark.operators.dedup import _spread
+
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - window_k)
+    windows = F.when(
+        n >= window_k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window_k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    per_pos = _spread(df, id_col).select(
+        F.col(id_col), F.posexplode(windows).alias("pos", "_h")
+    )
+    flags = per_pos.groupBy("_h").agg(
+        (F.min(id_col) != F.max(id_col)).alias("_dup")
+    )
+    dup_pos = (
+        per_pos.join(flags, "_h").filter(F.col("_dup")).select(id_col, "pos")
+    )
+    w_doc = W.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(w_doc) + window_k, 1
+    ).otherwise(0)
+    islands = dup_pos.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(
+            w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + window_k).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows_in_span"),
+    ).drop("_island")

@@ -3634,6 +3634,47 @@ def text_verbatim_dup(spark, sf_dir):
 
 
 @q(
+    "text_verbatim_spans",
+    "WITH w AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "win AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM ("
+    "SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), "
+    "i -> struct_pack(pos := i - 1, "
+    "win := array_to_string(toks[i:i+7], ' ')))) AS u "
+    "FROM w WHERE len(toks) >= 8)), "
+    "flag AS (SELECT win, min(doc_id) <> max(doc_id) AS dup "
+    "FROM win GROUP BY win), "
+    "dup_pos AS (SELECT win.doc_id, win.pos FROM win "
+    "JOIN flag USING (win) WHERE flag.dup), "
+    "marked AS (SELECT doc_id, pos, CASE WHEN pos > "
+    "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 "
+    "THEN 1 ELSE 0 END AS brk FROM dup_pos), "
+    "isl AS (SELECT doc_id, pos, sum(brk) OVER ("
+    "PARTITION BY doc_id ORDER BY pos) AS island FROM marked) "
+    "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, "
+    "CAST(max(pos) + 8 AS BIGINT) AS span_end, "
+    "CAST(count(*) AS BIGINT) AS n_windows_in_span "
+    "FROM isl GROUP BY doc_id, island",
+    doc="Verbatim duplicated SPANS — the actionable half of "
+    "exact-substring dedup: per doc, the maximal merged token intervals "
+    "covered by cross-document verbatim 8-token windows (0-based "
+    "exclusive-end offsets; text_verbatim_dup scores docs, this emits "
+    "WHAT to cut). Overlapping/adjacent windows merge with the "
+    "gaps-and-islands pattern — a window at p2 joins its predecessor's "
+    "interval iff p2 <= p1 + 8, so islands break on larger gaps; one lag "
+    "+ one running sum per doc (per-doc window partitions, no global "
+    "window). The SQL oracle computes the identical islands with the "
+    "same lag/sum construction over the positional window table "
+    "(operators/text.py:verbatim_spans).",
+    tags=("text", "dedup", "llm"),
+)
+def text_verbatim_spans(spark, sf_dir):
+    from syncmaven_spark.operators import verbatim_spans
+
+    t = _t(spark, sf_dir)
+    return verbatim_spans(t["documents"], "text", "doc_id", window_k=8)
+
+
+@q(
     "text_decontamination",
     "WITH tok AS (SELECT doc_id, source, "
     "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "

@@ -178,3 +178,49 @@ def test_verbatim_window_stats(spark):
     assert got[5] == (0, 0, 0.0)
     # within-doc repetition only — every window identical but same doc
     assert got[6][1] == 0 and got[6][2] == 0.0
+
+
+def test_verbatim_spans_merge_and_offsets(spark):
+    """Spans merge overlapping/adjacent duplicated windows into maximal
+    token intervals (gaps > k break islands); offsets are 0-based
+    exclusive-end positions in the _words tokenization."""
+    from syncmaven_spark.operators import verbatim_spans
+
+    shared1 = "alpha beta gamma delta"          # 4 tokens
+    shared2 = "omega psi chi phi"               # 4 tokens, far from span 1
+    rows = [
+        # doc 1: [own 2][shared1 @2..6][own 3][shared2 @9..13][own 1]
+        (1, "one two " + shared1 + " mid mid2 mid3 " + shared2 + " tail"),
+        (2, shared1 + " unrelated trailer " + shared2),
+        (3, "no overlap with anything here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows_in_span
+        for r in verbatim_spans(df, window_k=3).collect()
+    }
+    # doc 1 tokens: one two alpha beta gamma delta mid mid2 mid3 omega psi
+    # chi phi tail → shared1 at [2,6), shared2 at [9,13); k=3 windows
+    # duplicated: starts 2,3 (span [2,6), 2 windows) and 9,10 ([9,13), 2)
+    assert got[(1, 2, 6)] == 2
+    assert got[(1, 9, 13)] == 2
+    # doc 2 tokens: alpha beta gamma delta unrelated trailer omega psi chi
+    # phi → spans [0,4) and [6,10)
+    assert got[(2, 0, 4)] == 2
+    assert got[(2, 6, 10)] == 2
+    # doc 3 emits nothing; exactly the four spans exist
+    assert len(got) == 4
+
+    # adjacency merges: two duplicated windows k apart (touching
+    # intervals) form ONE span
+    near = "p q r s t u"  # 6 tokens: windows at 0..3
+    df2 = spark.createDataFrame(
+        [(10, near + " filler"), (11, near)], ["doc_id", "text"]
+    )
+    spans10 = {
+        (r.span_start, r.span_end)
+        for r in verbatim_spans(df2, window_k=3).filter(
+            "doc_id = 10"
+        ).collect()
+    }
+    assert spans10 == {(0, 6)}  # windows 0..3 merge into one interval
