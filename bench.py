@@ -77,6 +77,12 @@ EXTRA = [
     "decontamination_containment_incremental",
     "text_verbatim_dup",
     "text_verbatim_spans",
+    # round-8 additions, second batch (TPC-H Q6/Q10/Q16 shapes — added
+    # after the 46-timing band; see BASELINE.md for their own reading)
+    "rel_revenue_band",
+    "rel_returned_items",
+    "rel_supplier_part_counts",
+    "knn_pq_probe",
 ]
 
 

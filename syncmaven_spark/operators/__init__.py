@@ -47,7 +47,14 @@ from syncmaven_spark.operators.similarity import (  # noqa: F401
     ivf_index,
     ivf_probe,
     normalized_vectors,
+    rerank_exact_topk,
     verify_cosine_candidates,
+)
+from syncmaven_spark.operators.pq import (  # noqa: F401
+    load_pq_codebooks,
+    pq_encode,
+    pq_probe,
+    pq_train,
 )
 from syncmaven_spark.operators.packing import (  # noqa: F401
     mixture_weights,

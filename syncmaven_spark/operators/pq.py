@@ -1,0 +1,354 @@
+"""Product quantization (PQ/ADC) — approximate cosine search for the
+MEMORY-bound regime, completing the ANN family (brute force → sign-LSH →
+IVF → PQ).
+
+At 100 TB the embedding column itself is the bottleneck: 64-dim float64
+vectors are 512 bytes/row, so a brute-force or even IVF-pruned scan moves
+the full vector payload through every probe. PQ stores each vector as
+``m`` small codebook indices (here 8 ints for a 64-dim vector — a 64×
+logical reduction) and scores candidates against a per-query lookup table
+(ADC: asymmetric distance computation) without ever touching the original
+floats. The codes table is what scans at probe time; the float vectors are
+only needed at encode time and for optional exact re-ranking.
+
+Public-knowledge basis: Jégou/Douze/Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — the architecture FAISS implements
+as IVFPQ. The reference has no ANN surface at all (similarity search is a
+SURVEY §2D scale extension, like the dedup/IVF families).
+
+Cosine mapping: vectors are L2-NORMALIZED before the subspace split, so
+the inner product against the reconstruction approximates cosine directly
+(IP-ADC over normalized vectors); each subspace quantizes with plain
+Euclidean Lloyd, the standard PQ recipe.
+
+Continuous ingestion mirrors :func:`~syncmaven_spark.operators.similarity.
+ivf_append`: :func:`pq_encode` is stateless under a fixed codebook, so new
+corpus batches encode-and-append with NO retraining and NO re-encoding of
+the existing store — ``pq_encode(new_batch, codebooks_df)`` + parquet
+``mode("append")`` is the whole ingest path; the checksum stamp fails fast
+if the appended codes were produced under a different codebook.
+
+Artifacts carry the same parquet-surviving recipe stamps as the LSH/IVF
+indexes (``dedup.RECIPE_META_KEY``): the codebook checksum is stamped on
+both the codebook table and the codes table, and :func:`pq_probe` fails
+fast on a mismatch — scoring codes against the wrong codebook returns
+plausible-looking garbage with zero errors otherwise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from syncmaven_spark.operators.similarity import _usable_vectors
+
+
+def _pq_checksum(codebooks: np.ndarray) -> str:
+    """Deterministic fingerprint of the (m, n_codes, sub_dim) codebook
+    tensor, rounded to 6 decimals so a parquet round-trip through
+    array<double> cannot flip it (same contract as the IVF centroid
+    checksum)."""
+    arr = np.ascontiguousarray(np.round(np.asarray(codebooks, float), 6))
+    return hashlib.md5(arr.tobytes() + str(arr.shape).encode()).hexdigest()[:16]
+
+
+def _pq_recipe(codebooks: np.ndarray) -> dict:
+    m, n_codes, sub_dim = codebooks.shape
+    return {
+        "checksum": _pq_checksum(codebooks),
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "dim": int(m * sub_dim),
+    }
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 10_000,
+    iterations: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Train the PQ codebooks on a bounded sample and return the
+    persistable codebook table ``(subspace, code, centroid)``, stamped.
+
+    Vectors are L2-normalized, split into ``m`` contiguous subspaces of
+    ``dim/m`` components, and each subspace gets its own ``n_codes``-entry
+    Euclidean Lloyd codebook. Training is driver-side over ≤
+    ``sample_size`` rows taken in ``xxhash64(id)`` order (deterministic
+    AND spread across the corpus — a raw-id prefix would cover only the
+    head shard; same rationale as ``train_centroids``). The codebooks are
+    the only state that leaves the cluster: ``m × n_codes × dim/m``
+    doubles — identical total size to ONE ``n_codes``-centroid IVF
+    codebook, regardless of corpus size.
+
+    Init picks ``n_codes`` DISTINCT sub-vectors (padding by cycling when a
+    subspace has fewer distinct values), so a corpus whose sub-vectors
+    take ≤ ``n_codes`` distinct values quantizes LOSSLESSLY — the property
+    tests pin ADC == exact cosine on such corpora.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if n_codes < 1:
+        raise ValueError(f"n_codes must be >= 1, got {n_codes}")
+    sampled = _usable_vectors(corpus, id_col, vec_col).orderBy(
+        F.xxhash64(id_col), F.col(id_col)
+    )
+    sample = sampled.select(vec_col).limit(sample_size).collect()
+    if not sample:
+        raise ValueError(
+            "cannot train PQ codebooks on an empty (or all-null-embedding) "
+            "corpus"
+        )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by m={m} subspaces"
+        )
+    sub_dim = dim // m
+    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub_dim), dtype=np.float64)
+    for j in range(m):
+        S = Xn[:, j * sub_dim : (j + 1) * sub_dim]
+        uniq = np.unique(S, axis=0)
+        take = min(n_codes, len(uniq))
+        init = uniq[rng.choice(len(uniq), size=take, replace=False)]
+        if take < n_codes:
+            # cycle-pad: duplicate centroids are inert (argmin ties break
+            # to the lowest index, so padded slots are never assigned) but
+            # keep the tensor rectangular and the recipe's n_codes honest
+            pad = np.tile(init, (n_codes // take + 1, 1))[: n_codes - take]
+            init = np.vstack([init, pad])
+        books[j] = init
+    # joint Lloyd over ALL subspaces per iteration (each converges
+    # independently — the math is identical to m separate loops). One
+    # einsum + one scatter-add per iteration: m separate tiny matmuls
+    # paid ~9 ms EACH in BLAS thread-spawn overhead (measured 2.8 s of a
+    # 5 s entry at m=32, n_codes=256, 10 iterations)
+    Xs = np.ascontiguousarray(Xn.reshape(len(Xn), m, sub_dim))
+    offsets = (np.arange(m) * n_codes)[None, :]
+    for _ in range(iterations):
+        c2 = (books * books).sum(axis=2)  # (m, n_codes)
+        scores = np.einsum("njs,jcs->njc", Xs, books, optimize=True)
+        assign = np.argmin(c2[None, :, :] - 2.0 * scores, axis=2)  # (n, m)
+        flat = (assign + offsets).ravel()
+        sums = np.zeros((m * n_codes, sub_dim))
+        np.add.at(sums, flat, Xs.reshape(-1, sub_dim))
+        counts = np.bincount(flat, minlength=m * n_codes)
+        nz = counts > 0
+        flat_books = books.reshape(-1, sub_dim)
+        flat_books[nz] = sums[nz] / counts[nz, None]
+
+    from syncmaven_spark.operators.dedup import _with_recipe_meta
+
+    recipe = _pq_recipe(books)
+    codebooks_df = corpus.sparkSession.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    return _with_recipe_meta(codebooks_df, "centroid", recipe)
+
+
+def load_pq_codebooks(codebooks_df: DataFrame) -> tuple[np.ndarray, dict]:
+    """Collect a (tiny) persisted codebook table into the (m, n_codes,
+    sub_dim) tensor plus its recomputed recipe. A stamped table whose
+    recomputed checksum no longer matches its own stamp (rows dropped or
+    edited after training) fails fast here."""
+    from syncmaven_spark.operators.dedup import check_index_recipe
+
+    rows = codebooks_df.select("subspace", "code", "centroid").collect()
+    if not rows:
+        raise ValueError(
+            "empty PQ codebook table — train with pq_train over a "
+            "non-empty corpus first"
+        )
+    by_key = {(r[0], r[1]): r[2] for r in rows}
+    m = max(k[0] for k in by_key) + 1
+    n_codes = max(k[1] for k in by_key) + 1
+    if len(by_key) != m * n_codes:
+        raise ValueError(
+            f"PQ codebook table is not rectangular: expected "
+            f"{m}×{n_codes} (subspace, code) rows, got {len(by_key)}"
+        )
+    books = np.array(
+        [[by_key[(j, c)] for c in range(n_codes)] for j in range(m)],
+        dtype=np.float64,
+    )
+    recipe = _pq_recipe(books)
+    check_index_recipe(codebooks_df, "centroid", recipe)
+    return books, recipe
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to ``(id, codes)`` under a FIXED codebook — both the
+    initial build and the continuous-ingestion append path (a vector's
+    codes depend only on (vector, codebooks), so new batches encode
+    independently and parquet-append into the store; no retrain, no
+    re-encode of existing rows).
+
+    One vectorized Arrow pass; the codebook tensor rides the closure as a
+    broadcast-sized numpy constant. Null / non-finite vectors are dropped
+    (no finite geometry → no code; same rule as every similarity kernel).
+    The output's ``codes`` column carries the recipe stamp, so a store
+    merged from many appends still fails fast when probed with the wrong
+    codebook.
+    """
+    books, recipe = load_pq_codebooks(codebooks_df)
+    m, n_codes, sub_dim = books.shape
+    dim = m * sub_dim
+    # flatten once: encode batches index it per subspace without re-slicing
+    from pyspark.sql import types as T
+
+    from syncmaven_spark.operators.dedup import _with_recipe_meta
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            X = np.array(series.tolist(), dtype=np.float64)
+            if X.ndim != 2 or X.shape[1] != dim:
+                raise ValueError(
+                    f"pq_encode: expected {dim}-dim vectors, got shape "
+                    f"{X.shape}"
+                )
+            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+            # argmin ||s-c||² = argmin(||c||² - 2 s·c), all subspaces in
+            # one einsum (m separate tiny matmuls pay per-call BLAS
+            # thread-spawn overhead — see pq_train)
+            Xs = np.ascontiguousarray(Xn.reshape(len(Xn), m, sub_dim))
+            c2 = (books * books).sum(axis=2)
+            scores = np.einsum("njs,jcs->njc", Xs, books, optimize=True)
+            codes = np.argmin(c2[None, :, :] - 2.0 * scores, axis=2)
+            yield pd.Series([row.tolist() for row in codes])
+
+    usable = _usable_vectors(df, id_col, vec_col)
+    out = usable.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    )
+    return _with_recipe_meta(out, "codes", recipe)
+
+
+def pq_probe(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    codebooks_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    exclude_self: bool = True,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k by ADC over the codes table:
+    ``(q_id, n_id, approx_sim, rank)``.
+
+    The query batch collects driver-side (bounded by ``max_query_rows`` —
+    queries are a batch, the CORPUS side is the unbounded one), normalizes,
+    and precomputes the per-query lookup tables ``LUT[j] = Q_sub_j @
+    codebook_j.T`` (``n_q × m × n_codes`` doubles). Each codes partition
+    then scores its rows with pure integer indexing — ``approx_sim(q, x) =
+    Σ_j LUT[j][q, code_j(x)]`` — and emits only its LOCAL top-k per query,
+    so the shuffle after the scan carries ≤ ``k × n_q`` rows per Arrow
+    batch, never the corpus. A final window pass ranks the partials. The
+    original float vectors are NEVER read: the probe's I/O is the codes
+    table (m ints/row), which is the whole point at 100 TB.
+
+    ``approx_sim`` approximates cosine (both sides normalized); ties rank
+    by ascending ``n_id`` so results are deterministic. The codebook
+    checksum recomputed from ``codebooks_df`` must match the stamp on
+    ``codes_df`` — codes scored against the wrong codebook are silently
+    wrong otherwise.
+    """
+    from syncmaven_spark.operators.dedup import check_index_recipe
+
+    books, recipe = load_pq_codebooks(codebooks_df)
+    check_index_recipe(codes_df, "codes", recipe)
+    m, n_codes, sub_dim = books.shape
+    dim = m * sub_dim
+
+    q_src = _usable_vectors(queries, id_col, vec_col).select(id_col, vec_col)
+    q_rows = q_src.limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pq_probe collects the query batch driver-side; got more than "
+            f"max_query_rows={max_query_rows} queries. Chunk the query set "
+            "or raise the bound."
+        )
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"q_id {q_id_type}, n_id {id_type}, approx_sim double"
+    )
+    spark = queries.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if Q.shape[1] != dim:
+        raise ValueError(
+            f"pq_probe: query dim {Q.shape[1]} != codebook dim {dim}"
+        )
+    Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
+    # (m, n_q, n_codes): LUT[j][q][c] = <q_sub_j, codebook_j[c]>
+    lut = np.stack(
+        [Qn[:, j * sub_dim : (j + 1) * sub_dim] @ books[j].T for j in range(m)]
+    )
+    n_q = len(q_ids)
+    # with exclude_self the query's own row may sit in ONE batch's local
+    # top-k; taking k+1 locally guarantees k true neighbors survive the
+    # post-filter
+    kk = k + 1 if exclude_self else k
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
+            n_ids = pdf[id_col].to_numpy()
+            # sims[q, i] = Σ_j lut[j, q, codes[i, j]]
+            sims = np.zeros((n_q, len(codes)), dtype=np.float64)
+            for j in range(m):
+                sims += lut[j][:, codes[:, j]]
+            sims = np.round(sims, round_to)
+            take = min(kk, sims.shape[1])
+            # local top-k per query: argpartition then exact sort of the head
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(n_q):
+                idx = part[qi]
+                out_q.extend([q_ids[qi]] * len(idx))
+                out_n.extend(n_ids[idx])
+                out_s.extend(sims[qi][idx])
+            yield pd.DataFrame(
+                {"q_id": out_q, "n_id": out_n, "approx_sim": out_s}
+            )
+
+    partials = codes_df.select(id_col, "codes").mapInPandas(adc, out_schema)
+    if exclude_self:
+        partials = partials.filter(F.col("q_id") != F.col("n_id"))
+    w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("n_id"))
+    return (
+        partials.dropDuplicates(["q_id", "n_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -417,6 +417,61 @@ def verify_cosine_candidates(
     return _verify_cosine_pairs(candidate_ids, vecs, id_col, threshold, round_to)
 
 
+def rerank_exact_topk(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN shortlist: ``(q_id, n_id, cos_sim,
+    rank)`` — stage 2 of the standard two-stage recipe (probe a compressed
+    index with ``k' ≫ k`` — :func:`~syncmaven_spark.operators.pq.pq_probe`,
+    :func:`ivf_probe`, or the sign-LSH candidates — then score ONLY the
+    shortlisted pairs exactly and keep the true top-k). This is how a
+    lossy shortlist's recall gap closes without ever brute-forcing the
+    corpus: the exact scoring touches ``k' × |queries|`` vectors, not
+    ``|corpus|``.
+
+    ``shortlist`` needs only ``(q_id, n_id)``; extra columns (an
+    ``approx_sim``) are ignored. The corpus-vector fetch semi-joins on the
+    broadcast shortlist, so on an id-bucketed :func:`normalized_vectors`
+    store only candidate-touched rows are read — the same pruned-fetch
+    contract as the dedup verifiers. Ties rank by ascending ``n_id``.
+    """
+    pairs = shortlist.select("q_id", "n_id")
+    qv = normalized_vectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    nv = normalized_vectors(vectors, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    scored = (
+        nv.join(F.broadcast(pairs), "n_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            _cosine(
+                _dot(F.col("q_vec"), F.col("n_vec")),
+                F.col("q_norm"), F.col("n_norm"), round_to,
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_lsh_candidates_incremental(
     new_df: DataFrame,
     index: DataFrame,

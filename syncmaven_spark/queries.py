@@ -1866,6 +1866,69 @@ def knn_ivf_append_probe(spark, sf_dir):
 
 
 @q(
+    "knn_pq_probe",
+    "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
+    "TRUE AS recall_ge_04 FROM embeddings "
+    "WHERE vec_id % 5 = 0 AND vec_id < 40",
+    doc="Product-quantization ADC top-k — the MEMORY-bound ANN path "
+    "(Jégou et al. TPAMI 2011, the FAISS IVFPQ architecture): pq_train "
+    "fits per-subspace codebooks driver-side on a bounded sample (32 "
+    "subspaces × 256 codes here), pq_encode compresses each 64-dim "
+    "vector to 32 small ints (16× vs float64 — at 100 TB the probe scans "
+    "the CODES table, never the float vectors), and pq_probe scores via "
+    "per-query lookup tables with per-batch local top-k, so the "
+    "post-scan shuffle carries ≤ k rows per query per batch. Codebook "
+    "checksum stamped on BOTH artifacts (parquet-surviving); a "
+    "wrong-codebook probe fails fast instead of returning plausible "
+    "garbage. pq_encode is stateless under a fixed codebook, so new "
+    "corpus batches append with no retrain/re-encode — the same "
+    "continuous-ingestion contract as ivf_append. ADC results are "
+    "sketch-dependent, so the derived oracle checks the contract per "
+    "query: exactly k returned, recall vs the in-query brute-force "
+    "top-5 ≥ 0.4 (measured min recall 0.8 at every test scale — the "
+    "synthetic near-i.i.d. embeddings are PQ's worst case; "
+    "operators/pq.py).",
+    tags=("similarity", "knn", "pq", "incremental"),
+)
+def knn_pq_probe(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        cosine_topk_bruteforce,
+        pq_encode,
+        pq_probe,
+        pq_train,
+    )
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40))
+    codebooks = pq_train(corpus, m=32, n_codes=256)
+    codes = pq_encode(corpus, codebooks)
+    pq = pq_probe(
+        queries, codes, codebooks, k=5, exclude_self=False
+    ).select("q_id", "n_id")
+    bf = cosine_topk_bruteforce(
+        corpus, queries, k=5, exclude_self=False
+    ).select("q_id", "n_id")
+    hits = (
+        pq.join(bf, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        pq.groupBy("q_id")
+        .agg(F.count("*").alias("n_returned"))
+        .join(hits, "q_id", "left")
+        .na.fill(0, ["_hits"])
+        .select(
+            "q_id",
+            "n_returned",
+            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
+        )
+    )
+
+
+@q(
     "knn_cosine_ivf",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
     "TRUE AS recall_ge_04 FROM embeddings WHERE vec_id < 8",
@@ -3277,6 +3340,133 @@ def rel_small_qty_revenue(spark, sf_dir):
         .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "rel_revenue_band",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+    "FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_discount > 0.045 AND l_discount < 0.075 AND l_quantity < 24",
+    doc="TPC-H Q6-shaped forecasting revenue change: pure "
+    "scan-predicate-aggregate, the canonical pushdown showcase — every "
+    "predicate reaches the parquet scan (PushedFilters on shipdate, "
+    "discount, quantity), the scan prunes to the four touched columns, and the "
+    "whole plan is one WholeStageCodegen span with a map-side partial sum "
+    "(no groupBy shuffle at all — a 1-row exchange carries the partials). "
+    "The discount band uses 0.045/0.075 bounds: the stored values step by "
+    "0.01, so the cut sits ≫ ulps away from any data point and both "
+    "engines select identical rows.",
+    tags=("scan", "filter", "agg", "pushdown"),
+)
+def rel_revenue_band(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.045)
+            & (F.col("l_discount") < 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "rel_returned_items",
+    "SELECT c_custkey, c_name, revenue, n_name FROM ("
+    "SELECT c_custkey, c_name, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, n_name "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00' "
+    "AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name) "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    doc="TPC-H Q10-shaped returned-item reporting: who returned the most "
+    "revenue last quarter. The quarter filter lands on the orders scan "
+    "and the returnflag filter on the lineitem scan BEFORE the join, the "
+    "25-row nation dim broadcasts, and the top-20 is a TakeOrdered over "
+    "the aggregate (no global sort). Ordering compares the ROUNDED "
+    "revenue with a c_custkey tie-break, so cross-engine float ulps "
+    "cannot flip ranks.",
+    tags=("join", "agg", "topk"),
+)
+def rel_returned_items(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-09-01").cast("timestamp"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "rel_supplier_part_counts",
+    "SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#11' AND p_size <= 25 "
+    "AND l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_size "
+    "ORDER BY supplier_cnt DESC, p_brand, p_size",
+    doc="TPC-H Q16-shaped supplier diversity per part group (the reduced "
+    "schema has no partsupp, so lineitem's (l_partkey, l_suppkey) pairs "
+    "play the part-supplier relation): distinct-supplier counts by "
+    "brand/size, excluding a NOT IN supplier denylist. s_suppkey is "
+    "non-nullable, so the NOT IN is exactly a left-anti join on the Spark "
+    "side — the tiny denylist broadcasts and the fact never shuffles for "
+    "the exclusion; count(DISTINCT) expands to the standard two-phase "
+    "aggregate on (brand, size, suppkey). Full ORDER BY key (cnt desc, "
+    "brand, size) — (brand, size) is the grouping key, so the order is "
+    "total and deterministic on both engines.",
+    tags=("join", "anti", "distinct-agg"),
+)
+def rel_supplier_part_counts(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    denylist = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#11") & (F.col("p_size") <= 25)
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(denylist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
     )
 
 

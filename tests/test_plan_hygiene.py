@@ -32,6 +32,12 @@ EXECUTES_ON_BUILD = {
     # same shape: trains the codebook at build time, contains the
     # brute-force baseline's intended tiny-broadcast product
     "knn_ivf_append_probe",
+    # same shape again: pq_train's driver k-means + pq_probe's bounded
+    # query collect run at build time, and the recall contract contains
+    # the brute-force baseline's tiny-broadcast product; the ADC path's
+    # own plan properties (codes-only scan, local top-k partials) are
+    # asserted by tests/test_operators_pq.py
+    "knn_pq_probe",
 }
 
 # 1-row scalar broadcasts: join of an aggregate total with no join key.
