@@ -83,6 +83,7 @@ EXTRA = [
     "rel_returned_items",
     "rel_supplier_part_counts",
     "knn_pq_probe",
+    "knn_ivfpq_rerank",
 ]
 
 

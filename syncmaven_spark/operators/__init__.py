@@ -51,6 +51,8 @@ from syncmaven_spark.operators.similarity import (  # noqa: F401
     verify_cosine_candidates,
 )
 from syncmaven_spark.operators.pq import (  # noqa: F401
+    ivfpq_index,
+    ivfpq_probe,
     load_pq_codebooks,
     pq_encode,
     pq_probe,

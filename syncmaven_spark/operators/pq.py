@@ -179,6 +179,12 @@ def load_pq_codebooks(codebooks_df: DataFrame) -> tuple[np.ndarray, dict]:
             "non-empty corpus first"
         )
     by_key = {(r[0], r[1]): r[2] for r in rows}
+    if len(by_key) != len(rows):
+        raise ValueError(
+            f"PQ codebook table has duplicate (subspace, code) rows "
+            f"({len(rows)} rows, {len(by_key)} distinct keys) — a corrupt "
+            "or doubly-appended codebook store"
+        )
     m = max(k[0] for k in by_key) + 1
     n_codes = max(k[1] for k in by_key) + 1
     if len(by_key) != m * n_codes:
@@ -309,6 +315,32 @@ def pq_probe(
             f"pq_probe: query dim {Q.shape[1]} != codebook dim {dim}"
         )
     Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
+    return _adc_topk(
+        q_ids, Qn, codes_df.select(id_col, "codes"), books, k,
+        id_col=id_col, round_to=round_to, exclude_self=exclude_self,
+        out_schema=out_schema,
+    )
+
+
+def _adc_topk(
+    q_ids: np.ndarray,
+    Qn: np.ndarray,
+    codes_src: DataFrame,
+    books: np.ndarray,
+    k: int,
+    id_col: str,
+    round_to: int,
+    exclude_self: bool,
+    out_schema: str,
+    probe_mask: np.ndarray | None = None,
+) -> DataFrame:
+    """The shared ADC scoring core: per-query LUTs against a codes source,
+    per-batch local top-k, global window rank. ``probe_mask`` (n_q ×
+    n_centroids bool) enables exact per-query IVF cell restriction — the
+    codes source must then carry a ``cell`` column, and a candidate whose
+    cell the query did not probe scores ``-inf`` BEFORE the local top-k,
+    so the pruning is semantic, not just I/O."""
+    m, n_codes, sub_dim = books.shape
     # (m, n_q, n_codes): LUT[j][q][c] = <q_sub_j, codebook_j[c]>
     lut = np.stack(
         [Qn[:, j * sub_dim : (j + 1) * sub_dim] @ books[j].T for j in range(m)]
@@ -318,24 +350,43 @@ def pq_probe(
     # top-k; taking k+1 locally guarantees k true neighbors survive the
     # post-filter
     kk = k + 1 if exclude_self else k
+    with_cells = probe_mask is not None
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
+            if (
+                codes.ndim != 2
+                or codes.shape[1] != m
+                or codes.min() < 0
+                or codes.max() >= n_codes
+            ):
+                # a corrupted codes table would otherwise surface as an
+                # executor IndexError deep inside the LUT indexing
+                raise ValueError(
+                    f"pq_probe: codes row outside the codebook's shape "
+                    f"(expected {m} codes in [0, {n_codes})) — corrupt "
+                    "codes table or wrong codebook"
+                )
             n_ids = pdf[id_col].to_numpy()
             # sims[q, i] = Σ_j lut[j, q, codes[i, j]]
             sims = np.zeros((n_q, len(codes)), dtype=np.float64)
             for j in range(m):
                 sims += lut[j][:, codes[:, j]]
             sims = np.round(sims, round_to)
+            if with_cells:
+                cells = pdf["cell"].to_numpy(dtype=np.int64)
+                sims = np.where(probe_mask[:, cells], sims, -np.inf)
             take = min(kk, sims.shape[1])
             # local top-k per query: argpartition then exact sort of the head
             part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
             out_q, out_n, out_s = [], [], []
             for qi in range(n_q):
                 idx = part[qi]
+                if with_cells:
+                    idx = idx[np.isfinite(sims[qi][idx])]
                 out_q.extend([q_ids[qi]] * len(idx))
                 out_n.extend(n_ids[idx])
                 out_s.extend(sims[qi][idx])
@@ -343,7 +394,8 @@ def pq_probe(
                 {"q_id": out_q, "n_id": out_n, "approx_sim": out_s}
             )
 
-    partials = codes_df.select(id_col, "codes").mapInPandas(adc, out_schema)
+    cols = [id_col, "codes"] + (["cell"] if with_cells else [])
+    partials = codes_src.select(*cols).mapInPandas(adc, out_schema)
     if exclude_self:
         partials = partials.filter(F.col("q_id") != F.col("n_id"))
     w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("n_id"))
@@ -351,4 +403,134 @@ def pq_probe(
         partials.dropDuplicates(["q_id", "n_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The composed IVF-PQ index — FAISS's canonical 100-TB layout: a
+    coarse IVF cell per vector for candidate pruning, PQ codes instead of
+    the float vector for scoring. Returns ``(cells_codes, centroids_df,
+    codebooks_df)`` where ``cells_codes = (id, cell, codes)`` — write it
+    ``partitionBy("cell")`` so probes directory-prune to probed cells,
+    with each pruned row costing ``m`` ints, not ``dim`` floats.
+
+    ``codes`` carries a COMBINED recipe stamp (both the IVF centroid
+    checksum and the PQ codebook checksum): :func:`ivfpq_probe` verifies
+    both, because either half silently mismatched means searching wrong
+    cells or scoring garbage. The two codebooks train independently on the
+    same bounded sample discipline (driver k-means; centroids + codebooks
+    are the only state leaving the cluster).
+    """
+    from syncmaven_spark.operators.dedup import _with_recipe_meta, stamped_recipe
+    from syncmaven_spark.operators.similarity import ivf_index
+
+    assignments, centroids_df = ivf_index(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, sample_size=sample_size, seed=seed,
+    )
+    codebooks_df = pq_train(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
+        sample_size=sample_size, seed=seed,
+    )
+    books, pq_recipe = load_pq_codebooks(codebooks_df)
+    ivf_recipe = stamped_recipe(centroids_df, "centroid_id") or {}
+    combined = {
+        "ivf_checksum": ivf_recipe.get("checksum"),
+        "n_centroids": ivf_recipe.get("n_centroids"),
+        "pq_checksum": pq_recipe["checksum"],
+        "m": pq_recipe["m"],
+        "n_codes": pq_recipe["n_codes"],
+        "dim": pq_recipe["dim"],
+    }
+    codes = pq_encode(corpus, codebooks_df, id_col=id_col, vec_col=vec_col)
+    cells_codes = assignments.select(id_col, "cell").join(codes, id_col)
+    return (
+        _with_recipe_meta(cells_codes, "codes", combined),
+        centroids_df,
+        codebooks_df,
+    )
+
+
+def ivfpq_probe(
+    queries: DataFrame,
+    cells_codes: DataFrame,
+    centroids_df: DataFrame,
+    codebooks_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    exclude_self: bool = True,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k against an :func:`ivfpq_index`: ``(q_id, n_id,
+    approx_sim, rank)``. Queries assign to their ``n_probe`` nearest cells
+    DRIVER-side (the batch is already collected for the LUTs — no extra
+    Spark job), the codes read prunes to the union of probed cells
+    (directory pruning on a cell-partitioned store), and the ADC kernel
+    additionally masks each candidate to ``-inf`` for queries that did NOT
+    probe its cell — so the per-query candidate set is exactly IVF's, not
+    the union's. Both halves of the combined stamp are verified."""
+    from syncmaven_spark.operators.dedup import check_index_recipe
+    from syncmaven_spark.operators.similarity import _load_codebook
+
+    centroids, ivf_recipe = _load_codebook(centroids_df)
+    books, pq_recipe = load_pq_codebooks(codebooks_df)
+    combined = {
+        "ivf_checksum": ivf_recipe["checksum"],
+        "n_centroids": ivf_recipe["n_centroids"],
+        "pq_checksum": pq_recipe["checksum"],
+        "m": pq_recipe["m"],
+        "n_codes": pq_recipe["n_codes"],
+        "dim": pq_recipe["dim"],
+    }
+    check_index_recipe(cells_codes, "codes", combined)
+    m, n_codes, sub_dim = books.shape
+    dim = m * sub_dim
+
+    q_src = _usable_vectors(queries, id_col, vec_col).select(id_col, vec_col)
+    q_rows = q_src.limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivfpq_probe collects the query batch driver-side; got more "
+            f"than max_query_rows={max_query_rows} queries. Chunk the "
+            "query set or raise the bound."
+        )
+    id_type = cells_codes.schema[id_col].dataType.simpleString()
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {q_id_type}, n_id {id_type}, approx_sim double"
+    spark = queries.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if Q.shape[1] != dim:
+        raise ValueError(
+            f"ivfpq_probe: query dim {Q.shape[1]} != codebook dim {dim}"
+        )
+    Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12)
+    # cosine cell assignment, same math as assign_cells but driver-side
+    # on the already-collected batch
+    cn = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12)
+    nprobe = min(n_probe, len(cn))
+    top_cells = np.argsort(-(Qn @ cn.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    probe_mask = np.zeros((len(q_ids), len(cn)), dtype=bool)
+    for qi, cells in enumerate(top_cells):
+        probe_mask[qi, cells] = True
+    probed_union = sorted({int(c) for row in top_cells for c in row})
+    pruned = cells_codes.filter(F.col("cell").isin(probed_union))
+    return _adc_topk(
+        q_ids, Qn, pruned, books, k,
+        id_col=id_col, round_to=round_to, exclude_self=exclude_self,
+        out_schema=out_schema, probe_mask=probe_mask,
     )

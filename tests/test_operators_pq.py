@@ -307,3 +307,145 @@ def test_rerank_closes_pq_recall_gap(embeddings):
     for q in q_ids:
         assert recall(reranked, q) >= recall(adc_only, q), q
         assert recall(reranked, q) >= 0.8, q
+
+
+def test_duplicate_codebook_rows_fail_fast(spark):
+    df = _toy_corpus(spark, n=20, dim=8)
+    books_df = pq_train(df, m=4, n_codes=8)
+    doubled = books_df.unionByName(books_df)
+    with pytest.raises(ValueError, match="duplicate"):
+        load_pq_codebooks(doubled)
+
+
+def test_corrupt_codes_fail_fast(spark):
+    """A codes row outside the codebook's (m, n_codes) shape raises a
+    clear error instead of an executor IndexError inside LUT indexing."""
+    df = _toy_corpus(spark, n=20, dim=8)
+    books_df = pq_train(df, m=4, n_codes=8)
+    codes_df = pq_encode(df, books_df)
+    corrupt = codes_df.withColumn(
+        "codes",
+        F.when(F.col("vec_id") == 0, F.array(*[F.lit(99)] * 4)).otherwise(
+            F.col("codes")
+        ),
+    )
+    # re-stamp survives the withColumn? metadata rides the column — the
+    # when() rebuild drops it, which load-side tolerates (hand-built
+    # indexes are accepted); the shape guard is what must fire here
+    with pytest.raises(Exception, match="outside the codebook"):
+        pq_probe(df.filter("vec_id < 2"), corrupt, books_df, k=3).collect()
+
+
+def _two_cluster_corpus(spark, per=12, dim=8, seed=5):
+    """Two well-separated clusters so the 2-centroid IVF split is stable."""
+    rng = np.random.RandomState(seed)
+    a = rng.randn(per, dim) * 0.05 + np.r_[[1.0] * (dim // 2), [0.0] * (dim // 2)]
+    b = rng.randn(per, dim) * 0.05 + np.r_[[0.0] * (dim // 2), [-1.0] * (dim // 2)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_nprobe1_masks_to_own_cell(spark):
+    """With n_probe=1 each query's candidates are exactly its own cell —
+    the kernel's probe mask is semantic per query, not just the I/O union
+    (two queries from different clusters make the union cover BOTH cells,
+    so without the mask cross-cell candidates would leak through)."""
+    from syncmaven_spark.operators import ivfpq_index, ivfpq_probe
+
+    df = _two_cluster_corpus(spark)
+    cells_codes, cents, books = ivfpq_index(
+        df, n_centroids=2, m=4, n_codes=8
+    )
+    cell_of = {r.vec_id: r.cell for r in cells_codes.collect()}
+    queries = df.filter("vec_id IN (0, 12)")  # one per cluster
+    res = ivfpq_probe(
+        queries, cells_codes, cents, books, k=5, n_probe=1,
+        exclude_self=True,
+    ).collect()
+    assert {r.q_id for r in res} == {0, 12}
+    for r in res:
+        assert cell_of[r.n_id] == cell_of[r.q_id], (r.q_id, r.n_id)
+
+
+def test_ivfpq_roundtrip_partitioned_store(spark, tmp_path):
+    """partitionBy('cell') write → read keeps the combined stamp (it rides
+    the codes DATA column, not the partition column) and probe results."""
+    from syncmaven_spark.operators import ivfpq_index, ivfpq_probe
+
+    df = _toy_corpus(spark, n=40, dim=8)
+    cells_codes, cents, books = ivfpq_index(df, n_centroids=4, m=4, n_codes=8)
+    cells_codes.write.partitionBy("cell").parquet(str(tmp_path / "cc"))
+    cents.write.parquet(str(tmp_path / "ce"))
+    books.write.parquet(str(tmp_path / "bo"))
+    cc2 = spark.read.parquet(str(tmp_path / "cc"))
+    assert stamped_recipe(cc2, "codes") is not None
+    q = df.filter("vec_id < 3")
+    before = {
+        (r.q_id, r.n_id, r.rank)
+        for r in ivfpq_probe(q, cells_codes, cents, books, k=4).collect()
+    }
+    after = {
+        (r.q_id, r.n_id, r.rank)
+        for r in ivfpq_probe(
+            q,
+            cc2,
+            spark.read.parquet(str(tmp_path / "ce")),
+            spark.read.parquet(str(tmp_path / "bo")),
+            k=4,
+        ).collect()
+    }
+    assert before == after and before
+
+
+def test_ivfpq_combined_stamp_fails_on_either_half(spark):
+    from syncmaven_spark.operators import ivfpq_index, ivfpq_probe
+
+    df = _toy_corpus(spark, n=30, dim=8)
+    cells_codes, cents, books = ivfpq_index(df, n_centroids=4, m=4, n_codes=8)
+    # wrong PQ codebook (same IVF centroids)
+    other_books = pq_train(df, m=4, n_codes=8, seed=99)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        ivfpq_probe(df.filter("vec_id = 0"), cells_codes, cents, other_books)
+    # wrong IVF centroids (same PQ codebook)
+    _, other_cents, _ = ivfpq_index(df, n_centroids=3, m=4, n_codes=8)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        ivfpq_probe(df.filter("vec_id = 0"), cells_codes, other_cents, books)
+
+
+def test_ivfpq_rerank_recall_on_testdata(embeddings):
+    """The catalog entry's contract with margin: IVF-PQ k'=15 shortlist +
+    exact re-rank to 5, every query >= 2/5 hits, mean >= 0.7."""
+    from syncmaven_spark.operators import (
+        ivfpq_index,
+        ivfpq_probe,
+        rerank_exact_topk,
+    )
+
+    corpus = embeddings.filter(F.col("vec_id") % 5 != 0)
+    queries = embeddings.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40)
+    )
+    cells_codes, cents, books = ivfpq_index(
+        corpus, n_centroids=8, m=32, n_codes=256
+    )
+    short = ivfpq_probe(
+        queries, cells_codes, cents, books, k=15, n_probe=5,
+        exclude_self=False,
+    )
+    ann = {
+        (r.q_id, r.n_id)
+        for r in rerank_exact_topk(short, queries, corpus, k=5).collect()
+    }
+    bf = {
+        (r.q_id, r.n_id)
+        for r in cosine_topk_bruteforce(
+            corpus, queries, k=5, exclude_self=False
+        ).collect()
+    }
+    q_ids = {q for q, _ in bf}
+    recalls = [
+        len({p for p in ann if p[0] == q} & {p for p in bf if p[0] == q}) / 5
+        for q in q_ids
+    ]
+    assert min(recalls) >= 0.4
+    assert sum(recalls) / len(recalls) >= 0.7

@@ -38,6 +38,9 @@ EXECUTES_ON_BUILD = {
     # own plan properties (codes-only scan, local top-k partials) are
     # asserted by tests/test_operators_pq.py
     "knn_pq_probe",
+    # the composed IVF-PQ + re-rank entry: two driver-trained codebooks
+    # + the bounded query collect at build time, same rationale
+    "knn_ivfpq_rerank",
 }
 
 # 1-row scalar broadcasts: join of an aggregate total with no join key.
