@@ -84,6 +84,7 @@ EXTRA = [
     "rel_supplier_part_counts",
     "knn_pq_probe",
     "knn_ivfpq_rerank",
+    "rel_excess_volume_suppliers",
 ]
 
 

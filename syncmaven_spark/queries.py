@@ -3538,6 +3538,60 @@ def rel_supplier_part_counts(spark, sf_dir):
 
 
 @q(
+    "rel_excess_volume_suppliers",
+    "WITH sp AS (SELECT l_suppkey, l_partkey, "
+    "sum(l_quantity) AS qty FROM lineitem "
+    "WHERE l_partkey IN (SELECT p_partkey FROM part "
+    "WHERE p_name LIKE 'red%') "
+    "GROUP BY l_suppkey, l_partkey) "
+    "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN "
+    "(SELECT l_suppkey FROM sp WHERE qty > "
+    "3 * (SELECT round(avg(qty), 4) FROM sp)) "
+    "ORDER BY s_suppkey",
+    doc="TPC-H Q20-shaped excess-volume suppliers (the reduced schema has "
+    "no partsupp availqty, so the Q20 threshold becomes 3× the average "
+    "per-(supplier, part) shipped quantity over the filtered part class): "
+    "two nested IN subqueries — part-class IN resolved as a broadcast "
+    "semi join BEFORE the aggregate (the fact scans once, pre-filtered), "
+    "the supplier IN as a second broadcast semi join on the tiny "
+    "qualifying-supplier set — plus a grand-average scalar broadcast "
+    "(the allowlisted 1-row BNLJ). The threshold compares against the "
+    "ROUNDED average (4 dp) on both engines, so distributed-vs-serial "
+    "summation ulps cannot flip an integer-valued qty across the cut.",
+    tags=("join", "semi", "nested-in", "scalar-subquery"),
+)
+def rel_excess_volume_suppliers(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    sp = (
+        t["lineitem"]
+        .join(
+            F.broadcast(red),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = sp.agg(F.round(F.avg("qty"), 4).alias("_avg"))
+    qualifying = (
+        sp.join(F.broadcast(thr))
+        .filter(F.col("qty") > 3 * F.col("_avg"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
     "rel_large_orders",
     "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
     "sum_qty FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty "
