@@ -5,11 +5,13 @@ IVF → PQ).
 At 100 TB the embedding column itself is the bottleneck: 64-dim float64
 vectors are 512 bytes/row, so a brute-force or even IVF-pruned scan moves
 the full vector payload through every probe. PQ stores each vector as
-``m`` small codebook indices (here 8 ints for a 64-dim vector — a 64×
-logical reduction) and scores candidates against a per-query lookup table
-(ADC: asymmetric distance computation) without ever touching the original
-floats. The codes table is what scans at probe time; the float vectors are
-only needed at encode time and for optional exact re-ranking.
+``m`` smallint codebook indices — 2 bytes each in memory, so the default
+m=8 is 16 B/row vs 512 B (32×) and the catalog's m=32 recipe is 64 B/row
+(8×), with parquet dictionary/bit-packing shrinking disk further — and
+scores candidates against a per-query lookup table (ADC: asymmetric
+distance computation) without ever touching the original floats. The
+codes table is what scans at probe time; the float vectors are only
+needed at encode time and for optional exact re-ranking.
 
 Public-knowledge basis: Jégou/Douze/Schmid, "Product Quantization for
 Nearest Neighbor Search" (TPAMI 2011) — the architecture FAISS implements
@@ -98,8 +100,12 @@ def pq_train(
     """
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    if n_codes < 1:
-        raise ValueError(f"n_codes must be >= 1, got {n_codes}")
+    if not 1 <= n_codes <= 32767:
+        # codes persist as array<smallint> — the honest 2-byte width
+        raise ValueError(
+            f"n_codes must be in [1, 32767] (codes are smallint), got "
+            f"{n_codes}"
+        )
     sampled = _usable_vectors(corpus, id_col, vec_col).orderBy(
         F.xxhash64(id_col), F.col(id_col)
     )
@@ -228,7 +234,10 @@ def pq_encode(
 
     from syncmaven_spark.operators.dedup import _with_recipe_meta
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    # smallint codes: 2 bytes per code in memory (Arrow/Tungsten) — the
+    # honest width for n_codes ≤ 32767; parquet additionally dictionary/
+    # bit-packs. array<int> would silently double the codes table.
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
     def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in batches:
             X = np.array(series.tolist(), dtype=np.float64)
@@ -345,6 +354,18 @@ def _adc_topk(
     lut = np.stack(
         [Qn[:, j * sub_dim : (j + 1) * sub_dim] @ books[j].T for j in range(m)]
     )
+    # the LUT rides the mapInPandas closure to EVERY task — the query-row
+    # cap alone does not bound it (100k queries × 32 × 256 ≈ 6.5 GB would
+    # pass the row cap and then fail task serialization); bound the actual
+    # shipped bytes with an actionable error instead
+    if lut.nbytes > 512 * 1024 * 1024:
+        raise ValueError(
+            f"pq_probe: the per-query ADC lookup table would be "
+            f"{lut.nbytes >> 20} MiB ({len(q_ids)} queries × m={m} × "
+            f"n_codes={n_codes} doubles), which ships inside every task "
+            "closure. Chunk the query batch (or reduce n_codes) so the "
+            "LUT stays under 512 MiB."
+        )
     n_q = len(q_ids)
     # with exclude_self the query's own row may sit in ONE batch's local
     # top-k; taking k+1 locally guarantees k true neighbors survive the
@@ -378,18 +399,41 @@ def _adc_topk(
             sims = np.round(sims, round_to)
             if with_cells:
                 cells = pdf["cell"].to_numpy(dtype=np.int64)
+                if len(cells) and (
+                    cells.min() < 0 or cells.max() >= probe_mask.shape[1]
+                ):
+                    # same clear-error contract as the codes guard — an
+                    # out-of-range cell would otherwise IndexError inside
+                    # the mask indexing
+                    raise ValueError(
+                        f"ivfpq_probe: cell value outside "
+                        f"[0, {probe_mask.shape[1]}) — corrupt cells_codes "
+                        "table or wrong centroid table"
+                    )
                 sims = np.where(probe_mask[:, cells], sims, -np.inf)
             take = min(kk, sims.shape[1])
-            # local top-k per query: argpartition then exact sort of the head
+            # local top-k per query: argpartition shortlists by sim alone,
+            # which keeps an ARBITRARY subset of boundary-tied candidates
+            # (rounding to round_to makes exact ties likely, and duplicate
+            # vectors share codes, hence sims) — extend the head to the
+            # full tie plateau, then order by (-sim, n_id) so the local
+            # cut matches the global window's documented tie-break
             part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
             out_q, out_n, out_s = [], [], []
             for qi in range(n_q):
+                row = sims[qi]
                 idx = part[qi]
                 if with_cells:
-                    idx = idx[np.isfinite(sims[qi][idx])]
+                    idx = idx[np.isfinite(row[idx])]
+                    if not len(idx):
+                        continue
+                kth = row[idx].min()
+                plateau = np.nonzero(row >= kth)[0]
+                order = plateau[np.lexsort((n_ids[plateau], -row[plateau]))]
+                idx = order[: min(take, len(order))]
                 out_q.extend([q_ids[qi]] * len(idx))
                 out_n.extend(n_ids[idx])
-                out_s.extend(sims[qi][idx])
+                out_s.extend(row[idx])
             yield pd.DataFrame(
                 {"q_id": out_q, "n_id": out_n, "approx_sim": out_s}
             )
@@ -421,7 +465,7 @@ def ivfpq_index(
     the float vector for scoring. Returns ``(cells_codes, centroids_df,
     codebooks_df)`` where ``cells_codes = (id, cell, codes)`` — write it
     ``partitionBy("cell")`` so probes directory-prune to probed cells,
-    with each pruned row costing ``m`` ints, not ``dim`` floats.
+    with each pruned row costing ``m`` smallints, not ``dim`` floats.
 
     ``codes`` carries a COMBINED recipe stamp (both the IVF centroid
     checksum and the PQ codebook checksum): :func:`ivfpq_probe` verifies

@@ -1749,6 +1749,29 @@ def dedup_cosine_incremental(spark, sf_dir):
     return cosine_pairs_lsh_incremental(new, index, emb, threshold=0.4, **cfg)
 
 
+def _ann_recall_contract(ann: DataFrame, bf: DataFrame) -> DataFrame:
+    """The shared derived-oracle shape of every knn_* entry: per query,
+    how many results the ANN path returned and whether ≥ 2 of them are in
+    the exact top-5 (recall ≥ 0.4). Both inputs are (q_id, n_id) pair
+    tables; one place to change the contract for all five entries."""
+    hits = (
+        ann.join(bf, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        ann.groupBy("q_id")
+        .agg(F.count("*").alias("n_returned"))
+        .join(hits, "q_id", "left")
+        .na.fill(0, ["_hits"])
+        .select(
+            "q_id",
+            "n_returned",
+            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
+        )
+    )
+
+
 @q(
     "knn_ivf_index_probe",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
@@ -1787,22 +1810,7 @@ def knn_ivf_index_probe(spark, sf_dir):
     bf = cosine_topk_bruteforce(
         corpus, queries, k=5, exclude_self=False
     ).select("q_id", "n_id")
-    hits = (
-        ivf.join(bf, ["q_id", "n_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").alias("_hits"))
-    )
-    return (
-        ivf.groupBy("q_id")
-        .agg(F.count("*").alias("n_returned"))
-        .join(hits, "q_id", "left")
-        .na.fill(0, ["_hits"])
-        .select(
-            "q_id",
-            "n_returned",
-            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
-        )
-    )
+    return _ann_recall_contract(ivf, bf)
 
 
 @q(
@@ -1847,22 +1855,7 @@ def knn_ivf_append_probe(spark, sf_dir):
     bf = cosine_topk_bruteforce(
         corpus, queries, k=5, exclude_self=False
     ).select("q_id", "n_id")
-    hits = (
-        ivf.join(bf, ["q_id", "n_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").alias("_hits"))
-    )
-    return (
-        ivf.groupBy("q_id")
-        .agg(F.count("*").alias("n_returned"))
-        .join(hits, "q_id", "left")
-        .na.fill(0, ["_hits"])
-        .select(
-            "q_id",
-            "n_returned",
-            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
-        )
-    )
+    return _ann_recall_contract(ivf, bf)
 
 
 @q(
@@ -1874,7 +1867,8 @@ def knn_ivf_append_probe(spark, sf_dir):
     "(Jégou et al. TPAMI 2011, the FAISS IVFPQ architecture): pq_train "
     "fits per-subspace codebooks driver-side on a bounded sample (32 "
     "subspaces × 256 codes here), pq_encode compresses each 64-dim "
-    "vector to 32 small ints (16× vs float64 — at 100 TB the probe scans "
+    "vector to 32 smallints (64 B vs 512 B float64, 8× in memory, "
+    "bit-packed further on disk — at 100 TB the probe scans "
     "the CODES table, never the float vectors), and pq_probe scores via "
     "per-query lookup tables with per-batch local top-k, so the "
     "post-scan shuffle carries ≤ k rows per query per batch. Codebook "
@@ -1910,22 +1904,7 @@ def knn_pq_probe(spark, sf_dir):
     bf = cosine_topk_bruteforce(
         corpus, queries, k=5, exclude_self=False
     ).select("q_id", "n_id")
-    hits = (
-        pq.join(bf, ["q_id", "n_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").alias("_hits"))
-    )
-    return (
-        pq.groupBy("q_id")
-        .agg(F.count("*").alias("n_returned"))
-        .join(hits, "q_id", "left")
-        .na.fill(0, ["_hits"])
-        .select(
-            "q_id",
-            "n_returned",
-            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
-        )
-    )
+    return _ann_recall_contract(pq, bf)
 
 
 @q(
@@ -1935,9 +1914,9 @@ def knn_pq_probe(spark, sf_dir):
     "WHERE vec_id % 5 = 0 AND vec_id < 40",
     doc="The full production ANN composition — IVF-PQ shortlist + exact "
     "re-rank (FAISS's canonical layout end-to-end): ivfpq_index stores "
-    "one coarse cell + 32 PQ code ints per vector (write "
+    "one coarse cell + 32 PQ smallint codes per vector (write "
     "partitionBy('cell'); probes directory-prune to probed cells AND "
-    "each pruned row costs m ints, not dim floats), ivfpq_probe assigns "
+    "each pruned row costs m smallints, not dim floats), ivfpq_probe assigns "
     "the query batch to its n_probe=5 cells DRIVER-side (the batch is "
     "already collected for the ADC LUTs — no extra job), masks "
     "candidates to exactly each query's probed cells inside the kernel "
@@ -1977,22 +1956,7 @@ def knn_ivfpq_rerank(spark, sf_dir):
     bf = cosine_topk_bruteforce(
         corpus, queries, k=5, exclude_self=False
     ).select("q_id", "n_id")
-    hits = (
-        ann.join(bf, ["q_id", "n_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").alias("_hits"))
-    )
-    return (
-        ann.groupBy("q_id")
-        .agg(F.count("*").alias("n_returned"))
-        .join(hits, "q_id", "left")
-        .na.fill(0, ["_hits"])
-        .select(
-            "q_id",
-            "n_returned",
-            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
-        )
-    )
+    return _ann_recall_contract(ann, bf)
 
 
 @q(
@@ -2072,22 +2036,7 @@ def knn_cosine_ivf(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("q_id", "n_id")
     )
-    hits = (
-        ivf.join(bf, ["q_id", "n_id"])
-        .groupBy("q_id")
-        .agg(F.count("*").alias("_hits"))
-    )
-    return (
-        ivf.groupBy("q_id")
-        .agg(F.count("*").alias("n_returned"))
-        .join(hits, "q_id", "left")
-        .na.fill(0, ["_hits"])
-        .select(
-            "q_id",
-            "n_returned",
-            (F.col("_hits") >= 2).alias("recall_ge_04"),
-        )
-    )
+    return _ann_recall_contract(ivf, bf)
 
 
 def _langid_oracle_sql() -> str:
@@ -3554,10 +3503,14 @@ def rel_supplier_part_counts(spark, sf_dir):
     "two nested IN subqueries — part-class IN resolved as a broadcast "
     "semi join BEFORE the aggregate (the fact scans once, pre-filtered), "
     "the supplier IN as a second broadcast semi join on the tiny "
-    "qualifying-supplier set — plus a grand-average scalar broadcast "
-    "(the allowlisted 1-row BNLJ). The threshold compares against the "
-    "ROUNDED average (4 dp) on both engines, so distributed-vs-serial "
-    "summation ulps cannot flip an integer-valued qty across the cut.",
+    "qualifying-supplier set. The grand average comes from an "
+    "UNPARTITIONED window over sp's own (supplier × part)-bounded output "
+    "— a separate avg() branch would re-scan and re-aggregate the fact "
+    "(AQE exchange reuse is not guaranteed; the rel_top_supplier "
+    "pattern), so the fact genuinely scans once. The threshold compares "
+    "against the ROUNDED average (4 dp) on both engines, so "
+    "distributed-vs-serial summation ulps cannot flip an integer-valued "
+    "qty across the cut.",
     tags=("join", "semi", "nested-in", "scalar-subquery"),
 )
 def rel_excess_volume_suppliers(spark, sf_dir):
@@ -3573,9 +3526,10 @@ def rel_excess_volume_suppliers(spark, sf_dir):
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    thr = sp.agg(F.round(F.avg("qty"), 4).alias("_avg"))
     qualifying = (
-        sp.join(F.broadcast(thr))
+        sp.withColumn(
+            "_avg", F.round(F.avg("qty").over(W.partitionBy()), 4)
+        )
         .filter(F.col("qty") > 3 * F.col("_avg"))
         .select("l_suppkey")
     )

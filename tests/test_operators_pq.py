@@ -449,3 +449,24 @@ def test_ivfpq_rerank_recall_on_testdata(embeddings):
     ]
     assert min(recalls) >= 0.4
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_tied_scores_break_to_lowest_n_id_across_partitions(spark):
+    """Exact-duplicate corpus vectors share codes, hence identical ADC
+    sims — the local per-batch top-k must keep the LOWEST-n_id tied
+    candidates (matching the global window's tie-break), or results
+    become partitioning-dependent (round-8 review #1)."""
+    vec = [1.0, 0.5, -0.25, 2.0, 0.0, 1.0, -1.0, 0.5]
+    other = [-2.0, 1.0, 0.75, -0.5, 1.0, -1.0, 2.0, 0.25]
+    rows = [(i, vec) for i in range(12)] + [(i, other) for i in range(12, 24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books_df = pq_train(df, m=4, n_codes=4, seed=2)
+    q = spark.createDataFrame([(100, vec)], "vec_id long, embedding array<double>")
+    for n_parts in (1, 4, 7):
+        codes_df = pq_encode(df, books_df).repartition(n_parts)
+        res = (
+            pq_probe(q, codes_df, books_df, k=3, exclude_self=False)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r.n_id for r in res] == [0, 1, 2], (n_parts, res)

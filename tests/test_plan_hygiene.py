@@ -53,9 +53,6 @@ SCALAR_BNLJ_OK = {
     "sync_lookback_window",
     "text_vocab_topk",
     "text_tfidf_topterms",
-    # grand-average scalar broadcast against the per-(supplier, part)
-    # aggregate (TPC-H Q20 shape)
-    "rel_excess_volume_suppliers",
     # not a scalar, but an intended tiny-broadcast product: the brute-force
     # ANN baseline joins the corpus against 8 broadcast query vectors with
     # only a != condition — the O(corpus × queries) cost IS the baseline
