@@ -135,11 +135,13 @@ def test_distributed_foreach_partition_http(spark, tmp_path):
     import threading
 
     received = []
+    recv_lock = threading.Lock()
 
     class H(http.server.BaseHTTPRequestHandler):
         def do_POST(self):
             body = self.rfile.read(int(self.headers["Content-Length"]))
-            received.append(json.loads(body))
+            with recv_lock:
+                received.append(json.loads(body))
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.end_headers()
@@ -148,7 +150,11 @@ def test_distributed_foreach_partition_http(spark, tmp_path):
         def log_message(self, *a):
             pass
 
-    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    # Threading server: foreachPartition fires up to 32 concurrent POSTs
+    # (one per partition) and a single-threaded HTTPServer resets
+    # connections when its accept backlog overflows under host load —
+    # observed as a flaky ConnectionResetError in the full-suite run
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
         spark.sql("select id, id * 2 as v from range(20)").createOrReplaceTempView(
