@@ -212,6 +212,7 @@ def pq_encode(
     codebooks_df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _loaded: tuple[np.ndarray, dict] | None = None,
 ) -> DataFrame:
     """Encode vectors to ``(id, codes)`` under a FIXED codebook — both the
     initial build and the continuous-ingestion append path (a vector's
@@ -226,7 +227,11 @@ def pq_encode(
     merged from many appends still fails fast when probed with the wrong
     codebook.
     """
-    books, recipe = load_pq_codebooks(codebooks_df)
+    # `_loaded` lets callers that already collected the codebook table
+    # (ivfpq_index) skip the repeat driver round-trip
+    books, recipe = _loaded if _loaded is not None else load_pq_codebooks(
+        codebooks_df
+    )
     m, n_codes, sub_dim = books.shape
     dim = m * sub_dim
     # flatten once: encode batches index it per subspace without re-slicing
@@ -495,7 +500,10 @@ def ivfpq_index(
         "n_codes": pq_recipe["n_codes"],
         "dim": pq_recipe["dim"],
     }
-    codes = pq_encode(corpus, codebooks_df, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        corpus, codebooks_df, id_col=id_col, vec_col=vec_col,
+        _loaded=(books, pq_recipe),
+    )
     cells_codes = assignments.select(id_col, "cell").join(codes, id_col)
     return (
         _with_recipe_meta(cells_codes, "codes", combined),

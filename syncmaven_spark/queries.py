@@ -1753,7 +1753,17 @@ def _ann_recall_contract(ann: DataFrame, bf: DataFrame) -> DataFrame:
     """The shared derived-oracle shape of every knn_* entry: per query,
     how many results the ANN path returned and whether ≥ 2 of them are in
     the exact top-5 (recall ≥ 0.4). Both inputs are (q_id, n_id) pair
-    tables; one place to change the contract for all five entries."""
+    tables; one place to change the contract for all five entries.
+
+    Both inputs are consumed TWICE (the hits join and the n_returned
+    aggregate), so they persist here — without it the entire ANN lineage
+    (index build reads, ADC scan, re-rank joins, brute-force baseline)
+    executes twice per entry (round-8 bench: the ivfpq entry paid ~2×
+    its probe cost before this)."""
+    from syncmaven_spark.operators.cache import persist_scoped
+
+    ann = persist_scoped(ann)
+    bf = persist_scoped(bf)
     hits = (
         ann.join(bf, ["q_id", "n_id"])
         .groupBy("q_id")
