@@ -51,6 +51,7 @@ from syncmaven_spark.operators.similarity import (  # noqa: F401
     verify_cosine_candidates,
 )
 from syncmaven_spark.operators.pq import (  # noqa: F401
+    ivfpq_append,
     ivfpq_index,
     ivfpq_probe,
     load_pq_codebooks,

@@ -512,6 +512,55 @@ def ivfpq_index(
     )
 
 
+def ivfpq_append(
+    new_batch: DataFrame,
+    centroids_df: DataFrame,
+    codebooks_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cell, codes)`` rows for NEW corpus vectors under an EXISTING
+    IVF-PQ index — the composition's continuous-ingestion path, completing
+    the same contract as :func:`~syncmaven_spark.operators.similarity.
+    ivf_append` and :func:`pq_encode`: both halves are per-row functions
+    of (vector, frozen codebooks), so::
+
+        ivfpq_index(a).cells_codes ∪ ivfpq_append(b)
+            == ivfpq_index(a ∪ b).cells_codes      (same two codebooks)
+
+    Append the result with ``.write.partitionBy("cell").mode("append")``;
+    :func:`ivfpq_probe` accepts the merged store unchanged (the combined
+    stamp rides the ``codes`` data column, so mixed-epoch stores keep the
+    fail-fast). No k-means retrain, no corpus re-assignment, no re-encode
+    of existing rows; :func:`~syncmaven_spark.operators.similarity.
+    ivf_drift` over the cell assignments remains the retrain signal.
+    """
+    from syncmaven_spark.operators.dedup import _with_recipe_meta
+    from syncmaven_spark.operators.similarity import (
+        _load_codebook,
+        assign_cells,
+    )
+
+    centroids, ivf_recipe = _load_codebook(centroids_df)
+    loaded = load_pq_codebooks(codebooks_df)
+    combined = {
+        "ivf_checksum": ivf_recipe["checksum"],
+        "n_centroids": ivf_recipe["n_centroids"],
+        "pq_checksum": loaded[1]["checksum"],
+        "m": loaded[1]["m"],
+        "n_codes": loaded[1]["n_codes"],
+        "dim": loaded[1]["dim"],
+    }
+    usable = _usable_vectors(new_batch, id_col, vec_col)
+    cells = assign_cells(
+        usable, centroids, vec_col, n_probe=1, out_col="_cells"
+    ).select(F.col(id_col), F.col("_cells")[0].alias("cell"))
+    codes = pq_encode(
+        usable, codebooks_df, id_col=id_col, vec_col=vec_col, _loaded=loaded
+    )
+    return _with_recipe_meta(cells.join(codes, id_col), "codes", combined)
+
+
 def ivfpq_probe(
     queries: DataFrame,
     cells_codes: DataFrame,
