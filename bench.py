@@ -85,6 +85,7 @@ EXTRA = [
     "knn_pq_probe",
     "knn_ivfpq_rerank",
     "rel_excess_volume_suppliers",
+    "rel_min_cost_supplier",
 ]
 
 

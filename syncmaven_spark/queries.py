@@ -3497,6 +3497,67 @@ def rel_supplier_part_counts(spark, sf_dir):
 
 
 @q(
+    "rel_min_cost_supplier",
+    "WITH cand AS (SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, "
+    "s_acctbal, n_name "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_regionkey = 1 AND p_size <= 10) "
+    "SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name "
+    "FROM cand WHERE s_acctbal = (SELECT min(c2.s_acctbal) FROM cand c2 "
+    "WHERE c2.p_partkey = cand.p_partkey) "
+    "ORDER BY p_partkey, s_suppkey",
+    doc="TPC-H Q2-shaped minimum-cost supplier per part (supply cost "
+    "proxied by s_acctbal — the reduced schema has no partsupp): for "
+    "every small part, the cheapest region-1 supplier who actually "
+    "shipped it, ALL ties retained (Q2's defining correlated-min-equality "
+    "shape, vs rel_top_supplier's single global max). The candidate set "
+    "dedups the lineitem fanout to DISTINCT (part, supplier) BEFORE the "
+    "min — supplier/nation broadcast onto the fact, one shuffle for the "
+    "distinct — and the correlated min is a per-part window over that "
+    "already-deduped table (no second fact scan; Catalyst would "
+    "decorrelate the subquery into the same agg+join family). Exact "
+    "comparison: s_acctbal values pass through untouched on both "
+    "engines, so the equality is bit-stable. Full order key (p_partkey, "
+    "s_suppkey).",
+    tags=("join", "correlated", "window", "distinct"),
+)
+def rel_min_cost_supplier(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    cand = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_size") <= 10)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_regionkey") == 1)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal",
+            "n_name",
+        )
+        .distinct()
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal",
+            "n_name",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@q(
     "rel_excess_volume_suppliers",
     "WITH sp AS (SELECT l_suppkey, l_partkey, "
     "sum(l_quantity) AS qty FROM lineitem "
