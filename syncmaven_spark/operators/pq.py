@@ -232,12 +232,23 @@ def pq_encode(
     books, recipe = _loaded if _loaded is not None else load_pq_codebooks(
         codebooks_df
     )
-    m, n_codes, sub_dim = books.shape
-    dim = m * sub_dim
-    # flatten once: encode batches index it per subspace without re-slicing
+    from syncmaven_spark.operators.dedup import _with_recipe_meta
+
+    usable = _usable_vectors(df, id_col, vec_col)
+    out = usable.select(
+        F.col(id_col), _encode_udf(books)(F.col(vec_col)).alias("codes")
+    )
+    return _with_recipe_meta(out, "codes", recipe)
+
+
+def _encode_udf(books: np.ndarray):
+    """The vectorized encode kernel as a reusable column function —
+    shared by :func:`pq_encode` and :func:`ivfpq_append` (which computes
+    cell and codes in ONE projection over one scan)."""
     from pyspark.sql import types as T
 
-    from syncmaven_spark.operators.dedup import _with_recipe_meta
+    m, n_codes, sub_dim = books.shape
+    dim = m * sub_dim
 
     # smallint codes: 2 bytes per code in memory (Arrow/Tungsten) — the
     # honest width for n_codes ≤ 32767; parquet additionally dictionary/
@@ -261,11 +272,7 @@ def pq_encode(
             codes = np.argmin(c2[None, :, :] - 2.0 * scores, axis=2)
             yield pd.Series([row.tolist() for row in codes])
 
-    usable = _usable_vectors(df, id_col, vec_col)
-    out = usable.select(
-        F.col(id_col), encode(F.col(vec_col)).alias("codes")
-    )
-    return _with_recipe_meta(out, "codes", recipe)
+    return encode
 
 
 def pq_probe(
@@ -518,6 +525,8 @@ def ivfpq_append(
     codebooks_df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells_codes: DataFrame | None = None,
+    assert_new_ids: bool | None = None,
 ) -> DataFrame:
     """``(id, cell, codes)`` rows for NEW corpus vectors under an EXISTING
     IVF-PQ index — the composition's continuous-ingestion path, completing
@@ -528,37 +537,75 @@ def ivfpq_append(
         ivfpq_index(a).cells_codes ∪ ivfpq_append(b)
             == ivfpq_index(a ∪ b).cells_codes      (same two codebooks)
 
-    Append the result with ``.write.partitionBy("cell").mode("append")``;
-    :func:`ivfpq_probe` accepts the merged store unchanged (the combined
-    stamp rides the ``codes`` data column, so mixed-epoch stores keep the
-    fail-fast). No k-means retrain, no corpus re-assignment, no re-encode
-    of existing rows; :func:`~syncmaven_spark.operators.similarity.
-    ivf_drift` over the cell assignments remains the retrain signal.
+    ONE scan of the batch: cell assignment and encoding are independent
+    column functions, so they compute in a single projection — no join,
+    no second read. Append the result with
+    ``.write.partitionBy("cell").mode("append")``; :func:`ivfpq_probe`
+    accepts the merged store unchanged (the combined stamp rides the
+    ``codes`` data column, so mixed-epoch stores keep the fail-fast).
+
+    New ids MUST be disjoint from stored ids — a re-ingested id puts two
+    differently-coded rows in the store and ``dropDuplicates`` keeps an
+    arbitrary one per probe (nondeterministic approx_sim, zero errors).
+    Pass the stored ``cells_codes`` to enforce it eagerly (one
+    batch-sized semi-join + a batch-sized in-batch duplicate check;
+    ``assert_new_ids`` defaults to ``cells_codes is not None``, exactly
+    the :func:`~syncmaven_spark.operators.similarity.ivf_append`
+    convention). No k-means retrain, no re-encode of existing rows;
+    :func:`~syncmaven_spark.operators.similarity.ivf_drift` over the
+    cell assignments remains the retrain signal.
     """
-    from syncmaven_spark.operators.dedup import _with_recipe_meta
+    from syncmaven_spark.operators.dedup import (
+        _check_new_ids_disjoint,
+        _with_recipe_meta,
+    )
     from syncmaven_spark.operators.similarity import (
         _load_codebook,
         assign_cells,
     )
 
+    if assert_new_ids is None:
+        assert_new_ids = cells_codes is not None
+    if assert_new_ids:
+        if cells_codes is None:
+            raise ValueError(
+                "ivfpq_append: assert_new_ids=True needs the stored "
+                "cells_codes table to check the batch's ids against"
+            )
+        _check_new_ids_disjoint(new_batch, cells_codes, id_col, "ivfpq_append")
+        dup = (
+            new_batch.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivfpq_append: the batch contains id {dup[0][0]!r} more "
+                "than once — duplicate store rows make probe scores "
+                "nondeterministic and consume shortlist slots. "
+                "Deduplicate the batch before appending."
+            )
     centroids, ivf_recipe = _load_codebook(centroids_df)
-    loaded = load_pq_codebooks(codebooks_df)
+    books, pq_recipe = load_pq_codebooks(codebooks_df)
     combined = {
         "ivf_checksum": ivf_recipe["checksum"],
         "n_centroids": ivf_recipe["n_centroids"],
-        "pq_checksum": loaded[1]["checksum"],
-        "m": loaded[1]["m"],
-        "n_codes": loaded[1]["n_codes"],
-        "dim": loaded[1]["dim"],
+        "pq_checksum": pq_recipe["checksum"],
+        "m": pq_recipe["m"],
+        "n_codes": pq_recipe["n_codes"],
+        "dim": pq_recipe["dim"],
     }
     usable = _usable_vectors(new_batch, id_col, vec_col)
-    cells = assign_cells(
+    out = assign_cells(
         usable, centroids, vec_col, n_probe=1, out_col="_cells"
-    ).select(F.col(id_col), F.col("_cells")[0].alias("cell"))
-    codes = pq_encode(
-        usable, codebooks_df, id_col=id_col, vec_col=vec_col, _loaded=loaded
+    ).select(
+        F.col(id_col),
+        F.col("_cells")[0].alias("cell"),
+        _encode_udf(books)(F.col(vec_col)).alias("codes"),
     )
-    return _with_recipe_meta(cells.join(codes, id_col), "codes", combined)
+    return _with_recipe_meta(out, "codes", combined)
 
 
 def ivfpq_probe(

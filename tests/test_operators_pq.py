@@ -511,9 +511,9 @@ def test_ivfpq_append_equals_full_index(spark, tmp_path):
         (r.q_id, r.n_id, r.rank)
         for r in ivfpq_probe(q, merged, cents, books, k=4).collect()
     }
-    cc_full, _, _ = ivfpq_index(df, n_centroids=4, m=4, n_codes=8)
-    # note: cc_full trains its OWN codebooks on a∪b, so compare against
-    # the merged-store probe only via the frozen-codebook reconstruction
+    # a from-scratch ivfpq_index(df) would train its OWN codebooks on
+    # a∪b, so the equivalence is stated against the frozen-codebook
+    # reconstruction instead
     recon = cells_full.join(codes_full, "vec_id")
     from syncmaven_spark.operators.dedup import _with_recipe_meta
 
@@ -525,3 +525,26 @@ def test_ivfpq_append_equals_full_index(spark, tmp_path):
         for r in ivfpq_probe(q, recon, cents, books, k=4).collect()
     }
     assert probe_merged == probe_recon and probe_merged
+
+
+def test_ivfpq_append_rejects_reingested_and_duplicate_ids(spark):
+    """Passing the stored cells_codes turns on the disjoint-ids guard
+    (the ivf_append convention): a re-ingested id or an in-batch
+    duplicate would put two differently-coded rows in the store, making
+    probe scores nondeterministic with zero errors."""
+    from syncmaven_spark.operators import ivfpq_append, ivfpq_index
+
+    df = _toy_corpus(spark, n=20, dim=8)
+    a = df.filter("vec_id < 10")
+    cc, cents, books = ivfpq_index(a, n_centroids=2, m=4, n_codes=8)
+    overlap = df.filter("vec_id >= 5")  # 5..9 already stored
+    with pytest.raises(ValueError, match="re-ingests id"):
+        ivfpq_append(overlap, cents, books, cells_codes=cc)
+    fresh = df.filter("vec_id >= 10")
+    doubled = fresh.unionByName(fresh.limit(1))
+    with pytest.raises(ValueError, match="more than once"):
+        ivfpq_append(doubled, cents, books, cells_codes=cc)
+    # explicit opt-out carries the table without checking
+    assert ivfpq_append(
+        fresh, cents, books, cells_codes=cc, assert_new_ids=False
+    ).count() == 10
