@@ -55,6 +55,7 @@ from syncmaven_spark.operators.pq import (  # noqa: F401
     ivfpq_index,
     ivfpq_probe,
     load_pq_codebooks,
+    pq_drift,
     pq_encode,
     pq_probe,
     pq_train,

@@ -425,6 +425,7 @@ def rerank_exact_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact-cosine re-rank of an ANN shortlist: ``(q_id, n_id, cos_sim,
     rank)`` — stage 2 of the standard two-stage recipe (probe a compressed
@@ -440,8 +441,35 @@ def rerank_exact_topk(
     broadcast shortlist, so on an id-bucketed :func:`normalized_vectors`
     store only candidate-touched rows are read — the same pruned-fetch
     contract as the dedup verifiers. Ties rank by ascending ``n_id``.
+
+    Both the shortlist pairs and the normalized QUERY vectors broadcast to
+    every executor, so both are bounded by ``max_broadcast_rows`` (the
+    same limit(n+1)-probe contract as ``cosine_pairs_exact`` — round-8
+    advice: an uncapped caller hit a broadcast OOM with no actionable
+    error). The probes are bounded jobs; the shortlist probe rides the
+    pooled persist that the scoring join reuses, so the shortlist lineage
+    (usually an ANN probe) still executes once. The CORPUS side is never
+    broadcast and stays unbounded.
     """
-    pairs = shortlist.select("q_id", "n_id")
+    from syncmaven_spark.operators.cache import persist_scoped
+
+    pairs = persist_scoped(shortlist.select("q_id", "n_id"))
+    n_pairs = pairs.limit(max_broadcast_rows + 1).count()
+    if n_pairs > max_broadcast_rows:
+        raise ValueError(
+            f"rerank_exact_topk broadcasts the shortlist to every "
+            f"executor; got more than max_broadcast_rows="
+            f"{max_broadcast_rows} (q_id, n_id) pairs. Re-rank in query "
+            "chunks or raise the bound explicitly."
+        )
+    n_queries = queries.limit(max_broadcast_rows + 1).count()
+    if n_queries > max_broadcast_rows:
+        raise ValueError(
+            f"rerank_exact_topk broadcasts the normalized query-vector "
+            f"table to every executor; got more than max_broadcast_rows="
+            f"{max_broadcast_rows} query rows. Re-rank in query chunks "
+            "or raise the bound explicitly."
+        )
     qv = normalized_vectors(queries, id_col, vec_col).select(
         F.col(id_col).alias("q_id"),
         F.col("vec").alias("q_vec"),

@@ -548,3 +548,228 @@ def test_ivfpq_append_rejects_reingested_and_duplicate_ids(spark):
     assert ivfpq_append(
         fresh, cents, books, cells_codes=cc, assert_new_ids=False
     ).count() == 10
+
+
+def test_residual_probe_matches_numpy(spark):
+    """Residual IVFPQ scoring must equal the decomposition computed
+    directly in numpy from the SAME artifacts: approx_sim = <qn, cn[cell]>
+    + Σ_j <qn_sub_j, residual_book_j[code_j]> — the plumbing (stored-cell
+    residuals, per-query offsets, masking) adds no approximation. n_probe
+    covers every cell so the reference needs no mask."""
+    from syncmaven_spark.operators import ivfpq_index, ivfpq_probe
+
+    df = _toy_corpus(spark, n=40, dim=8)
+    cells_codes, cents_df, books_df = ivfpq_index(
+        df, n_centroids=4, m=4, n_codes=8, encode_residuals=True
+    )
+    books, _ = load_pq_codebooks(books_df)
+    m, n_codes, sd = books.shape
+    queries = df.filter("vec_id < 3")
+    got = {
+        (r.q_id, r.n_id): r.approx_sim
+        for r in ivfpq_probe(
+            queries, cells_codes, cents_df, books_df, k=4, n_probe=4,
+            exclude_self=True, encode_residuals=True,
+        ).collect()
+    }
+
+    cents = np.array(
+        [r.centroid for r in cents_df.orderBy("centroid_id").collect()],
+        float,
+    )
+    cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+    stored = {
+        r.vec_id: (int(r.cell), np.array(r.codes, dtype=int))
+        for r in cells_codes.collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], float)
+    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    for q in range(3):
+        qn = Xn[q]
+        sims = {}
+        for n_id, (cell, codes) in stored.items():
+            if n_id == q:
+                continue
+            recon_r = np.concatenate([books[j][codes[j]] for j in range(m)])
+            sims[n_id] = round(float(qn @ cn[cell] + qn @ recon_r), 6)
+        order = sorted(sims.items(), key=lambda t: (-t[1], t[0]))[:4]
+        for n_id, s in order:
+            assert got[(q, n_id)] == pytest.approx(s, abs=1e-9), (q, n_id)
+
+
+def test_residual_append_equals_full_assignment(spark, tmp_path):
+    """index(a, residual) ⊕ append(b, residual) ≡ append(a∪b, residual)
+    under the same frozen codebooks — the index path encodes from the
+    assignments table's (vec, cell) and the append path from a fresh
+    assign+encode projection, so this also cross-checks the two encode
+    paths row for row (parquet round-trip included)."""
+    from syncmaven_spark.operators import ivfpq_append, ivfpq_index, ivfpq_probe
+
+    df = _toy_corpus(spark, n=40, dim=8)
+    a = df.filter("vec_id % 2 = 0")
+    b = df.filter("vec_id % 2 = 1")
+    cc_a, cents, books = ivfpq_index(
+        a, n_centroids=4, m=4, n_codes=8, encode_residuals=True
+    )
+    appended = ivfpq_append(b, cents, books, encode_residuals=True)
+    store = str(tmp_path / "cc")
+    cc_a.write.partitionBy("cell").parquet(store)
+    appended.write.partitionBy("cell").mode("append").parquet(store)
+    merged = spark.read.parquet(store)
+    assert stamped_recipe(merged, "codes") is not None
+
+    rows_merged = {
+        (r.vec_id, int(r.cell), tuple(r.codes)) for r in merged.collect()
+    }
+    full = ivfpq_append(df, cents, books, encode_residuals=True)
+    rows_full = {
+        (r.vec_id, int(r.cell), tuple(r.codes)) for r in full.collect()
+    }
+    assert rows_merged == rows_full and len(rows_full) == 40
+
+    # the merged store probes as a first-class residual store
+    q = df.filter("vec_id < 3")
+    res = ivfpq_probe(
+        q, merged, cents, books, k=4, encode_residuals=True
+    )
+    assert res.groupBy("q_id").count().filter("count != 4").count() == 0
+
+
+def test_residual_mode_stamps_fail_fast_both_ways(spark):
+    """A residual store probed raw (or a raw store probed residual) would
+    silently score with the wrong decomposition — the encode mode rides
+    the combined stamp, so both directions fail fast, and ivfpq_append
+    refuses to mix modes into an existing store."""
+    from syncmaven_spark.operators import ivfpq_append, ivfpq_index, ivfpq_probe
+
+    df = _toy_corpus(spark, n=30, dim=8)
+    q = df.filter("vec_id < 2")
+    cc_res, cents, books = ivfpq_index(
+        df, n_centroids=2, m=4, n_codes=8, encode_residuals=True
+    )
+    with pytest.raises(ValueError, match="recipe"):
+        ivfpq_probe(q, cc_res, cents, books, k=3, encode_residuals=False)
+    cc_raw, cents2, books2 = ivfpq_index(
+        df, n_centroids=2, m=4, n_codes=8, encode_residuals=False
+    )
+    with pytest.raises(ValueError, match="recipe"):
+        ivfpq_probe(q, cc_raw, cents2, books2, k=3, encode_residuals=True)
+    batch = _toy_corpus(spark, n=50, dim=8).filter("vec_id >= 30")
+    with pytest.raises(ValueError, match="recipe"):
+        ivfpq_append(
+            batch, cents, books, cells_codes=cc_res,
+            assert_new_ids=False, encode_residuals=False,
+        )
+
+
+def test_residual_recall_on_testdata(embeddings):
+    """The residual layout's recall contract on real testdata, same gate
+    as the raw entry (every query >= 2/5, mean >= 0.7) — the measured
+    floors recorded in the ivfpq_index docstring come from this shape."""
+    from syncmaven_spark.operators import ivfpq_index, ivfpq_probe
+
+    corpus = embeddings.filter(F.col("vec_id") % 5 != 0)
+    queries = embeddings.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40)
+    )
+    cells_codes, cents, books = ivfpq_index(
+        corpus, n_centroids=8, m=32, n_codes=256, encode_residuals=True
+    )
+    ann = {
+        (r.q_id, r.n_id)
+        for r in ivfpq_probe(
+            queries, cells_codes, cents, books, k=5, n_probe=5,
+            exclude_self=False, encode_residuals=True,
+        ).collect()
+    }
+    bf = {
+        (r.q_id, r.n_id)
+        for r in cosine_topk_bruteforce(
+            corpus, queries, k=5, exclude_self=False
+        ).collect()
+    }
+    q_ids = {q for q, _ in bf}
+    recalls = [
+        len({p for p in ann if p[0] == q} & {p for p in bf if p[0] == q}) / 5
+        for q in q_ids
+    ]
+    assert min(recalls) >= 0.4
+    assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_pq_drift_detects_distribution_shift(spark):
+    """pq_drift over a batch FROM the training distribution reconstructs
+    well; a structurally different batch scores measurably lower on mean
+    and p10 — the retrain signal the docstring thresholds key off."""
+    from syncmaven_spark.operators import pq_drift
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(200, 8)
+    base[:, 0] += 4.0  # give the training corpus real structure
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    books_df = pq_train(df, m=4, n_codes=16, seed=1)
+    fresh = pq_drift(df, books_df).first()
+    assert fresh.n_vectors == 200
+    assert fresh.mean_recon_cos > 0.8
+
+    shifted = -base + rng.randn(200, 8) * 3.0
+    drifted_df = spark.createDataFrame(
+        [(i, [float(x) for x in shifted[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    drifted = pq_drift(drifted_df, books_df).first()
+    assert drifted.mean_recon_cos < fresh.mean_recon_cos - 0.05
+    assert drifted.p10_recon_cos < fresh.p10_recon_cos
+
+
+def test_pq_drift_residual_mode(spark):
+    """With centroids_df given, pq_drift reconstructs through the
+    residual layout (cn[cell] + r̂) — on a residual-trained store the
+    fresh-batch reconstruction must be at least as good as raw-PQ's,
+    and the numpy recon math is pinned by the probe parity test."""
+    from syncmaven_spark.operators import ivfpq_index, pq_drift
+
+    df = _toy_corpus(spark, n=100, dim=8, seed=5)
+    _, cents, books_res = ivfpq_index(
+        df, n_centroids=4, m=4, n_codes=8, encode_residuals=True
+    )
+    res = pq_drift(df, books_res, centroids_df=cents).first()
+    assert res.n_vectors == 100
+    assert -1.0 <= res.min_recon_cos <= res.mean_recon_cos <= 1.0
+    assert res.mean_recon_cos > 0.7
+
+
+def test_residual_beats_raw_reconstruction_on_clustered_data(spark):
+    """The regime residual encoding exists for: a corpus the coarse
+    quantizer genuinely explains (separated clusters). There the PQ
+    budget spent on the residual reconstructs materially better than on
+    the raw vector — the ivfpq_index docstring's measured claim, pinned
+    here. (On near-i.i.d. data the coarse term explains nothing and the
+    two modes measure equal — see test_residual_recall_on_testdata.)"""
+    from syncmaven_spark.operators import ivfpq_index, pq_drift
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(8, 32) * 5.0
+    X = np.vstack(
+        [centers[i % 8] + rng.randn(1, 32) * 0.6 for i in range(600)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(600)],
+        "vec_id long, embedding array<double>",
+    )
+    _, cents_raw, books_raw = ivfpq_index(
+        df, n_centroids=8, m=8, n_codes=16, encode_residuals=False
+    )
+    _, cents_res, books_res = ivfpq_index(
+        df, n_centroids=8, m=8, n_codes=16, encode_residuals=True
+    )
+    raw = pq_drift(df, books_raw).first()
+    res = pq_drift(df, books_res, centroids_df=cents_res).first()
+    assert res.mean_recon_cos > raw.mean_recon_cos
+    assert res.p10_recon_cos > raw.p10_recon_cos
+    # the headline claim: reconstruction error at least ~1.5x smaller
+    assert (1 - res.mean_recon_cos) < (1 - raw.mean_recon_cos) / 1.5

@@ -35,12 +35,19 @@ EXECUTES_ON_BUILD = {
     # same shape again: pq_train's driver k-means + pq_probe's bounded
     # query collect run at build time, and the recall contract contains
     # the brute-force baseline's tiny-broadcast product; the ADC path's
-    # own plan properties (codes-only scan, local top-k partials) are
-    # asserted by tests/test_operators_pq.py
+    # plan string itself (codes-only ReadSchema, no vector column, no
+    # BatchEvalPython) is asserted by tests/test_round9_fixes.py::
+    # test_pq_probe_plan_reads_codes_only / _ivfpq_probe_plan_prunes_*
     "knn_pq_probe",
     # the composed IVF-PQ + re-rank entry: two driver-trained codebooks
     # + the bounded query collect at build time, same rationale
     "knn_ivfpq_rerank",
+    # round-9: the residual-encoded sibling (same build-time training +
+    # collect) and the drift contract (pq_train's driver k-means at
+    # build); their probe/kernel plan properties are covered by
+    # test_round9_fixes.py's plan assertions + test_operators_pq.py
+    "knn_ivfpq_residual",
+    "knn_pq_drift_contract",
 }
 
 # 1-row scalar broadcasts: join of an aggregate total with no join key.
@@ -53,6 +60,10 @@ SCALAR_BNLJ_OK = {
     "sync_lookback_window",
     "text_vocab_topk",
     "text_tfidf_topterms",
+    # the Q20 shape's grand average: a 1-row avg over the persisted sp
+    # aggregate, cross-joined back as the threshold scalar (round-8
+    # verdict #4 replaced the unpartitioned window with this)
+    "rel_excess_volume_suppliers",
     # not a scalar, but an intended tiny-broadcast product: the brute-force
     # ANN baseline joins the corpus against 8 broadcast query vectors with
     # only a != condition — the O(corpus × queries) cost IS the baseline
