@@ -1,5 +1,12 @@
 """Structured Streaming execution paths."""
 
+from syncmaven_spark.streaming.ann import (  # noqa: F401
+    prepare_ann_state,
+    probe_ann_store,
+    read_ann_drift,
+    read_ann_store,
+    run_streaming_ann_sync,
+)
 from syncmaven_spark.streaming.incremental import (  # noqa: F401
     compact_state,
     dedup_within_watermark,

@@ -1224,9 +1224,39 @@ def _merge_tmp_into_base(tmp: str, base: str) -> None:
     shutil.rmtree(tmp)
 
 
+#: every epoch-keyed state table any family driver writes — near-dup
+#: (index/sets/vecs/pairs), decontamination (pairs) and ANN (store) share
+#: ONE compaction path
+_COMPACTABLE_TABLES = ("index", "sets", "vecs", "pairs", "store")
+
+
+def _count_base_files(base: str) -> dict[str, int]:
+    """Per-table file report for the compacted base: total data files and
+    the max per partition directory — what the rewrite_base threshold
+    decision keys off."""
+    import os
+
+    total = 0
+    per_dir: dict[str, int] = {}
+    for root, _dirs, files in os.walk(base):
+        n = sum(
+            1 for f in files if f != "_SUCCESS" and not f.startswith(".")
+        )
+        if n:
+            per_dir[root] = n
+            total += n
+    return {
+        "base_files": total,
+        "base_files_max_partition": max(per_dir.values(), default=0),
+    }
+
+
 def compact_state(
-    spark: SparkSession, state_dir: str, up_to_epoch: int
-) -> dict[str, int]:
+    spark: SparkSession,
+    state_dir: str,
+    up_to_epoch: int,
+    rewrite_base: bool = False,
+) -> dict[str, int] | dict[str, dict]:
     """Fold a streaming near-dup state's LIVE ``0 <= epoch < up_to_epoch``
     partition dirs into the ``epoch=-1`` base per table (round-6 verdict
     #4: the epoch-keyed layout grows one directory per micro-batch forever
@@ -1278,10 +1308,24 @@ def compact_state(
     rows each time.
 
     Partition-layout fidelity: the index's tmp output is written
-    ``partitionBy("hbucket")`` and the sets/vecs tables
-    ``partitionBy("bucket")``, so the directory-level pruning that bounds
+    ``partitionBy("hbucket")``, the sets/vecs tables
+    ``partitionBy("bucket")`` and the ANN family's store table
+    ``partitionBy("cell")``, so the directory-level pruning that bounds
     per-batch probe/verification I/O survives compaction. Returns
     ``{table: n_dirs_folded}``.
+
+    **Deep compaction** (``rewrite_base=True``, round-8 verdict #5): the
+    additive base accretes one file set per compaction — dozens of files
+    per partition at a sane cadence, unbounded at an insane one. The
+    deep pass folds the BASE ITSELF into the rewrite: base + live epochs
+    < ``up_to_epoch`` are read together, written fresh, and installed
+    under the same WAL journal (the journal's fold list simply includes
+    the old base dir, so crash recovery is identical). It costs O(total
+    folded state) — run it only when the additive base's file count
+    exceeds a threshold, which is why the return value switches to
+    ``{table: {"folded_dirs": n, "base_files": total,
+    "base_files_max_partition": max}}`` so callers can key the next
+    deep pass off the report.
 
     Threshold bookkeeping: folded epochs' per-epoch threshold records are
     dropped from ``epochs.json`` and their min/max fold into
@@ -1301,7 +1345,7 @@ def compact_state(
     # phase 0 — complete any journaled surgery from a crashed prior run
     # BEFORE reading anything: the journal means folded dirs may already
     # be deleted and the only copy of their rows lives in the tmp output.
-    for table in ("index", "sets", "vecs", "pairs"):
+    for table in _COMPACTABLE_TABLES:
         journal_path = os.path.join(
             state_dir, f".compact_journal_{table}.json"
         )
@@ -1333,39 +1377,67 @@ def compact_state(
             "not see its own prior writes in the base."
         )
     folded: dict[str, int] = {}
+    reports: dict[str, dict] = {}
     folded_epochs: set[int] = set()
-    for table in ("index", "sets", "vecs", "pairs"):
+    for table in _COMPACTABLE_TABLES:
         table_dir = os.path.join(state_dir, table)
         if not os.path.isdir(table_dir):
             continue
-        # only LIVE epochs fold; the base itself is never re-read or
-        # re-written (the additive contract)
+        # only LIVE epochs fold by default; the base itself is never
+        # re-read or re-written (the additive contract). The deep pass
+        # (rewrite_base) folds the base too, trading O(total state) cost
+        # for a one-write-tight base.
         to_fold = {
             e: p
             for e, p in _list_epoch_dirs(table_dir, below=up_to_epoch)
-            if e != BASE_EPOCH
+            if rewrite_base or e != BASE_EPOCH
         }
+        base_dir = os.path.join(table_dir, f"epoch={BASE_EPOCH}")
         if not to_fold:
+            # nothing to fold — note that in DEEP mode an accreted base
+            # alone still folds (rewriting it into one tight file set is
+            # the deep pass's whole point)
             folded[table] = 0
+            reports[table] = {
+                "folded_dirs": 0, **_count_base_files(base_dir)
+            }
             continue
         folded_epochs.update(to_fold)
         # partition pruning on the epoch filter keeps this read to exactly
-        # the folded dirs — the base's files are never opened
+        # the folded dirs — in additive mode the base's files are never
+        # opened
+        low = BASE_EPOCH if rewrite_base else 0
         df = spark.read.parquet(table_dir).filter(
-            (F.col("epoch") >= 0) & (F.col("epoch") < F.lit(int(up_to_epoch)))
+            (F.col("epoch") >= low)
+            & (F.col("epoch") < F.lit(int(up_to_epoch)))
         )
         out_cols = [c for c in df.columns if c != "epoch"]
         tmp = os.path.join(state_dir, f".compact_tmp_{table}")
         # a stale tmp WITHOUT a journal means a prior run crashed before
         # any deletion — the epoch dirs are intact, so rebuilding is safe
         shutil.rmtree(tmp, ignore_errors=True)
-        writer = df.select(*out_cols).write.mode("overwrite")
         if "hbucket" in out_cols:
             # the index keeps its hash-bucket layout (probe pruning)
-            writer = writer.partitionBy("hbucket")
+            part_col = "hbucket"
         elif "bucket" in out_cols and table in ("sets", "vecs"):
             # the verification tables keep their id-bucket layout
-            writer = writer.partitionBy("bucket")
+            part_col = "bucket"
+        elif "cell" in out_cols and table == "store":
+            # the ANN store keeps its cell layout (probe directory pruning)
+            part_col = "cell"
+        else:
+            part_col = None
+        out = df.select(*out_cols)
+        if part_col is not None:
+            # co-locate each partition value before the write: without
+            # this the fold writes one file per (input task × partition),
+            # so a deep rewrite of a 16-file base emitted 16 files again —
+            # compaction that doesn't compact. One shuffle of the folded
+            # rows buys one tight file set per partition dir.
+            out = out.repartition(part_col)
+        writer = out.write.mode("overwrite")
+        if part_col is not None:
+            writer = writer.partitionBy(part_col)
         writer.parquet(tmp)
         # write-ahead journal: from here until the merge completes, the
         # tmp dir may hold the ONLY copy of the folded rows — a crash in
@@ -1385,6 +1457,9 @@ def compact_state(
         )
         os.remove(journal_path)
         folded[table] = len(to_fold)
+        reports[table] = {
+            "folded_dirs": len(to_fold), **_count_base_files(base_dir)
+        }
     # drop per-epoch threshold records whose dirs folded into the base,
     # carrying their range into the base_threshold_{min,max} records so
     # read_pairs can still judge the base's completeness for a cutoff
@@ -1408,7 +1483,10 @@ def compact_state(
         updated["base_threshold_min"] = min(pool)
         updated["base_threshold_max"] = max(pool)
     _atomic_write_json(os.path.join(state_dir, "epochs.json"), updated)
-    return folded
+    # the additive mode keeps its historical {table: n_dirs_folded} shape
+    # (existing callers/tests compare it directly); the deep pass returns
+    # the file report its threshold decision needs
+    return reports if rewrite_base else folded
 
 
 def read_pairs(
