@@ -52,6 +52,7 @@ from syncmaven_spark.operators.similarity import (  # noqa: F401
 )
 from syncmaven_spark.operators.pq import (  # noqa: F401
     ivfpq_append,
+    ivfpq_encode_assigned,
     ivfpq_index,
     ivfpq_probe,
     load_pq_codebooks,

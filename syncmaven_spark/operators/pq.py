@@ -703,45 +703,67 @@ def ivfpq_index(
     independently on the same bounded sample discipline (driver k-means;
     centroids + codebooks are the only state leaving the cluster).
     """
-    from syncmaven_spark.operators.dedup import _with_recipe_meta, stamped_recipe
     from syncmaven_spark.operators.similarity import _load_codebook, ivf_index
 
     assignments, centroids_df = ivf_index(
         corpus, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, sample_size=sample_size, seed=seed,
     )
-    residual_centroids = None
-    if encode_residuals:
-        residual_centroids, _ = _load_codebook(centroids_df)
+    centroids, ivf_recipe = _load_codebook(centroids_df)
     codebooks_df = pq_train(
         corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
         sample_size=sample_size, seed=seed,
-        _residual_centroids=residual_centroids,
+        _residual_centroids=centroids if encode_residuals else None,
     )
     books, pq_recipe = load_pq_codebooks(codebooks_df)
-    ivf_recipe = stamped_recipe(centroids_df, "centroid_id") or {}
-    combined = _combined_recipe(ivf_recipe, pq_recipe, encode_residuals)
-    if encode_residuals:
-        # the assignments table already carries (vec, cell) — encode the
-        # residual in ONE projection over it, no join; taking the STORED
-        # cell (not a recompute) keeps tie-broken assignments consistent
-        cells_codes = assignments.select(
-            F.col(id_col),
-            F.col("cell"),
-            _encode_residual_udf(books, residual_centroids)(
-                F.col("vec"), F.col("cell")
-            ).alias("codes"),
-        )
+    # the assignments table already carries (vec, cell) — both modes
+    # encode in ONE projection over it, no join; taking the STORED cell
+    # (not a recompute) keeps tie-broken assignments consistent
+    cells_codes = ivfpq_encode_assigned(
+        assignments, centroids_df, codebooks_df, id_col=id_col,
+        encode_residuals=encode_residuals,
+        _loaded=(centroids, ivf_recipe, books, pq_recipe),
+    )
+    return (cells_codes, centroids_df, codebooks_df)
+
+
+def ivfpq_encode_assigned(
+    assignments: DataFrame,
+    centroids_df: DataFrame,
+    codebooks_df: DataFrame,
+    id_col: str = "vec_id",
+    encode_residuals: bool = False,
+    _loaded: tuple | None = None,
+) -> DataFrame:
+    """``(id, cell, vec)`` assignment rows → stamped ``(id, cell,
+    codes)`` under FROZEN codebooks — the encode half shared by
+    :func:`ivfpq_index` (over ``ivf_index``'s assignments) and the
+    streaming ANN driver (over ``ivf_append``'s batch rows): one
+    projection, no join, and the codes commit to the STORED cell so the
+    two can never disagree on tie-broken assignments. ``_loaded`` =
+    ``(centroids, ivf_recipe, books, pq_recipe)`` lets callers that
+    already collected the codebook tables skip the repeat round-trips
+    (the ``pq_encode`` convention)."""
+    from syncmaven_spark.operators.dedup import _with_recipe_meta
+    from syncmaven_spark.operators.similarity import _load_codebook
+
+    if _loaded is None:
+        centroids, ivf_recipe = _load_codebook(centroids_df)
+        books, pq_recipe = load_pq_codebooks(codebooks_df)
     else:
-        codes = pq_encode(
-            corpus, codebooks_df, id_col=id_col, vec_col=vec_col,
-            _loaded=(books, pq_recipe),
-        )
-        cells_codes = assignments.select(id_col, "cell").join(codes, id_col)
-    return (
-        _with_recipe_meta(cells_codes, "codes", combined),
-        centroids_df,
-        codebooks_df,
+        centroids, ivf_recipe, books, pq_recipe = _loaded
+    combined = _combined_recipe(ivf_recipe, pq_recipe, encode_residuals)
+    code_col = (
+        _encode_residual_udf(books, centroids)(F.col("vec"), F.col("cell"))
+        if encode_residuals
+        else _encode_udf(books)(F.col("vec"))
+    )
+    return _with_recipe_meta(
+        assignments.select(
+            F.col(id_col), F.col("cell"), code_col.alias("codes")
+        ),
+        "codes",
+        combined,
     )
 
 

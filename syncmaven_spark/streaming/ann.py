@@ -153,6 +153,20 @@ def _load_ann_state(
     return recipe, centroids_df, codebooks_df
 
 
+def _open_ann_store(
+    spark: SparkSession, state_dir: str, fn_name: str
+) -> tuple[dict, DataFrame, DataFrame, DataFrame]:
+    """The ONE store-open path (validate + read + column selection) both
+    consumers share — a layout change made in one and not the other would
+    silently diverge them (round-9 review #4)."""
+    recipe, centroids_df, codebooks_df = _load_ann_state(
+        spark, state_dir, fn_name
+    )
+    store = spark.read.parquet(os.path.join(state_dir, "store"))
+    cells_codes = store.select(recipe["id_col"], "cell", "codes")
+    return recipe, cells_codes, centroids_df, codebooks_df
+
+
 def read_ann_store(
     spark: SparkSession, state_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -161,11 +175,9 @@ def read_ann_store(
     pq.ivfpq_probe` (pass ``encode_residuals=recipe['encode'] ==
     'residual'`` — or use :func:`probe_ann_store`, which wires it). Reads
     every epoch including the base; refuses mid-compaction state."""
-    recipe, centroids_df, codebooks_df = _load_ann_state(
+    _, cells_codes, centroids_df, codebooks_df = _open_ann_store(
         spark, state_dir, "read_ann_store"
     )
-    store = spark.read.parquet(os.path.join(state_dir, "store"))
-    cells_codes = store.select(recipe["id_col"], "cell", "codes")
     return cells_codes, centroids_df, codebooks_df
 
 
@@ -182,11 +194,9 @@ def probe_ann_store(
     :func:`~syncmaven_spark.operators.pq.ivfpq_probe`."""
     from syncmaven_spark.operators.pq import ivfpq_probe
 
-    recipe, centroids_df, codebooks_df = _load_ann_state(
+    recipe, cells_codes, centroids_df, codebooks_df = _open_ann_store(
         spark, state_dir, "probe_ann_store"
     )
-    store = spark.read.parquet(os.path.join(state_dir, "store"))
-    cells_codes = store.select(recipe["id_col"], "cell", "codes")
     return ivfpq_probe(
         queries, cells_codes, centroids_df, codebooks_df,
         k=k, n_probe=n_probe, id_col=recipe["id_col"],
@@ -271,11 +281,22 @@ def run_streaming_ann_sync(
 
     The drift rows and the appended rows are both per-row functions of
     (vector, frozen codebooks) — no k-means retrain, no re-encode, no
-    unbounded state reads: per-batch cost is O(batch) plus the optional
-    id-column store scan of the disjointness guard.
+    unbounded state reads: per batch, the source is persisted and the
+    cell-assignment UDF runs ONCE (drift and encode share the assignment
+    rows — round-9 review #2: the first layout assigned twice and
+    re-read the unpersisted batch per action), so per-batch cost is
+    O(batch) plus the optional id-column store scan of the guard.
     """
-    from syncmaven_spark.operators.pq import ivfpq_append
-    from syncmaven_spark.operators.similarity import ivf_append, ivf_drift
+    from syncmaven_spark.operators.cache import persist_scoped
+    from syncmaven_spark.operators.pq import (
+        ivfpq_encode_assigned,
+        load_pq_codebooks,
+    )
+    from syncmaven_spark.operators.similarity import (
+        _load_codebook,
+        ivf_append,
+        ivf_drift,
+    )
 
     _guard_state_consistency(
         state_dir, checkpoint_dir, "run_streaming_ann_sync"
@@ -283,6 +304,9 @@ def run_streaming_ann_sync(
     recipe, centroids_df, codebooks_df = _load_ann_state(
         spark, state_dir, "run_streaming_ann_sync"
     )
+    # collect the (tiny) codebook tables once per run; every batch's
+    # encode reuses the matrices instead of re-collecting per epoch
+    loaded = (*_load_codebook(centroids_df), *load_pq_codebooks(codebooks_df))
     id_col, vec_col = recipe["id_col"], recipe["vec_col"]
     residual = recipe.get("encode") == "residual"
     store_dir = os.path.join(state_dir, "store")
@@ -312,7 +336,10 @@ def run_streaming_ann_sync(
                 payload["drift"] = drift
             _atomic_write_json(epochs_path, payload)
 
-        batch = batch_df.select(id_col, vec_col)
+        # persisted: the batch feeds isEmpty, the disjointness semi-join,
+        # the dup check and the assignment scan — unpersisted it would
+        # re-read the source parquet per action
+        batch = persist_scoped(batch_df.select(id_col, vec_col))
         if batch.isEmpty():
             _advance()
             return
@@ -327,13 +354,15 @@ def run_streaming_ann_sync(
                 bucket_vals=None, bucket_col="cell",
             )
 
+        # ONE assignment pass per batch: drift reads these rows, and the
+        # encode below reuses their (vec, cell) — the UDF never runs twice
+        assigned = persist_scoped(
+            ivf_append(batch, centroids_df, id_col=id_col, vec_col=vec_col)
+        )
         # the retrain signal, computed on the BATCH only (bounded): how
         # well does the frozen coarse codebook still represent incoming
         # vectors? Recorded per epoch; optionally a hard gate.
-        drift_row = ivf_drift(
-            ivf_append(batch, centroids_df, id_col=id_col, vec_col=vec_col),
-            centroids_df,
-        ).first()
+        drift_row = ivf_drift(assigned, centroids_df).first()
         drift = {
             "n_vectors": int(drift_row["n_vectors"]),
             "mean_cell_cos": (
@@ -386,10 +415,9 @@ def run_streaming_ann_sync(
                     "make probe scores nondeterministic. Deduplicate the "
                     "source files."
                 )
-        rows = ivfpq_append(
-            batch, centroids_df, codebooks_df,
-            id_col=id_col, vec_col=vec_col,
-            encode_residuals=residual,
+        rows = ivfpq_encode_assigned(
+            assigned, centroids_df, codebooks_df,
+            id_col=id_col, encode_residuals=residual, _loaded=loaded,
         )
         rows.write.partitionBy("cell").mode("overwrite").parquet(
             os.path.join(store_dir, f"epoch={int(epoch_id)}")

@@ -1357,8 +1357,16 @@ def compact_state(
         if os.path.isdir(tmp):
             for path in journal.get("fold", []):
                 shutil.rmtree(path, ignore_errors=True)
-            _merge_tmp_into_base(tmp, base)
-        # tmp missing → the merge already completed; journal is stale
+            if journal.get("mode") == "deep":
+                # the deep pass installs by ATOMIC directory rename, never
+                # file-by-file merge INTO a dir that is itself in the fold
+                # list — a mid-merge crash would otherwise leave moved
+                # files' only copy inside a path the recovery rmtree's
+                # (round-9 review finding #1, the silent-data-loss window)
+                os.replace(tmp, base)
+            else:
+                _merge_tmp_into_base(tmp, base)
+        # tmp missing → the install already completed; journal is stale
         os.remove(journal_path)
 
     epochs = _load_json(os.path.join(state_dir, "epochs.json"))
@@ -1396,11 +1404,15 @@ def compact_state(
         if not to_fold:
             # nothing to fold — note that in DEEP mode an accreted base
             # alone still folds (rewriting it into one tight file set is
-            # the deep pass's whole point)
+            # the deep pass's whole point). The file-count walk only runs
+            # on the deep pass that returns it (round-9 review #3: the
+            # routine additive cadence was paying an os.walk of the whole
+            # base per call and throwing the report away).
             folded[table] = 0
-            reports[table] = {
-                "folded_dirs": 0, **_count_base_files(base_dir)
-            }
+            if rewrite_base:
+                reports[table] = {
+                    "folded_dirs": 0, **_count_base_files(base_dir)
+                }
             continue
         folded_epochs.update(to_fold)
         # partition pruning on the epoch filter keeps this read to exactly
@@ -1439,27 +1451,34 @@ def compact_state(
         if part_col is not None:
             writer = writer.partitionBy(part_col)
         writer.parquet(tmp)
-        # write-ahead journal: from here until the merge completes, the
+        # write-ahead journal: from here until the install completes, the
         # tmp dir may hold the ONLY copy of the folded rows — a crash in
         # this window is recovered by phase 0 above instead of silently
-        # rebuilding from the already-deleted dirs
+        # rebuilding from the already-deleted dirs. The journal records
+        # the install MODE: additive merges tmp's files INTO the
+        # preserved base; deep (base itself in the fold list) installs by
+        # atomic rename — merging into a fold-listed path would leave a
+        # mid-merge crash's moved files inside a dir the recovery deletes.
         journal_path = os.path.join(
             state_dir, f".compact_journal_{table}.json"
         )
         _atomic_write_json(
             journal_path,
-            {"fold": sorted(to_fold.values()), "up_to": int(up_to_epoch)},
+            {"fold": sorted(to_fold.values()), "up_to": int(up_to_epoch),
+             "mode": "deep" if rewrite_base else "additive"},
         )
         for path in to_fold.values():
             shutil.rmtree(path)
-        _merge_tmp_into_base(
-            tmp, os.path.join(table_dir, f"epoch={BASE_EPOCH}")
-        )
+        if rewrite_base:
+            os.replace(tmp, base_dir)
+        else:
+            _merge_tmp_into_base(tmp, base_dir)
         os.remove(journal_path)
         folded[table] = len(to_fold)
-        reports[table] = {
-            "folded_dirs": len(to_fold), **_count_base_files(base_dir)
-        }
+        if rewrite_base:
+            reports[table] = {
+                "folded_dirs": len(to_fold), **_count_base_files(base_dir)
+            }
     # drop per-epoch threshold records whose dirs folded into the base,
     # carrying their range into the base_threshold_{min,max} records so
     # read_pairs can still judge the base's completeness for a cutoff

@@ -292,3 +292,77 @@ def test_compaction_folds_store_and_deep_pass_shrinks_files(spark, prepared):
         for r in probe_ann_store(spark, queries, state, k=4, n_probe=4).collect()
     }
     assert final == mid
+
+
+def test_deep_compaction_crash_recovery_preserves_rows(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 review #1 (the silent-data-loss window): the deep pass
+    deletes the old base BEFORE installing the rewrite, so a crash in
+    that window leaves the folded rows' ONLY copy in the tmp dir with a
+    mode=deep journal. Recovery must install tmp atomically — the
+    additive recovery path (merge into a fold-listed dir after rmtree'ing
+    it) would have destroyed the rows."""
+    import os as _os
+
+    import syncmaven_spark.streaming.incremental as inc
+
+    state = str(tmp_path / "state")
+    _os.makedirs(state)
+    inc._atomic_write_json(
+        _os.path.join(state, "recipe.json"),
+        {"layout": inc.STATE_LAYOUT_VERSION, "family": "ivfpq"},
+    )
+    inc._atomic_write_json(
+        _os.path.join(state, "epochs.json"), {"max_epoch": 1}
+    )
+    store = _os.path.join(state, "store")
+    base_rows = [(i, i % 3, [i, i + 1]) for i in range(30)]
+    live_rows = [(100 + i, i % 3, [i, i]) for i in range(10)]
+    schema = "vec_id long, cell int, codes array<smallint>"
+    spark.createDataFrame(base_rows, schema).write.partitionBy(
+        "cell"
+    ).parquet(_os.path.join(store, "epoch=-1"))
+    spark.createDataFrame(live_rows, schema).write.partitionBy(
+        "cell"
+    ).parquet(_os.path.join(store, "epoch=0"))
+    expected = {(r[0], r[1], tuple(r[2])) for r in base_rows + live_rows}
+
+    real_replace = _os.replace
+
+    def crash_before_install(src, dst, *a, **kw):
+        if src.endswith(".compact_tmp_store"):
+            raise RuntimeError("simulated crash before install")
+        return real_replace(src, dst, *a, **kw)
+
+    # incremental.py imports os inside each function, so patching the
+    # os module itself reaches every call site
+    monkeypatch.setattr("os.replace", crash_before_install)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_state(spark, state, up_to_epoch=1, rewrite_base=True)
+    monkeypatch.setattr("os.replace", real_replace)
+
+    # the dangerous window is real: old base and live epoch are GONE,
+    # the rows' only copy lives in tmp, the deep journal is pending
+    assert not _os.path.isdir(_os.path.join(store, "epoch=-1"))
+    assert not _os.path.isdir(_os.path.join(store, "epoch=0"))
+    assert _os.path.isdir(_os.path.join(state, ".compact_tmp_store"))
+    journal = inc._load_json(
+        _os.path.join(state, ".compact_journal_store.json")
+    )
+    assert journal and journal["mode"] == "deep"
+
+    # consumers refuse mid-surgery state...
+    with pytest.raises(ValueError, match="incomplete compaction"):
+        read_ann_store(spark, state)
+    # ...and a compact_state re-run completes the install with ZERO loss
+    report = compact_state(spark, state, up_to_epoch=1, rewrite_base=True)
+    got = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == expected
+    assert not _os.path.exists(
+        _os.path.join(state, ".compact_journal_store.json")
+    )
+    assert report["store"]["base_files"] >= 1
