@@ -743,8 +743,18 @@ def ivfpq_encode_assigned(
     two can never disagree on tie-broken assignments. ``_loaded`` =
     ``(centroids, ivf_recipe, books, pq_recipe)`` lets callers that
     already collected the codebook tables skip the repeat round-trips
-    (the ``pq_encode`` convention)."""
-    from syncmaven_spark.operators.dedup import _with_recipe_meta
+    (the ``pq_encode`` convention).
+
+    The assignments' own stamp (rides ``norm``) is verified against the
+    codebook like every sibling consumer (``ivf_drift``/``ivf_probe``):
+    rows assigned under a DIFFERENT codebook would otherwise be
+    re-stamped as valid and probed in the wrong cells with zero errors
+    (round-9 review #2.1). Hand-built unstamped tables stay the caller's
+    contract, as everywhere else."""
+    from syncmaven_spark.operators.dedup import (
+        _with_recipe_meta,
+        check_index_recipe,
+    )
     from syncmaven_spark.operators.similarity import _load_codebook
 
     if _loaded is None:
@@ -752,6 +762,8 @@ def ivfpq_encode_assigned(
         books, pq_recipe = load_pq_codebooks(codebooks_df)
     else:
         centroids, ivf_recipe, books, pq_recipe = _loaded
+    if "norm" in assignments.columns:
+        check_index_recipe(assignments, "norm", ivf_recipe)
     combined = _combined_recipe(ivf_recipe, pq_recipe, encode_residuals)
     code_col = (
         _encode_residual_udf(books, centroids)(F.col("vec"), F.col("cell"))

@@ -850,6 +850,7 @@ def ivf_append(
     vec_col: str = "embedding",
     assignments: DataFrame | None = None,
     assert_new_ids: bool | None = None,
+    _loaded: tuple[np.ndarray, dict] | None = None,
 ) -> DataFrame:
     """Assignment rows for NEW corpus vectors under an EXISTING codebook —
     IVF's continuous-ingestion path (round-7 verdict #2: the dedup trilogy
@@ -912,7 +913,12 @@ def ivf_append(
                 "slots and silently evict true neighbors. Deduplicate "
                 "the batch before appending."
             )
-    centroids, recipe = _load_codebook(centroids_df)
+    # `_loaded` lets a per-batch caller (the streaming ANN driver) skip
+    # re-collecting the codebook it already validated — pq_encode's
+    # convention
+    centroids, recipe = (
+        _loaded if _loaded is not None else _load_codebook(centroids_df)
+    )
     usable = _usable_vectors(new_batch, id_col, vec_col)
     return _ivf_assignments(usable, centroids, id_col, vec_col, recipe)
 
@@ -920,6 +926,7 @@ def ivf_append(
 def ivf_drift(
     assignments: DataFrame,
     centroids_df: DataFrame,
+    _loaded: tuple[np.ndarray, dict] | None = None,
 ) -> DataFrame:
     """The retrain signal for a codebook-stable IVF store: one row of
     ``(n_vectors, mean_cell_cos, p10_cell_cos, min_cell_cos)`` where
@@ -939,7 +946,9 @@ def ivf_drift(
     """
     from syncmaven_spark.operators.dedup import check_index_recipe
 
-    centroids, recipe = _load_codebook(centroids_df)
+    centroids, recipe = (
+        _loaded if _loaded is not None else _load_codebook(centroids_df)
+    )
     check_index_recipe(assignments, "norm", recipe)
     cents = centroids_df.select(
         F.col("centroid_id").alias("cell"),

@@ -112,12 +112,15 @@ def prepare_ann_state(
 
 def _load_ann_state(
     spark: SparkSession, state_dir: str, fn_name: str
-) -> tuple[dict, DataFrame, DataFrame]:
+) -> tuple[dict, DataFrame, DataFrame, tuple, tuple]:
     """Shared open-and-validate for the driver and the consumer: layout /
     family / pending-compaction guards, then the codebook tables verified
     against the checksums recorded at prepare time (a swapped codebook
     otherwise silently mis-scores every probe and mis-cells every
-    append)."""
+    append). Returns the collected ``(centroids, ivf_recipe)`` /
+    ``(books, pq_recipe)`` tuples too — the guard already paid those
+    collects, so callers reuse them instead of re-collecting (round-9
+    review pass 2)."""
     from syncmaven_spark.operators.pq import load_pq_codebooks
     from syncmaven_spark.operators.similarity import _load_codebook
 
@@ -137,11 +140,11 @@ def _load_ann_state(
     _refuse_pending_compaction(state_dir, fn_name)
     centroids_df = spark.read.parquet(os.path.join(state_dir, "centroids"))
     codebooks_df = spark.read.parquet(os.path.join(state_dir, "codebooks"))
-    _, ivf_recipe = _load_codebook(centroids_df)
-    _, pq_recipe = load_pq_codebooks(codebooks_df)
+    ivf_loaded = _load_codebook(centroids_df)
+    pq_loaded = load_pq_codebooks(codebooks_df)
     if (
-        ivf_recipe["checksum"] != recipe.get("ivf_checksum")
-        or pq_recipe["checksum"] != recipe.get("pq_checksum")
+        ivf_loaded[1]["checksum"] != recipe.get("ivf_checksum")
+        or pq_loaded[1]["checksum"] != recipe.get("pq_checksum")
     ):
         raise ValueError(
             f"{fn_name}: the codebook tables under {state_dir!r} do not "
@@ -150,7 +153,7 @@ def _load_ann_state(
             "under the wrong quantizer score as plausible garbage; "
             "rebuild into a fresh state_dir instead."
         )
-    return recipe, centroids_df, codebooks_df
+    return recipe, centroids_df, codebooks_df, ivf_loaded, pq_loaded
 
 
 def _open_ann_store(
@@ -159,7 +162,7 @@ def _open_ann_store(
     """The ONE store-open path (validate + read + column selection) both
     consumers share — a layout change made in one and not the other would
     silently diverge them (round-9 review #4)."""
-    recipe, centroids_df, codebooks_df = _load_ann_state(
+    recipe, centroids_df, codebooks_df, _, _ = _load_ann_state(
         spark, state_dir, fn_name
     )
     store = spark.read.parquet(os.path.join(state_dir, "store"))
@@ -288,25 +291,19 @@ def run_streaming_ann_sync(
     O(batch) plus the optional id-column store scan of the guard.
     """
     from syncmaven_spark.operators.cache import persist_scoped
-    from syncmaven_spark.operators.pq import (
-        ivfpq_encode_assigned,
-        load_pq_codebooks,
-    )
-    from syncmaven_spark.operators.similarity import (
-        _load_codebook,
-        ivf_append,
-        ivf_drift,
-    )
+    from syncmaven_spark.operators.pq import ivfpq_encode_assigned
+    from syncmaven_spark.operators.similarity import ivf_append, ivf_drift
 
     _guard_state_consistency(
         state_dir, checkpoint_dir, "run_streaming_ann_sync"
     )
-    recipe, centroids_df, codebooks_df = _load_ann_state(
-        spark, state_dir, "run_streaming_ann_sync"
+    # the validation collects the (tiny) codebook tables once; every
+    # batch's assignment, drift and encode reuse the matrices instead of
+    # re-collecting per epoch
+    recipe, centroids_df, codebooks_df, ivf_loaded, pq_loaded = (
+        _load_ann_state(spark, state_dir, "run_streaming_ann_sync")
     )
-    # collect the (tiny) codebook tables once per run; every batch's
-    # encode reuses the matrices instead of re-collecting per epoch
-    loaded = (*_load_codebook(centroids_df), *load_pq_codebooks(codebooks_df))
+    loaded = (*ivf_loaded, *pq_loaded)
     id_col, vec_col = recipe["id_col"], recipe["vec_col"]
     residual = recipe.get("encode") == "residual"
     store_dir = os.path.join(state_dir, "store")
@@ -357,12 +354,15 @@ def run_streaming_ann_sync(
         # ONE assignment pass per batch: drift reads these rows, and the
         # encode below reuses their (vec, cell) — the UDF never runs twice
         assigned = persist_scoped(
-            ivf_append(batch, centroids_df, id_col=id_col, vec_col=vec_col)
+            ivf_append(
+                batch, centroids_df, id_col=id_col, vec_col=vec_col,
+                _loaded=ivf_loaded,
+            )
         )
         # the retrain signal, computed on the BATCH only (bounded): how
         # well does the frozen coarse codebook still represent incoming
         # vectors? Recorded per epoch; optionally a hard gate.
-        drift_row = ivf_drift(assigned, centroids_df).first()
+        drift_row = ivf_drift(assigned, centroids_df, _loaded=ivf_loaded).first()
         drift = {
             "n_vectors": int(drift_row["n_vectors"]),
             "mean_cell_cos": (

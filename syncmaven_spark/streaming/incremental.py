@@ -1355,9 +1355,17 @@ def compact_state(
         tmp = os.path.join(state_dir, f".compact_tmp_{table}")
         base = os.path.join(state_dir, table, f"epoch={BASE_EPOCH}")
         if os.path.isdir(tmp):
-            for path in journal.get("fold", []):
+            fold = journal.get("fold", [])
+            # deep iff the base itself is being folded — derivable from
+            # the fold list, so the dispatch never depends on the 'mode'
+            # field alone (a journal lacking it can still only be
+            # recovered correctly one way; round-9 review pass 2)
+            is_deep = journal.get("mode") == "deep" or any(
+                os.path.normpath(p) == os.path.normpath(base) for p in fold
+            )
+            for path in fold:
                 shutil.rmtree(path, ignore_errors=True)
-            if journal.get("mode") == "deep":
+            if is_deep:
                 # the deep pass installs by ATOMIC directory rename, never
                 # file-by-file merge INTO a dir that is itself in the fold
                 # list — a mid-merge crash would otherwise leave moved

@@ -773,3 +773,26 @@ def test_residual_beats_raw_reconstruction_on_clustered_data(spark):
     assert res.p10_recon_cos > raw.p10_recon_cos
     # the headline claim: reconstruction error at least ~1.5x smaller
     assert (1 - res.mean_recon_cos) < (1 - raw.mean_recon_cos) / 1.5
+
+
+def test_encode_assigned_rejects_foreign_assignments(spark):
+    """Round-9 review pass 2: ivfpq_encode_assigned verifies the
+    assignments' own stamp against the codebook it encodes under —
+    rows assigned under a DIFFERENT coarse codebook would otherwise be
+    re-stamped as valid and probed in the wrong cells with zero
+    errors."""
+    from syncmaven_spark.operators import ivfpq_encode_assigned, pq_train
+    from syncmaven_spark.operators.similarity import ivf_index
+
+    df_a = _toy_corpus(spark, n=30, dim=8, seed=1)
+    df_b = _toy_corpus(spark, n=30, dim=8, seed=2)
+    assignments_a, cents_a = ivf_index(df_a, n_centroids=2)
+    _, cents_b = ivf_index(df_b, n_centroids=2)
+    books = pq_train(df_a, m=4, n_codes=8)
+    # matching codebook: fine
+    assert ivfpq_encode_assigned(
+        assignments_a, cents_a, books
+    ).count() == 30
+    # foreign codebook: the assignments' stamp mismatches and fails fast
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        ivfpq_encode_assigned(assignments_a, cents_b, books)
