@@ -75,11 +75,19 @@ def _assign_codes(Xn: np.ndarray, books: np.ndarray) -> np.ndarray:
     """Nearest-codebook-entry assignment per subspace — the ONE encode
     kernel shared by the raw and residual paths: ``argmin ||s-c||² =
     argmin(||c||² - 2 s·c)``, all subspaces in one einsum (m separate tiny
-    matmuls pay per-call BLAS thread-spawn overhead — see pq_train)."""
+    matmuls pay per-call BLAS thread-spawn overhead — see pq_train).
+
+    ``optimize=False`` deliberately: the contraction dim is ``sub_dim``
+    (typically 2-16), far too small for GEMM to win — optimize=True
+    routes through tensordot into the threaded BLAS, whose dispatch on
+    this shape measured 7-36× SLOWER and wildly unstable under host
+    thread contention (round-9: the interleaved benchmark pinned the
+    plain single-threaded einsum at ~0.2 s/call while the BLAS route
+    swung 1.4-7 s/call). The plain C loop is both faster and stable."""
     m, n_codes, sub_dim = books.shape
     Xs = np.ascontiguousarray(Xn.reshape(len(Xn), m, sub_dim))
     c2 = (books * books).sum(axis=2)
-    scores = np.einsum("njs,jcs->njc", Xs, books, optimize=True)
+    scores = np.einsum("njs,jcs->njc", Xs, books, optimize=False)
     return np.argmin(c2[None, :, :] - 2.0 * scores, axis=2)
 
 
@@ -190,12 +198,14 @@ def pq_train(
     # independently — the math is identical to m separate loops). One
     # einsum + one scatter-add per iteration: m separate tiny matmuls
     # paid ~9 ms EACH in BLAS thread-spawn overhead (measured 2.8 s of a
-    # 5 s entry at m=32, n_codes=256, 10 iterations)
+    # 5 s entry at m=32, n_codes=256, 10 iterations). optimize=False for
+    # the same reason as _assign_codes: the tiny contraction dim makes
+    # the threaded-BLAS route 7-36× slower and unstable on this host.
     Xs = np.ascontiguousarray(Xn.reshape(len(Xn), m, sub_dim))
     offsets = (np.arange(m) * n_codes)[None, :]
     for _ in range(iterations):
         c2 = (books * books).sum(axis=2)  # (m, n_codes)
-        scores = np.einsum("njs,jcs->njc", Xs, books, optimize=True)
+        scores = np.einsum("njs,jcs->njc", Xs, books, optimize=False)
         assign = np.argmin(c2[None, :, :] - 2.0 * scores, axis=2)  # (n, m)
         flat = (assign + offsets).ravel()
         sums = np.zeros((m * n_codes, sub_dim))
@@ -484,9 +494,15 @@ def _adc_topk(
     <q, cn[cell]> + <q, residual>``: the coarse term is added per
     candidate from its stored cell, the LUTs score only the residual."""
     m, n_codes, sub_dim = books.shape
-    # (m, n_q, n_codes): LUT[j][q][c] = <q_sub_j, codebook_j[c]>
-    lut = np.stack(
-        [Qn[:, j * sub_dim : (j + 1) * sub_dim] @ books[j].T for j in range(m)]
+    # (m, n_q, n_codes): LUT[j][q][c] = <q_sub_j, codebook_j[c]> — one
+    # plain einsum, not m tiny per-subspace GEMMs (BLAS dispatch per call
+    # dominates at these shapes and is unstable under host thread
+    # contention; see _assign_codes)
+    lut = np.einsum(
+        "qjs,jcs->jqc",
+        np.ascontiguousarray(Qn.reshape(len(Qn), m, sub_dim)),
+        books,
+        optimize=False,
     )
     # the LUT rides the mapInPandas closure to EVERY task — the query-row
     # cap alone does not bound it (100k queries × 32 × 256 ≈ 6.5 GB would

@@ -1906,8 +1906,14 @@ def knn_pq_probe(spark, sf_dir):
     emb = t["embeddings"]
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40))
+    from syncmaven_spark.operators.cache import persist_scoped
+
     codebooks = pq_train(corpus, m=32, n_codes=256)
-    codes = pq_encode(corpus, codebooks)
+    # persisted: probing the un-materialized encode lineage chains the
+    # encode UDF into the ADC scan's python stage — measured 17.6 s vs
+    # 2.3 s on materialized codes at sf0.1 (round-9); a real deployment
+    # probes a PERSISTED store, so the entry should too
+    codes = persist_scoped(pq_encode(corpus, codebooks))
     pq = pq_probe(
         queries, codes, codebooks, k=5, exclude_self=False
     ).select("q_id", "n_id")
@@ -1953,9 +1959,13 @@ def knn_ivfpq_rerank(spark, sf_dir):
     emb = t["embeddings"]
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40))
+    from syncmaven_spark.operators.cache import persist_scoped
+
     cells_codes, centroids_df, codebooks_df = ivfpq_index(
         corpus, n_centroids=8, m=32, n_codes=256
     )
+    # persisted for the same reason as knn_pq_probe's codes table
+    cells_codes = persist_scoped(cells_codes)
     shortlist = ivfpq_probe(
         queries, cells_codes, centroids_df, codebooks_df,
         k=15, n_probe=5, exclude_self=False,
@@ -2002,9 +2012,13 @@ def knn_ivfpq_residual(spark, sf_dir):
     emb = t["embeddings"]
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40))
+    from syncmaven_spark.operators.cache import persist_scoped
+
     cells_codes, centroids_df, codebooks_df = ivfpq_index(
         corpus, n_centroids=8, m=32, n_codes=256, encode_residuals=True
     )
+    # persisted for the same reason as knn_pq_probe's codes table
+    cells_codes = persist_scoped(cells_codes)
     ann = ivfpq_probe(
         queries, cells_codes, centroids_df, codebooks_df,
         k=5, n_probe=5, exclude_self=False, encode_residuals=True,
