@@ -1013,6 +1013,7 @@ def ivfpq_probe(
     exclude_self: bool = True,
     max_query_rows: int = 100_000,
     encode_residuals: bool = False,
+    _loaded: tuple | None = None,
 ) -> DataFrame:
     """Approximate top-k against an :func:`ivfpq_index`: ``(q_id, n_id,
     approx_sim, rank)``. Queries assign to their ``n_probe`` nearest cells
@@ -1030,8 +1031,14 @@ def ivfpq_probe(
     from syncmaven_spark.operators.dedup import check_index_recipe
     from syncmaven_spark.operators.similarity import _load_codebook
 
-    centroids, ivf_recipe = _load_codebook(centroids_df)
-    books, pq_recipe = load_pq_codebooks(codebooks_df)
+    if _loaded is None:
+        centroids, ivf_recipe = _load_codebook(centroids_df)
+        books, pq_recipe = load_pq_codebooks(codebooks_df)
+    else:
+        # the ivfpq_encode_assigned convention: a caller that already
+        # collected+validated the codebook tables (probe_ann_store) skips
+        # the repeat driver round-trips
+        centroids, ivf_recipe, books, pq_recipe = _loaded
     combined = _combined_recipe(ivf_recipe, pq_recipe, encode_residuals)
     check_index_recipe(cells_codes, "codes", combined)
     m, n_codes, sub_dim = books.shape

@@ -950,9 +950,15 @@ def ivf_drift(
         _loaded if _loaded is not None else _load_codebook(centroids_df)
     )
     check_index_recipe(assignments, "norm", recipe)
-    cents = centroids_df.select(
-        F.col("centroid_id").alias("cell"),
-        _as_double(F.col("centroid")).alias("c_vec"),
+    # the broadcast side is REBUILT from the validated matrix, not read
+    # from centroids_df's rows again: a caller holding _loaded (the
+    # streaming driver, once per run) must score against the exact
+    # centroids the cells were assigned under — re-reading the table
+    # would silently join swapped-on-disk rows to stale cell ids
+    # (round-9 review pass 3)
+    cents = assignments.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, c_vec array<double>",
     ).withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
     scored = assignments.join(F.broadcast(cents), "cell").select(
         _cosine(

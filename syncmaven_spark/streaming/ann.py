@@ -158,16 +158,20 @@ def _load_ann_state(
 
 def _open_ann_store(
     spark: SparkSession, state_dir: str, fn_name: str
-) -> tuple[dict, DataFrame, DataFrame, DataFrame]:
+) -> tuple[dict, DataFrame, DataFrame, DataFrame, tuple]:
     """The ONE store-open path (validate + read + column selection) both
     consumers share — a layout change made in one and not the other would
-    silently diverge them (round-9 review #4)."""
-    recipe, centroids_df, codebooks_df, _, _ = _load_ann_state(
-        spark, state_dir, fn_name
+    silently diverge them (round-9 review #4). Also hands back the
+    validated codebook matrices so the probe skips the repeat collects."""
+    recipe, centroids_df, codebooks_df, ivf_loaded, pq_loaded = (
+        _load_ann_state(spark, state_dir, fn_name)
     )
     store = spark.read.parquet(os.path.join(state_dir, "store"))
     cells_codes = store.select(recipe["id_col"], "cell", "codes")
-    return recipe, cells_codes, centroids_df, codebooks_df
+    return (
+        recipe, cells_codes, centroids_df, codebooks_df,
+        (*ivf_loaded, *pq_loaded),
+    )
 
 
 def read_ann_store(
@@ -178,7 +182,7 @@ def read_ann_store(
     pq.ivfpq_probe` (pass ``encode_residuals=recipe['encode'] ==
     'residual'`` — or use :func:`probe_ann_store`, which wires it). Reads
     every epoch including the base; refuses mid-compaction state."""
-    _, cells_codes, centroids_df, codebooks_df = _open_ann_store(
+    _, cells_codes, centroids_df, codebooks_df, _ = _open_ann_store(
         spark, state_dir, "read_ann_store"
     )
     return cells_codes, centroids_df, codebooks_df
@@ -197,14 +201,15 @@ def probe_ann_store(
     :func:`~syncmaven_spark.operators.pq.ivfpq_probe`."""
     from syncmaven_spark.operators.pq import ivfpq_probe
 
-    recipe, cells_codes, centroids_df, codebooks_df = _open_ann_store(
-        spark, state_dir, "probe_ann_store"
+    recipe, cells_codes, centroids_df, codebooks_df, loaded = (
+        _open_ann_store(spark, state_dir, "probe_ann_store")
     )
     return ivfpq_probe(
         queries, cells_codes, centroids_df, codebooks_df,
         k=k, n_probe=n_probe, id_col=recipe["id_col"],
         vec_col=recipe["vec_col"],
         encode_residuals=recipe.get("encode") == "residual",
+        _loaded=loaded,
         **probe_kwargs,
     )
 
@@ -260,8 +265,12 @@ def run_streaming_ann_sync(
     a prepared IVF-PQ state (``availableNow`` trigger — process everything
     new, then stop; re-running picks up later files).
 
-    Per micro-batch: verify the codebooks against the prepare-time
-    checksums, enforce the disjoint-ids contract against everything
+    The codebooks are verified against the prepare-time checksums ONCE
+    at startup and the collected matrices are frozen for the run — every
+    batch assigns, drifts and encodes against exactly those matrices
+    (never re-reading the tables, so a mid-run on-disk swap cannot split
+    assignment and drift across two codebooks). Per micro-batch: enforce
+    the disjoint-ids contract against everything
     already stored (``assert_new_ids`` — one batch-sized semi-join whose
     store side reads only the id column, plus the in-batch duplicate
     check; pass ``False`` when the source guarantees unique ids and the

@@ -366,3 +366,57 @@ def test_deep_compaction_crash_recovery_preserves_rows(
         _os.path.join(state, ".compact_journal_store.json")
     )
     assert report["store"]["base_files"] >= 1
+
+
+def test_deep_recovery_without_mode_field(spark, tmp_path, monkeypatch):
+    """Round-9 review pass 3: recovery derives deep-ness from the fold
+    list containing the base path, so a deep journal LACKING the 'mode'
+    field still installs by atomic rename — the additive merge path would
+    re-open the data-loss window the mode tag was added to close."""
+    import os as _os
+
+    import syncmaven_spark.streaming.incremental as inc
+
+    state = str(tmp_path / "state")
+    _os.makedirs(state)
+    inc._atomic_write_json(
+        _os.path.join(state, "recipe.json"),
+        {"layout": inc.STATE_LAYOUT_VERSION, "family": "ivfpq"},
+    )
+    inc._atomic_write_json(
+        _os.path.join(state, "epochs.json"), {"max_epoch": 1}
+    )
+    store = _os.path.join(state, "store")
+    rows = [(i, i % 2, [i, i]) for i in range(20)]
+    schema = "vec_id long, cell int, codes array<smallint>"
+    spark.createDataFrame(rows, schema).write.partitionBy("cell").parquet(
+        _os.path.join(store, "epoch=-1")
+    )
+    expected = {(r[0], r[1], tuple(r[2])) for r in rows}
+
+    real_replace = _os.replace
+
+    def crash(src, dst, *a, **kw):
+        if src.endswith(".compact_tmp_store"):
+            raise RuntimeError("simulated crash before install")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr("os.replace", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_state(spark, state, up_to_epoch=1, rewrite_base=True)
+    monkeypatch.setattr("os.replace", real_replace)
+
+    # strip the mode tag: recovery must still derive deep-ness from the
+    # base path sitting in the fold list
+    jpath = _os.path.join(state, ".compact_journal_store.json")
+    journal = inc._load_json(jpath)
+    assert journal["mode"] == "deep"
+    del journal["mode"]
+    inc._atomic_write_json(jpath, journal)
+
+    compact_state(spark, state, up_to_epoch=1, rewrite_base=True)
+    got = {
+        (r.vec_id, int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == expected
