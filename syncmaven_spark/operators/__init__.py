@@ -57,6 +57,7 @@ from syncmaven_spark.operators.pq import (  # noqa: F401
     ivfpq_probe,
     load_pq_codebooks,
     pq_drift,
+    pq_drift_assigned,
     pq_encode,
     pq_probe,
     pq_train,

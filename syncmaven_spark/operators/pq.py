@@ -448,6 +448,7 @@ def pq_probe(
     # results union. The trade is one codes scan per chunk — inherent: the
     # cap exists precisely because one pass cannot ship all the LUTs.
     chunk = _lut_chunk_size(m, n_codes)
+    _warn_if_chunked(len(q_ids), chunk, m, n_codes, "pq_probe")
     codes_src = codes_df.select(id_col, "codes")
     parts = [
         _adc_topk(
@@ -469,6 +470,29 @@ def _lut_chunk_size(m: int, n_codes: int) -> int:
     whose single-query LUT already exceeds the cap still runs rather than
     dividing to zero (the row cap bounds the worst case)."""
     return max(1, LUT_BYTES_CAP // (m * n_codes * 8))
+
+
+def _warn_if_chunked(n_q: int, chunk: int, m: int, n_codes: int,
+                     fn_name: str) -> None:
+    """Auto-chunking multiplies the codes-table scan count silently — a
+    caller who raises ``max_query_rows`` against a large ``m × n_codes``
+    recipe pays one full codes scan PER chunk with no signal (round-9
+    advice). Emit the signal: how many scans this probe will run and why,
+    so the cost is visible in logs/``-W error`` test runs rather than
+    only in wall-clock."""
+    import math
+    import warnings
+
+    n_chunks = math.ceil(n_q / chunk)
+    if n_chunks > 1:
+        warnings.warn(
+            f"{fn_name}: {n_q} queries exceed the LUT budget "
+            f"({chunk} queries per ADC pass at m={m} × n_codes={n_codes} "
+            f"under LUT_BYTES_CAP) — running {n_chunks} chunks, i.e. "
+            f"{n_chunks} scans of the codes table. Shrink the query "
+            "batch (or recipe) if the multiplied scan cost matters.",
+            stacklevel=3,
+        )
 
 
 def _adc_topk(
@@ -984,6 +1008,107 @@ def pq_drift(
     )
 
 
+def pq_drift_assigned(
+    assignments: DataFrame,
+    centroids_df: DataFrame,
+    codebooks_df: DataFrame,
+    encode_residuals: bool = False,
+    vec_col: str = "vec",
+    _loaded: tuple | None = None,
+) -> DataFrame:
+    """:func:`pq_drift` over rows that ALREADY carry their coarse cell —
+    the streaming-driver variant (round-9 verdict #2: the driver records
+    coarse ``ivf_drift`` per epoch but not reconstruction drift; the two
+    measure different halves of the quantizer, and re-running the cell
+    assignment inside :func:`pq_drift` would pay the batch's UDF pass a
+    second time, the exact double-assignment round-9 review #2 removed).
+
+    Takes :func:`~syncmaven_spark.operators.similarity.ivf_append`-shaped
+    ``(id, cell, vec, norm)`` rows and scores each vector's cosine to its
+    reconstruction under the FROZEN codebooks, committing to the STORED
+    cell in residual mode (``cn[cell] + r̂`` — the same contract as
+    :func:`ivfpq_encode_assigned`, so drift measures exactly what the
+    store will hold). Same one-row output schema as :func:`pq_drift`;
+    ``_loaded`` is the 4-tuple ``(centroids, ivf_recipe, books,
+    pq_recipe)`` convention shared with the other assigned-rows consumers.
+    """
+    from pyspark.sql import types as T
+
+    from syncmaven_spark.operators.dedup import check_index_recipe
+    from syncmaven_spark.operators.similarity import _load_codebook
+
+    if _loaded is None:
+        centroids, ivf_recipe = _load_codebook(centroids_df)
+        books, _pq_rec = load_pq_codebooks(codebooks_df)
+    else:
+        centroids, ivf_recipe, books, _pq_rec = _loaded
+    if "norm" in assignments.columns:
+        check_index_recipe(assignments, "norm", ivf_recipe)
+    m, n_codes, sub_dim = books.shape
+    dim = m * sub_dim
+
+    if encode_residuals:
+        cn = _normalized_centroids(centroids)
+
+        @F.pandas_udf(T.DoubleType())
+        def recon_cos(
+            batches: Iterator[tuple[pd.Series, pd.Series]],
+        ) -> Iterator[pd.Series]:
+            for vec_s, cell_s in batches:
+                if not len(vec_s):
+                    yield pd.Series([], dtype=float)
+                    continue
+                X = np.array(vec_s.tolist(), dtype=np.float64)
+                if X.ndim != 2 or X.shape[1] != dim:
+                    raise ValueError(
+                        f"pq_drift_assigned: expected {dim}-dim vectors, "
+                        f"got shape {X.shape}"
+                    )
+                cells = cell_s.to_numpy(dtype=np.int64)
+                if cells.min() < 0 or cells.max() >= len(cn):
+                    raise ValueError(
+                        f"pq_drift_assigned: cell value outside "
+                        f"[0, {len(cn)}) — wrong centroid table"
+                    )
+                Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+                codes = _assign_codes(Xn - cn[cells], books)
+                recon = cn[cells] + _reconstruct(codes, books)
+                yield pd.Series(_cos_rows(Xn, recon))
+
+        scored_col = recon_cos(F.col(vec_col), F.col("cell"))
+    else:
+
+        @F.pandas_udf(T.DoubleType())
+        def recon_cos(
+            batches: Iterator[pd.Series],
+        ) -> Iterator[pd.Series]:
+            for series in batches:
+                if not len(series):
+                    yield pd.Series([], dtype=float)
+                    continue
+                X = np.array(series.tolist(), dtype=np.float64)
+                if X.ndim != 2 or X.shape[1] != dim:
+                    raise ValueError(
+                        f"pq_drift_assigned: expected {dim}-dim vectors, "
+                        f"got shape {X.shape}"
+                    )
+                Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+                recon = _reconstruct(_assign_codes(Xn, books), books)
+                yield pd.Series(_cos_rows(Xn, recon))
+
+        scored_col = recon_cos(F.col(vec_col))
+
+    scored = assignments.select(scored_col.alias("recon_cos"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("recon_cos"), 4).alias("mean_recon_cos"),
+        F.round(F.percentile_approx("recon_cos", 0.1), 4).alias(
+            "p10_recon_cos"
+        ),
+        F.round(F.min("recon_cos"), 4).alias("min_recon_cos"),
+    )
+
+
 def _reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     """Inverse of :func:`_assign_codes`: concatenate each row's codebook
     entries back into a (n, dim) matrix."""
@@ -1081,6 +1206,7 @@ def ivfpq_probe(
     # only ITS OWN probed-cell union (tighter directory pruning than one
     # global union) and masks per query inside the kernel as before
     chunk = _lut_chunk_size(m, n_codes)
+    _warn_if_chunked(len(q_ids), chunk, m, n_codes, "ivfpq_probe")
     parts = []
     for i in range(0, len(q_ids), chunk):
         cells_chunk = top_cells[i : i + chunk]

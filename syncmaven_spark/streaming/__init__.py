@@ -5,10 +5,12 @@ from syncmaven_spark.streaming.ann import (  # noqa: F401
     probe_ann_store,
     read_ann_drift,
     read_ann_store,
+    reindex_ann_state,
     run_streaming_ann_sync,
 )
 from syncmaven_spark.streaming.incremental import (  # noqa: F401
     compact_state,
+    maybe_compact,
     dedup_within_watermark,
     prepare_decontamination_state,
     read_pairs,

@@ -15,12 +15,22 @@ near-dup drivers in :mod:`syncmaven_spark.streaming.incremental`, so
   every live epoch) and each micro-batch appends its own epoch dir with
   ``mode("overwrite")``, so an at-least-once replay rewrites its epoch
   idempotently instead of duplicating rows;
-- ``recipe.json`` — layout version, family, geometry AND both codebook
-  checksums: a repointed/retrained codebook table fails fast here before
-  any row is appended under the wrong quantizer;
-- ``epochs.json`` — the max-epoch watermark plus the per-epoch
-  :func:`~syncmaven_spark.operators.similarity.ivf_drift` record (mean /
-  p10 / min assigned-cell cosine) — the retrain signal, checked per batch.
+- ``ids/epoch=<id>/ibucket=<b>`` — the id SIDECAR: just the stored ids,
+  partitioned by ``pmod(xxhash64(id), state_buckets)`` so the per-batch
+  disjointness guard reads only the batch's touched buckets instead of
+  the whole store's id column (round-9 verdict #1 — new ids can land in
+  any cell, so the store's own ``cell`` partitioning cannot prune that
+  read);
+- ``recipe.json`` — layout version, family, geometry, ``state_buckets``
+  AND both codebook checksums: a repointed/retrained codebook table
+  fails fast here before any row is appended under the wrong quantizer;
+- ``epochs.json`` — the max-epoch watermark plus the per-epoch drift
+  record: :func:`~syncmaven_spark.operators.similarity.ivf_drift` (mean
+  / p10 / min assigned-cell cosine) AND
+  :func:`~syncmaven_spark.operators.pq.pq_drift_assigned` (mean / p10 /
+  min reconstruction cosine) — both halves of the retrain signal,
+  checked per batch; plus the ``prior`` chain
+  :func:`reindex_ann_state` uses to carry the trend across retrains.
 
 Probes read the WHOLE store (all epochs, base included) through
 :func:`read_ann_store`; the combined stamp rides the ``codes`` data column
@@ -37,13 +47,16 @@ from pyspark.sql import types as T
 
 from syncmaven_spark.streaming.incremental import (
     BASE_EPOCH,
+    DEFAULT_STATE_BUCKETS,
     STATE_LAYOUT_VERSION,
     _atomic_write_json,
     _guard_state_consistency,
+    _id_bucket,
     _load_json,
     _read_epoch_state,
     _refuse_pending_compaction,
     _require_layout,
+    maybe_compact,
 )
 
 
@@ -59,6 +72,7 @@ def prepare_ann_state(
     sample_size: int = 10_000,
     seed: int = 42,
     encode_residuals: bool = False,
+    state_buckets: int = DEFAULT_STATE_BUCKETS,
 ) -> None:
     """Build the IVF-PQ index over the initial corpus and persist it as
     streaming state — the ANN analog of ``prepare_decontamination_state``
@@ -69,8 +83,21 @@ def prepare_ann_state(
     every future epoch's reads and excluded from nothing — and both
     codebook checksums are recorded in ``recipe.json`` so a later run
     against swapped/retrained codebooks fails before appending rows the
-    store cannot score.
+    store cannot score. An ``ids/epoch=-1/ibucket=<pmod(xxhash64(id),
+    state_buckets)>`` sidecar holds just the stored ids in an id-bucketed
+    layout (round-9 verdict #1): the driver's per-batch disjointness guard
+    prunes its read to the batch's touched buckets instead of scanning
+    the whole store's id column — the same bounded-I/O move as the
+    near-dup verification tables.
+
+    Crash safety (round-9 advice): the whole state builds into a sibling
+    temp dir — ``recipe.json`` last — and installs into ``state_dir`` by
+    one atomic rename, so a crash mid-prepare leaves only a disposable
+    ``.prepare_tmp_*`` dir (cleaned on retry) and never a partial state
+    the already-holds guard can't classify.
     """
+    import shutil
+
     from syncmaven_spark.operators.dedup import stamped_recipe
     from syncmaven_spark.operators.pq import ivfpq_index, load_pq_codebooks
 
@@ -80,21 +107,48 @@ def prepare_ann_state(
             "state — appending happens through run_streaming_ann_sync; "
             "to rebuild the index, use a fresh state_dir."
         )
+    if os.path.isdir(state_dir) and os.listdir(state_dir):
+        raise ValueError(
+            f"prepare_ann_state: {state_dir!r} exists, is not empty, and "
+            "has no recipe.json — it is not a prepared state (possibly a "
+            "partial prepare from a pre-atomic layout, or an unrelated "
+            "directory). Delete it or point at a fresh state_dir."
+        )
+    abs_state = os.path.abspath(state_dir)
+    tmp = os.path.join(
+        os.path.dirname(abs_state),
+        f".prepare_tmp_{os.path.basename(abs_state)}",
+    )
+    # a stale tmp is always disposable: nothing outside it references it
+    # until the final rename
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
     cells_codes, centroids_df, codebooks_df = ivfpq_index(
         corpus, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, m=m, n_codes=n_codes,
         sample_size=sample_size, seed=seed,
         encode_residuals=encode_residuals,
     )
-    centroids_df.write.parquet(os.path.join(state_dir, "centroids"))
-    codebooks_df.write.parquet(os.path.join(state_dir, "codebooks"))
-    cells_codes.write.partitionBy("cell").parquet(
-        os.path.join(state_dir, "store", f"epoch={BASE_EPOCH}")
+    centroids_df.write.parquet(os.path.join(tmp, "centroids"))
+    codebooks_df.write.parquet(os.path.join(tmp, "codebooks"))
+    store_base = os.path.join(tmp, "store", f"epoch={BASE_EPOCH}")
+    cells_codes.write.partitionBy("cell").parquet(store_base)
+    # the id sidecar derives from the WRITTEN store (a column-pruned read
+    # of m-smallint rows' id column), not from cells_codes — re-selecting
+    # the unpersisted lineage would re-run the whole encode UDF pass
+    spark.read.parquet(store_base).select(id_col).withColumn(
+        "ibucket", _id_bucket(id_col, state_buckets)
+    ).write.partitionBy("ibucket").parquet(
+        os.path.join(tmp, "ids", f"epoch={BASE_EPOCH}")
     )
     _, pq_recipe = load_pq_codebooks(codebooks_df)
     ivf_recipe = stamped_recipe(centroids_df, "centroid_id") or {}
+    # recipe.json is written LAST inside tmp: its presence marks a
+    # complete build, and the rename below makes the whole state appear
+    # at state_dir atomically
     _atomic_write_json(
-        os.path.join(state_dir, "recipe.json"),
+        os.path.join(tmp, "recipe.json"),
         {
             "layout": STATE_LAYOUT_VERSION,
             "family": "ivfpq",
@@ -104,10 +158,14 @@ def prepare_ann_state(
             "m": int(m),
             "n_codes": int(n_codes),
             "encode": "residual" if encode_residuals else "raw",
+            "state_buckets": int(state_buckets),
             "ivf_checksum": ivf_recipe.get("checksum"),
             "pq_checksum": pq_recipe["checksum"],
         },
     )
+    if os.path.isdir(abs_state):
+        os.rmdir(abs_state)  # empty by the guard above
+    os.replace(tmp, abs_state)
 
 
 def _load_ann_state(
@@ -215,12 +273,20 @@ def probe_ann_store(
 
 
 def read_ann_drift(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The drift HISTORY as a DataFrame — ``(epoch, n_vectors,
-    mean_cell_cos, p10_cell_cos, min_cell_cos)``, one row per processed
-    non-empty epoch — the ANN analog of ``read_pairs`` reading the
-    per-epoch record back so the retrain decision can look at the trend
-    (a slow slide across 50 epochs and a one-batch outlier both end below
-    a static gate, but only the former means the codebook is stale)."""
+    """The drift HISTORY as a DataFrame — ``(generation, epoch, n_vectors,
+    mean_cell_cos, p10_cell_cos, min_cell_cos, mean_recon_cos,
+    p10_recon_cos, min_recon_cos)``, one row per processed non-empty
+    epoch — the ANN analog of ``read_pairs`` reading the per-epoch record
+    back so the retrain decision can look at the trend (a slow slide
+    across 50 epochs and a one-batch outlier both end below a static
+    gate, but only the former means the codebook is stale).
+
+    ``generation`` counts :func:`reindex_ann_state` migrations: a
+    reindexed state carries its predecessors' drift history forward under
+    ``epochs.json``'s ``prior`` chain, so the trend survives the retrain
+    — prior generations sort below the current one (which is
+    ``max(generation)``). Recon columns are NULL for epochs recorded
+    before the reconstruction-drift wiring (pre-round-10 states)."""
     recipe = _load_json(os.path.join(state_dir, "recipe.json"))
     epochs = _load_json(os.path.join(state_dir, "epochs.json"))
     if recipe is None:
@@ -234,22 +300,161 @@ def read_ann_drift(spark: SparkSession, state_dir: str) -> DataFrame:
             f"read_ann_drift: state at {state_dir!r} belongs to family "
             f"{recipe.get('family')!r}, not 'ivfpq'."
         )
-    drift = (epochs or {}).get("drift") or {}
+    epochs = epochs or {}
+    prior = epochs.get("prior") or []
+    generations = [
+        (g, entry.get("drift") or {}) for g, entry in enumerate(prior)
+    ] + [(len(prior), epochs.get("drift") or {})]
     rows = [
         (
+            int(g),
             int(e),
             int(rec["n_vectors"]),
             rec.get("mean_cell_cos"),
             rec.get("p10_cell_cos"),
             rec.get("min_cell_cos"),
+            rec.get("mean_recon_cos"),
+            rec.get("p10_recon_cos"),
+            rec.get("min_recon_cos"),
         )
+        for g, drift in generations
         for e, rec in sorted(drift.items(), key=lambda kv: int(kv[0]))
     ]
     return spark.createDataFrame(
         rows,
-        "epoch int, n_vectors long, mean_cell_cos double, "
-        "p10_cell_cos double, min_cell_cos double",
+        "generation int, epoch int, n_vectors long, "
+        "mean_cell_cos double, p10_cell_cos double, min_cell_cos double, "
+        "mean_recon_cos double, p10_recon_cos double, min_recon_cos double",
     )
+
+
+def reindex_ann_state(
+    spark: SparkSession,
+    corpus: DataFrame,
+    old_state_dir: str,
+    new_state_dir: str,
+    **recipe_overrides,
+) -> dict:
+    """The retrain-migration helper for a tripped drift gate (round-9
+    verdict #6): the documented remedy — "retrain into a fresh state_dir
+    and re-point the stream" — as one call instead of a by-hand
+    procedure.
+
+    ``corpus`` must be the FULL current corpus (the old base plus
+    everything streamed since — the old store holds codes, not vectors,
+    so re-encoding under fresh codebooks needs the source vectors).
+    Builds the new state with :func:`prepare_ann_state` under the old
+    recipe's geometry (override any of ``n_centroids`` / ``m`` /
+    ``n_codes`` / ``encode_residuals`` / ``state_buckets`` /
+    ``sample_size`` / ``seed`` / ``id_col`` / ``vec_col`` via kwargs —
+    a drift-tripped retrain often also wants more centroids), then:
+
+    - carries the drift HISTORY forward: the old state's per-epoch drift
+      records (and any prior chain from earlier reindexes) land in the
+      new ``epochs.json``'s ``prior`` chain, so
+      :func:`read_ann_drift` still shows the slide that triggered the
+      retrain (``generation`` column);
+    - verifies ID PARITY: every id in the old store must appear in the
+      new store (an id whose vector went missing/unusable in the
+      re-supplied corpus would otherwise silently vanish from probe
+      results). A parity failure removes the half-built new state and
+      raises. This is one column-pruned anti-join over the old store's
+      ids — O(old store) ONCE at migration time, not per batch.
+
+    Returns ``{"old_n_ids": ..., "new_n_ids": ...}``. Re-point the
+    stream by passing ``new_state_dir`` and a FRESH checkpoint_dir to
+    :func:`run_streaming_ann_sync` — the old checkpoint's offsets belong
+    to the old state's epochs (already folded into the new base), so
+    reusing it would skip nothing but double-append everything.
+    """
+    import shutil
+
+    old_recipe = _load_json(os.path.join(old_state_dir, "recipe.json"))
+    if old_recipe is None:
+        raise ValueError(
+            f"reindex_ann_state: no recipe.json under {old_state_dir!r} — "
+            "not a prepared ANN state."
+        )
+    _require_layout(old_recipe, old_state_dir, "reindex_ann_state")
+    if old_recipe.get("family") != "ivfpq":
+        raise ValueError(
+            f"reindex_ann_state: state at {old_state_dir!r} belongs to "
+            f"family {old_recipe.get('family')!r}, not 'ivfpq'."
+        )
+    _refuse_pending_compaction(old_state_dir, "reindex_ann_state")
+
+    allowed = {
+        "id_col", "vec_col", "n_centroids", "m", "n_codes",
+        "sample_size", "seed", "encode_residuals", "state_buckets",
+    }
+    unknown = set(recipe_overrides) - allowed
+    if unknown:
+        raise TypeError(
+            f"reindex_ann_state: unknown recipe override(s) "
+            f"{sorted(unknown)}; allowed: {sorted(allowed)}"
+        )
+    params = {
+        "id_col": old_recipe["id_col"],
+        "vec_col": old_recipe["vec_col"],
+        "n_centroids": int(old_recipe["n_centroids"]),
+        "m": int(old_recipe["m"]),
+        "n_codes": int(old_recipe["n_codes"]),
+        "encode_residuals": old_recipe.get("encode") == "residual",
+        "state_buckets": int(
+            old_recipe.get("state_buckets") or DEFAULT_STATE_BUCKETS
+        ),
+    }
+    params.update(recipe_overrides)
+    prepare_ann_state(spark, corpus, new_state_dir, **params)
+
+    try:
+        # id parity: old store ids ⊆ new store ids (both column-pruned)
+        old_id_col = old_recipe["id_col"]
+        old_ids = (
+            spark.read.parquet(os.path.join(old_state_dir, "store"))
+            .select(F.col(old_id_col).alias("_old_id"))
+            .distinct()
+        )
+        new_ids = (
+            spark.read.parquet(os.path.join(new_state_dir, "store"))
+            .select(F.col(params["id_col"]).alias("_old_id"))
+        )
+        missing = old_ids.join(new_ids, "_old_id", "left_anti").limit(1)
+        hit = missing.collect()
+        if hit:
+            raise ValueError(
+                f"reindex_ann_state: id {hit[0][0]!r} exists in the old "
+                f"store at {old_state_dir!r} but not in the reindexed "
+                "store — the supplied corpus is missing stored rows (or "
+                "their vectors became unusable), so the migration would "
+                "silently drop them from probe results. Re-supply the "
+                "full corpus."
+            )
+        old_n = old_ids.count()
+        new_n = new_ids.distinct().count()
+        # carry the drift trend across the retrain: old generations (plus
+        # the old state's own live drift) become the new state's prior
+        # chain
+        old_epochs = _load_json(
+            os.path.join(old_state_dir, "epochs.json")
+        ) or {}
+        prior = list(old_epochs.get("prior") or [])
+        prior.append(
+            {
+                "state_dir": os.path.abspath(old_state_dir),
+                "max_epoch": old_epochs.get("max_epoch"),
+                "drift": old_epochs.get("drift") or {},
+            }
+        )
+        _atomic_write_json(
+            os.path.join(new_state_dir, "epochs.json"), {"prior": prior}
+        )
+    except Exception:
+        # don't leave a half-verified state behind the atomic prepare —
+        # a parity-failed new store must not be probed as if migrated
+        shutil.rmtree(new_state_dir, ignore_errors=True)
+        raise
+    return {"old_n_ids": int(old_n), "new_n_ids": int(new_n)}
 
 
 def run_streaming_ann_sync(
@@ -260,6 +465,9 @@ def run_streaming_ann_sync(
     checkpoint_dir: str,
     assert_new_ids: bool = True,
     min_mean_cell_cos: float | None = None,
+    min_mean_recon_cos: float | None = None,
+    compact_every_n_epochs: int | None = None,
+    deep_compact_max_partition_files: int | None = None,
 ) -> None:
     """Continuously ingest a growing parquet directory of embeddings into
     a prepared IVF-PQ state (``availableNow`` trigger — process everything
@@ -270,26 +478,41 @@ def run_streaming_ann_sync(
     batch assigns, drifts and encodes against exactly those matrices
     (never re-reading the tables, so a mid-run on-disk swap cannot split
     assignment and drift across two codebooks). Per micro-batch: enforce
-    the disjoint-ids contract against everything
-    already stored (``assert_new_ids`` — one batch-sized semi-join whose
-    store side reads only the id column, plus the in-batch duplicate
-    check; pass ``False`` when the source guarantees unique ids and the
-    per-batch store scan matters), compute the batch's
-    :func:`~syncmaven_spark.operators.similarity.ivf_drift` against the
-    frozen coarse codebook and record it per epoch in ``epochs.json``,
-    then append the batch's ``(id, cell, codes)`` rows under
-    ``store/epoch=<id>`` with ``mode("overwrite")`` — the same
-    replay-idempotence contract as every other family driver (a replayed
-    epoch rewrites its own dir, and the disjointness read excludes the
-    current epoch so the replay does not collide with itself).
+    the disjoint-ids contract against everything already stored
+    (``assert_new_ids`` — one batch-sized semi-join against the
+    ``ids/`` sidecar PRUNED to the batch's own id-bucket partitions, so
+    the guard reads O(touched buckets / state_buckets) of the stored
+    ids rather than the whole store's id column (round-9 verdict #1 —
+    the last per-batch O(store) term in any driver); plus the in-batch
+    duplicate check; pass ``False`` when the source guarantees unique
+    ids), compute the batch's BOTH drift halves against the frozen
+    codebooks — coarse :func:`~syncmaven_spark.operators.similarity.
+    ivf_drift` (cell-assignment quality) AND reconstruction
+    :func:`~syncmaven_spark.operators.pq.pq_drift_assigned` (ADC/codes
+    quality; cell drift can stay healthy while the PQ codebooks'
+    reconstruction degrades — they measure different halves of the
+    quantizer) — and record them per epoch in ``epochs.json``, then
+    append the batch's ``(id, cell, codes)`` rows under
+    ``store/epoch=<id>`` and its ids under ``ids/epoch=<id>`` with
+    ``mode("overwrite")`` — the same replay-idempotence contract as
+    every other family driver (a replayed epoch rewrites its own dirs,
+    and the disjointness read excludes the current epoch so the replay
+    does not collide with itself).
 
-    ``min_mean_cell_cos`` turns the drift record into a hard gate: a
-    batch whose mean assigned-cell cosine falls below it raises instead
-    of appending — the frozen codebook no longer represents the incoming
+    ``min_mean_cell_cos`` / ``min_mean_recon_cos`` turn the drift record
+    into hard gates: a batch whose mean assigned-cell (resp.
+    reconstruction) cosine falls below the gate raises instead of
+    appending — the frozen codebook no longer represents the incoming
     distribution, which is exactly when probe recall silently degrades.
-    The remedy is a retrain into a fresh state (the recorded per-epoch
-    drift history shows when the slide started). Leave it ``None`` to
-    record-only.
+    The remedy is :func:`reindex_ann_state` into a fresh state (the
+    recorded per-epoch drift history shows when the slide started).
+    Leave them ``None`` to record-only.
+
+    ``compact_every_n_epochs`` opts into the same automatic
+    :func:`~syncmaven_spark.streaming.incremental.maybe_compact` cadence
+    as the near-dup drivers (folds ``store``/``ids`` epoch dirs into the
+    base after the epoch commit; ``deep_compact_max_partition_files``
+    escalates to the deep base rewrite).
 
     The drift rows and the appended rows are both per-row functions of
     (vector, frozen codebooks) — no k-means retrain, no re-encode, no
@@ -297,10 +520,13 @@ def run_streaming_ann_sync(
     cell-assignment UDF runs ONCE (drift and encode share the assignment
     rows — round-9 review #2: the first layout assigned twice and
     re-read the unpersisted batch per action), so per-batch cost is
-    O(batch) plus the optional id-column store scan of the guard.
+    O(batch) plus the guard's bucket-pruned id read.
     """
     from syncmaven_spark.operators.cache import persist_scoped
-    from syncmaven_spark.operators.pq import ivfpq_encode_assigned
+    from syncmaven_spark.operators.pq import (
+        ivfpq_encode_assigned,
+        pq_drift_assigned,
+    )
     from syncmaven_spark.operators.similarity import ivf_append, ivf_drift
 
     _guard_state_consistency(
@@ -316,9 +542,23 @@ def run_streaming_ann_sync(
     id_col, vec_col = recipe["id_col"], recipe["vec_col"]
     residual = recipe.get("encode") == "residual"
     store_dir = os.path.join(state_dir, "store")
+    ids_dir = os.path.join(state_dir, "ids")
     epochs_path = os.path.join(state_dir, "epochs.json")
     id_type = schema[id_col].dataType.simpleString()
-    store_ddl = f"{id_col} {id_type}, codes array<smallint>"
+    state_buckets = recipe.get("state_buckets")
+    if state_buckets is None:
+        # a state prepared before the ids sidecar existed cannot support
+        # the bucket-pruned guard, and writing un-bucketed ids beside a
+        # base that has none would make the guard silently incomplete —
+        # the standard older-layout fail-fast applies
+        raise ValueError(
+            f"run_streaming_ann_sync: state at {state_dir!r} was prepared "
+            "before the id-sidecar layout (no state_buckets in "
+            "recipe.json) — the disjointness guard and id bookkeeping "
+            "need the bucketed ids/ table. Rebuild with prepare_ann_state "
+            "(or reindex_ann_state) into a fresh state_dir."
+        )
+    state_buckets = int(state_buckets)
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         epochs = _load_json(epochs_path) or {}
@@ -353,11 +593,22 @@ def run_streaming_ann_sync(
         stored = None
         if assert_new_ids:
             # epochs < current only (the base at -1 qualifies): a replayed
-            # epoch must not collide with its own prior write. Column
-            # pruning keeps the scan to the id column of the store.
+            # epoch must not collide with its own prior write. The read is
+            # PRUNED to the batch's own id-bucket partitions of the ids/
+            # sidecar (≤ state_buckets ints collected from the persisted
+            # batch): a colliding stored id necessarily shares its bucket
+            # with the batch id, so the excluded partitions cannot
+            # contribute — per batch the guard reads O(touched buckets),
+            # not O(store ids) (round-9 verdict #1).
+            ib_vals = [
+                r[0]
+                for r in batch.select(
+                    _id_bucket(id_col, state_buckets).alias("b")
+                ).distinct().collect()
+            ]
             stored = _read_epoch_state(
-                spark, store_dir, [id_col], store_ddl, epoch_id,
-                bucket_vals=None, bucket_col="cell",
+                spark, ids_dir, [id_col], f"{id_col} {id_type}", epoch_id,
+                bucket_vals=ib_vals, bucket_col="ibucket",
             )
 
         # ONE assignment pass per batch: drift reads these rows, and the
@@ -392,6 +643,19 @@ def run_streaming_ann_sync(
             # append; advance the watermark like the empty-batch path
             _advance()
             return
+        # the other half of the retrain signal (round-9 verdict #2): how
+        # well do the frozen PQ codebooks still RECONSTRUCT incoming
+        # vectors? Cell assignment can stay healthy while ADC quality
+        # degrades — one more bounded aggregate over the already-persisted
+        # assignment rows (no second assignment pass).
+        recon_row = pq_drift_assigned(
+            assigned, centroids_df, codebooks_df,
+            encode_residuals=residual, _loaded=loaded,
+        ).first()
+        for key in ("mean_recon_cos", "p10_recon_cos", "min_recon_cos"):
+            drift[key] = (
+                float(recon_row[key]) if recon_row[key] is not None else None
+            )
         if (
             min_mean_cell_cos is not None
             and drift["mean_cell_cos"] is not None
@@ -403,7 +667,22 @@ def run_streaming_ann_sync(
                 f"below the retrain gate {min_mean_cell_cos} — the frozen "
                 "codebook no longer represents the incoming distribution "
                 "and probe recall is degrading. Retrain into a fresh "
-                "state (prepare_ann_state) and re-point the stream, or "
+                "state (reindex_ann_state) and re-point the stream, or "
+                "lower/remove the gate to record-and-continue."
+            )
+        if (
+            min_mean_recon_cos is not None
+            and drift["mean_recon_cos"] is not None
+            and drift["mean_recon_cos"] < min_mean_recon_cos
+        ):
+            raise ValueError(
+                f"run_streaming_ann_sync: epoch {epoch_id}'s mean "
+                f"reconstruction cosine {drift['mean_recon_cos']} fell "
+                f"below the retrain gate {min_mean_recon_cos} — the "
+                "frozen PQ codebooks no longer reconstruct the incoming "
+                "vectors (ADC scores are degrading even if cell "
+                "assignment still looks healthy). Retrain into a fresh "
+                "state (reindex_ann_state) and re-point the stream, or "
                 "lower/remove the gate to record-and-continue."
             )
 
@@ -431,7 +710,26 @@ def run_streaming_ann_sync(
         rows.write.partitionBy("cell").mode("overwrite").parquet(
             os.path.join(store_dir, f"epoch={int(epoch_id)}")
         )
+        # the epoch's id-sidecar rows (from the persisted assignment
+        # table — exactly the ids the store now holds), id-bucketed so
+        # future guards prune to touched buckets; overwrite keeps replays
+        # idempotent like the store write
+        assigned.select(id_col).withColumn(
+            "ibucket", _id_bucket(id_col, state_buckets)
+        ).write.partitionBy("ibucket").mode("overwrite").parquet(
+            os.path.join(ids_dir, f"epoch={int(epoch_id)}")
+        )
         _advance(extra=drift)
+        # opt-in compaction cadence, after the epoch commit (the same
+        # placement contract as the near-dup drivers)
+        if compact_every_n_epochs is not None:
+            maybe_compact(
+                spark, state_dir,
+                every_n_epochs=compact_every_n_epochs,
+                deep_when_max_partition_files=(
+                    deep_compact_max_partition_files
+                ),
+            )
 
     q = (
         spark.readStream.schema(schema)
