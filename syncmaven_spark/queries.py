@@ -1751,9 +1751,12 @@ def dedup_cosine_incremental(spark, sf_dir):
 
 def _ann_recall_contract(ann: DataFrame, bf: DataFrame) -> DataFrame:
     """The shared derived-oracle shape of every knn_* entry: per query,
-    how many results the ANN path returned and whether ≥ 2 of them are in
-    the exact top-5 (recall ≥ 0.4). Both inputs are (q_id, n_id) pair
-    tables; one place to change the contract for all five entries.
+    how many results the ANN path returned and whether ≥ 3 of them are in
+    the exact top-5 (recall ≥ 0.5 — the round-9 verdict #5 floor raise;
+    with k=5 integer hits that is effectively ≥ 0.6, matching the lowest
+    value actually measured at any scale after the round-10 n_probe
+    lifts). Both inputs are (q_id, n_id) pair tables; one place to
+    change the contract for all six entries.
 
     Both inputs are consumed TWICE (the hits join and the n_returned
     aggregate), so they persist here — without it the entire ANN lineage
@@ -1777,7 +1780,7 @@ def _ann_recall_contract(ann: DataFrame, bf: DataFrame) -> DataFrame:
         .select(
             "q_id",
             "n_returned",
-            (F.col("_hits") >= F.lit(2)).alias("recall_ge_04"),
+            (F.col("_hits") >= F.lit(3)).alias("recall_ge_05"),
         )
     )
 
@@ -1785,7 +1788,7 @@ def _ann_recall_contract(ann: DataFrame, bf: DataFrame) -> DataFrame:
 @q(
     "knn_ivf_index_probe",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
-    "TRUE AS recall_ge_04 FROM embeddings "
+    "TRUE AS recall_ge_05 FROM embeddings "
     "WHERE vec_id % 5 = 0 AND vec_id < 40",
     doc="Persistable IVF index + batch probe — ANN's analog of the dedup "
     "trilogy's continuous-ingestion split (ivf_index trains the codebook "
@@ -1797,7 +1800,9 @@ def _ann_recall_contract(ann: DataFrame, bf: DataFrame) -> DataFrame:
     "cells). Index = the 80% base corpus, queries = 8 held-out vectors. "
     "ANN results are sketch-dependent, so the derived oracle checks the "
     "contract per query: exactly k returned, recall vs the in-query "
-    "brute-force top-5 over the same corpus ≥ 0.4. Parquet-round-trip "
+    "brute-force top-5 over the same corpus ≥ 0.5 (n_probe=5 of 8 "
+    "cells; measured min recall 0.6/0.6/0.8 at sf0.001/0.01/0.1 — "
+    "round-9 verdict #5 raised the floor from 0.4). Parquet-round-trip "
     "equivalence with the one-shot cosine_topk_ivf is asserted in tests.",
     tags=("similarity", "knn", "ivf", "incremental"),
 )
@@ -1814,7 +1819,7 @@ def knn_ivf_index_probe(spark, sf_dir):
     queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40))
     assignments, centroids_df = ivf_index(corpus, n_centroids=8)
     ivf = ivf_probe(
-        queries, assignments, centroids_df, k=5, n_probe=4,
+        queries, assignments, centroids_df, k=5, n_probe=5,
         exclude_self=False,
     ).select("q_id", "n_id")
     bf = cosine_topk_bruteforce(
@@ -1826,7 +1831,7 @@ def knn_ivf_index_probe(spark, sf_dir):
 @q(
     "knn_ivf_append_probe",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
-    "TRUE AS recall_ge_04 FROM embeddings "
+    "TRUE AS recall_ge_05 FROM embeddings "
     "WHERE vec_id % 5 = 0 AND vec_id < 40",
     doc="Codebook-stable IVF ingestion — ivf_append assigns a NEW corpus "
     "batch under the existing stamped codebook (no k-means retrain, no "
@@ -1837,7 +1842,8 @@ def knn_ivf_index_probe(spark, sf_dir):
     "base, the other 40% arrives as an appended batch, and 8 held-out "
     "vectors probe the merged assignments; the derived oracle checks the "
     "ANN contract per query (exactly k returned, recall vs the in-query "
-    "brute-force top-5 over the same 80% corpus ≥ 0.4). append ∪ index ≡ "
+    "brute-force top-5 over the same 80% corpus ≥ 0.5 — n_probe=5, "
+    "measured min recall 0.6 at every test scale). append ∪ index ≡ "
     "from-scratch assignment under the same codebook is asserted in "
     "tests (parquet round-trip), and ivf_drift provides the retrain "
     "signal (operators/similarity.py:ivf_append).",
@@ -1860,7 +1866,7 @@ def knn_ivf_append_probe(spark, sf_dir):
     assignments, centroids_df = ivf_index(base, n_centroids=8)
     merged = assignments.unionByName(ivf_append(batch, centroids_df))
     ivf = ivf_probe(
-        queries, merged, centroids_df, k=5, n_probe=4, exclude_self=False
+        queries, merged, centroids_df, k=5, n_probe=5, exclude_self=False
     ).select("q_id", "n_id")
     bf = cosine_topk_bruteforce(
         corpus, queries, k=5, exclude_self=False
@@ -1871,7 +1877,7 @@ def knn_ivf_append_probe(spark, sf_dir):
 @q(
     "knn_pq_probe",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
-    "TRUE AS recall_ge_04 FROM embeddings "
+    "TRUE AS recall_ge_05 FROM embeddings "
     "WHERE vec_id % 5 = 0 AND vec_id < 40",
     doc="Product-quantization ADC top-k — the MEMORY-bound ANN path "
     "(Jégou et al. TPAMI 2011, the FAISS IVFPQ architecture): pq_train "
@@ -1889,7 +1895,7 @@ def knn_ivf_append_probe(spark, sf_dir):
     "continuous-ingestion contract as ivf_append. ADC results are "
     "sketch-dependent, so the derived oracle checks the contract per "
     "query: exactly k returned, recall vs the in-query brute-force "
-    "top-5 ≥ 0.4 (measured min recall 0.8 at every test scale — the "
+    "top-5 ≥ 0.5 (measured min recall 0.8 at every test scale — the "
     "synthetic near-i.i.d. embeddings are PQ's worst case; "
     "operators/pq.py).",
     tags=("similarity", "knn", "pq", "incremental"),
@@ -1926,7 +1932,7 @@ def knn_pq_probe(spark, sf_dir):
 @q(
     "knn_ivfpq_rerank",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
-    "TRUE AS recall_ge_04 FROM embeddings "
+    "TRUE AS recall_ge_05 FROM embeddings "
     "WHERE vec_id % 5 = 0 AND vec_id < 40",
     doc="The full production ANN composition — IVF-PQ shortlist + exact "
     "re-rank (FAISS's canonical layout end-to-end): ivfpq_index stores "
@@ -1943,8 +1949,9 @@ def knn_pq_probe(spark, sf_dir):
     "quantization. The codes table carries a COMBINED stamp (IVF "
     "centroid checksum + PQ codebook checksum); either half mismatched "
     "fails fast. Derived oracle = the ANN contract per query: exactly k "
-    "returned, recall vs in-query brute force ≥ 0.4 (measured min 0.6 "
-    "at sf0.001/0.01, 0.8 at sf0.1; operators/pq.py:ivfpq_probe).",
+    "returned, recall vs in-query brute force ≥ 0.5 (n_probe=6 of 8 "
+    "cells; measured min 0.8 at every test scale; "
+    "operators/pq.py:ivfpq_probe).",
     tags=("similarity", "knn", "ivf", "pq", "rerank"),
 )
 def knn_ivfpq_rerank(spark, sf_dir):
@@ -1968,7 +1975,7 @@ def knn_ivfpq_rerank(spark, sf_dir):
     cells_codes = persist_scoped(cells_codes)
     shortlist = ivfpq_probe(
         queries, cells_codes, centroids_df, codebooks_df,
-        k=15, n_probe=5, exclude_self=False,
+        k=15, n_probe=6, exclude_self=False,
     )
     ann = rerank_exact_topk(shortlist, queries, corpus, k=5).select(
         "q_id", "n_id"
@@ -1982,7 +1989,7 @@ def knn_ivfpq_rerank(spark, sf_dir):
 @q(
     "knn_ivfpq_residual",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
-    "TRUE AS recall_ge_04 FROM embeddings "
+    "TRUE AS recall_ge_05 FROM embeddings "
     "WHERE vec_id % 5 = 0 AND vec_id < 40",
     doc="Residual-encoded IVF-PQ (round-8 verdict #1 — Jégou et al. "
     "TPAMI 2011 §IV-A, the canonical FAISS layout): the PQ half "
@@ -1993,12 +2000,14 @@ def knn_ivfpq_rerank(spark, sf_dir):
     "encode mode rides the combined recipe stamp, so a residual store "
     "probed raw (or vice versa) fails fast. Measured honestly against "
     "raw mode on this near-i.i.d. testdata the recall is IDENTICAL "
-    "(min 0.6 / mean 0.825 at sf0.001 AND sf0.01 under this recipe) — "
-    "the coarse centroids explain little here (mean cell cos ≈ 0.2); on "
-    "clustered corpora (IVFPQ's target regime) residual mode halves the "
-    "reconstruction error, test-pinned in test_operators_pq.py. Derived "
-    "oracle = the standard ANN contract per query (operators/pq.py:"
-    "ivfpq_index).",
+    "(under the round-9 n_probe=5 recipe: min 0.6 / mean 0.825 both "
+    "modes at sf0.001 AND sf0.01) — the coarse centroids explain little "
+    "here (mean cell cos ≈ 0.2); on clustered corpora (IVFPQ's target "
+    "regime) residual mode halves the reconstruction error, test-pinned "
+    "in test_operators_pq.py. Round-10 runs n_probe=6 under the raised "
+    "≥ 0.5 contract floor (measured min 0.8/0.8/0.6 at "
+    "sf0.001/0.01/0.1). Derived oracle = the standard ANN contract per "
+    "query (operators/pq.py:ivfpq_index).",
     tags=("similarity", "knn", "ivf", "pq", "residual"),
 )
 def knn_ivfpq_residual(spark, sf_dir):
@@ -2021,7 +2030,7 @@ def knn_ivfpq_residual(spark, sf_dir):
     cells_codes = persist_scoped(cells_codes)
     ann = ivfpq_probe(
         queries, cells_codes, centroids_df, codebooks_df,
-        k=5, n_probe=5, exclude_self=False, encode_residuals=True,
+        k=5, n_probe=6, exclude_self=False, encode_residuals=True,
     ).select("q_id", "n_id")
     bf = cosine_topk_bruteforce(
         corpus, queries, k=5, exclude_self=False
@@ -2031,8 +2040,15 @@ def knn_ivfpq_residual(spark, sf_dir):
 
 @q(
     "knn_pq_drift_contract",
+    # count USABLE rows exactly like pq_drift's _usable_vectors filter
+    # (non-null id, non-null all-finite embedding) — the previous
+    # count(*) oracle silently depended on the testdata never containing
+    # an unusable embedding (round-9 advice)
     "SELECT CAST(count(*) AS BIGINT) AS n_vectors, "
-    "TRUE AS ordered_ok, TRUE AS reconstructs FROM embeddings",
+    "TRUE AS ordered_ok, TRUE AS reconstructs FROM embeddings "
+    "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND "
+    "len(list_filter(embedding, "
+    "x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0",
     doc="The PQ codebook-retrain signal (round-8 verdict #7): pq_drift "
     "scores every vector's cosine to its own quantized reconstruction "
     "under the frozen codebooks — one vectorized Arrow pass over the "
@@ -2070,15 +2086,16 @@ def knn_pq_drift_contract(spark, sf_dir):
 @q(
     "knn_cosine_ivf",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
-    "TRUE AS recall_ge_04 FROM embeddings WHERE vec_id < 8",
-    doc="IVF-partitioned approximate top-5 ANN (8 centroids, probe 4): "
+    "TRUE AS recall_ge_05 FROM embeddings WHERE vec_id < 8",
+    doc="IVF-partitioned approximate top-5 ANN (8 centroids, probe 6): "
     "driver-trained centroids broadcast, corpus assigned in one vectorized "
     "pandas pass, candidate equi-join on cell id. ANN results are "
     "sketch-dependent (not SQL-expressible), so the derived oracle checks "
     "the ANN contract per query: exactly k results returned, and recall "
-    "against the in-query brute-force top-5 ≥ 0.4 — a broken index or "
-    "assignment flips a boolean and fails the hash compare. Absolute "
-    "recall is also asserted in tests.",
+    "against the in-query brute-force top-5 ≥ 0.5 (measured min 0.6 at "
+    "every test scale) — a broken index or assignment flips a boolean "
+    "and fails the hash compare. Absolute recall is also asserted in "
+    "tests.",
     tags=("similarity", "knn", "ivf"),
 )
 def knn_cosine_ivf(spark, sf_dir):
@@ -2111,7 +2128,7 @@ def knn_cosine_ivf(spark, sf_dir):
     )
     q_set = (
         assign_cells(
-            emb.filter(F.col("vec_id") < 8), centroids, n_probe=4, out_col="_cells"
+            emb.filter(F.col("vec_id") < 8), centroids, n_probe=6, out_col="_cells"
         )
         .select(
             F.col("vec_id").alias("q_id"),
