@@ -106,6 +106,8 @@ EXTRA = [
     # round-9 additions
     "knn_ivfpq_residual",
     "knn_pq_drift_contract",
+    # round-10 additions
+    "knn_recon_drift_assigned",
 ]
 
 

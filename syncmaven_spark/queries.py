@@ -2084,6 +2084,63 @@ def knn_pq_drift_contract(spark, sf_dir):
 
 
 @q(
+    "knn_recon_drift_assigned",
+    # usable rows exactly like _usable_vectors (the same predicate as
+    # knn_pq_drift_contract's oracle)
+    "SELECT CAST(count(*) AS BIGINT) AS n_vectors, "
+    "TRUE AS ordered_ok, TRUE AS reconstructs, TRUE AS matches_direct "
+    "FROM embeddings "
+    "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND "
+    "len(list_filter(embedding, "
+    "x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0",
+    doc="Reconstruction drift over ALREADY-ASSIGNED rows (round-10: the "
+    "streaming ANN driver records both drift halves per epoch, and "
+    "pq_drift_assigned is the half that avoids a second assignment "
+    "pass — it scores ivf_index/ivf_append-shaped (id, cell, vec, norm) "
+    "rows against the frozen PQ codebooks, committing to the STORED "
+    "cell in residual mode). The derived oracle checks the contract: "
+    "every usable vector scored, mean ≥ p10 ≥ min (percentile "
+    "coherence), the mean in the reconstructing regime, and — the "
+    "operator identity — pq_drift_assigned over the index's own "
+    "assignment rows EQUALS pq_drift over the raw batch (same codebooks, "
+    "same rounding), so the driver's per-epoch record measures exactly "
+    "what the standalone operator defines. "
+    "operators/pq.py:pq_drift_assigned.",
+    tags=("similarity", "pq", "drift", "incremental", "streaming"),
+)
+def knn_recon_drift_assigned(spark, sf_dir):
+    from syncmaven_spark.operators import (
+        ivf_index,
+        pq_drift,
+        pq_drift_assigned,
+        pq_train,
+    )
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    assignments, cents = ivf_index(emb, n_centroids=8)
+    books = pq_train(emb, m=8, n_codes=64)
+    a = pq_drift_assigned(assignments, cents, books).first()
+    d = pq_drift(emb, books).first()
+    matches = all(a[k] == d[k] for k in a.asDict())
+    return spark.createDataFrame(
+        [
+            (
+                int(a["n_vectors"]),
+                bool(
+                    a["mean_recon_cos"] >= a["p10_recon_cos"]
+                    >= a["min_recon_cos"]
+                ),
+                bool(0.5 < a["mean_recon_cos"] <= 1.0),
+                bool(matches),
+            )
+        ],
+        "n_vectors long, ordered_ok boolean, reconstructs boolean, "
+        "matches_direct boolean",
+    )
+
+
+@q(
     "knn_cosine_ivf",
     "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
     "TRUE AS recall_ge_05 FROM embeddings WHERE vec_id < 8",

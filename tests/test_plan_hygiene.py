@@ -48,6 +48,11 @@ EXECUTES_ON_BUILD = {
     # test_round9_fixes.py's plan assertions + test_operators_pq.py
     "knn_ivfpq_residual",
     "knn_pq_drift_contract",
+    # round-10: ivf_index + pq_train at build time, and the operator
+    # identity (pq_drift_assigned ≡ pq_drift) is collected in-entry; the
+    # drift kernels' own plan properties are covered by
+    # test_round10_fixes.py + test_operators_pq.py
+    "knn_recon_drift_assigned",
 }
 
 # 1-row scalar broadcasts: join of an aggregate total with no join key.
