@@ -408,14 +408,18 @@ def reindex_ann_state(
     prepare_ann_state(spark, corpus, new_state_dir, **params)
 
     try:
-        # id parity: old store ids ⊆ new store ids (both column-pruned)
+        from syncmaven_spark.operators.cache import persist_scoped
+
+        # id parity: old store ids ⊆ new store ids (both column-pruned;
+        # the old side feeds the anti-join AND its count, so persist it
+        # rather than scanning the old store's id column twice)
         old_id_col = old_recipe["id_col"]
-        old_ids = (
+        old_ids = persist_scoped(
             spark.read.parquet(os.path.join(old_state_dir, "store"))
             .select(F.col(old_id_col).alias("_old_id"))
             .distinct()
         )
-        new_ids = (
+        new_ids = persist_scoped(
             spark.read.parquet(os.path.join(new_state_dir, "store"))
             .select(F.col(params["id_col"]).alias("_old_id"))
         )
@@ -431,7 +435,19 @@ def reindex_ann_state(
                 "full corpus."
             )
         old_n = old_ids.count()
+        new_total = new_ids.count()
         new_n = new_ids.distinct().count()
+        if new_total != new_n:
+            # the streaming driver guards every batch against duplicate
+            # ids, but a reindex corpus is caller-assembled — a repeated
+            # id puts two differently-coded rows in the fresh base and
+            # probe scores turn nondeterministic with zero errors
+            raise ValueError(
+                f"reindex_ann_state: the supplied corpus produced "
+                f"{new_total - new_n} duplicate store row(s) — the same "
+                "id appears more than once (e.g. a batch re-supplied "
+                "twice). Deduplicate the corpus by id and re-run."
+            )
         # carry the drift trend across the retrain: old generations (plus
         # the old state's own live drift) become the new state's prior
         # chain

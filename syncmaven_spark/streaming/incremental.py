@@ -1256,8 +1256,8 @@ def _merge_tmp_into_base(tmp: str, base: str) -> None:
 
 
 #: every epoch-keyed state table any family driver writes — near-dup
-#: (index/sets/vecs/pairs), decontamination (pairs) and ANN (store) share
-#: ONE compaction path
+#: (index/sets/vecs/pairs), decontamination (pairs) and ANN (store + the
+#: ids sidecar) share ONE compaction path
 _COMPACTABLE_TABLES = ("index", "sets", "vecs", "pairs", "store", "ids")
 
 

@@ -451,6 +451,21 @@ def test_reindex_parity_failure_removes_new_state(spark, prepared):
     assert not os.path.exists(state2)
 
 
+def test_reindex_rejects_duplicate_corpus_ids(spark, prepared):
+    """A caller-assembled reindex corpus that repeats an id (e.g. a batch
+    re-supplied twice) would put two differently-coded rows in the fresh
+    base — probes turn nondeterministic with zero errors; the migration
+    fails fast and removes the half-built state instead."""
+    rng, src, state, ckpt, base_rows = prepared
+    doubled = spark.createDataFrame(
+        base_rows + base_rows[:5], "vec_id long, embedding array<double>"
+    )
+    state2 = state + "_v2"
+    with pytest.raises(ValueError, match="duplicate store row"):
+        reindex_ann_state(spark, doubled, state, state2)
+    assert not os.path.exists(state2)
+
+
 def test_reindex_rejects_unknown_override(spark, prepared):
     rng, src, state, ckpt, base_rows = prepared
     base = spark.createDataFrame(
