@@ -71,11 +71,21 @@ def _normalized_centroids(centroids: np.ndarray) -> np.ndarray:
     return c / (np.linalg.norm(c, axis=1, keepdims=True) + 1e-12)
 
 
+#: bound on the (slab × m × n_codes) float64 scores buffer inside
+#: _assign_codes — at the catalog's m=32 × n_codes=256 recipe a 10k-row
+#: un-slabbed pass materialized TWO 655 MB temporaries (the einsum output
+#: plus the ``c² - 2·scores`` subtraction) per call; slabbing + in-place
+#: arithmetic keeps the working set near cache size and was the dominant
+#: cost of pq_train's Lloyd loop (measured 25.8 s → see pq_train)
+_ASSIGN_SLAB_BYTES = 32 * 1024 * 1024
+
+
 def _assign_codes(Xn: np.ndarray, books: np.ndarray) -> np.ndarray:
     """Nearest-codebook-entry assignment per subspace — the ONE encode
-    kernel shared by the raw and residual paths: ``argmin ||s-c||² =
-    argmin(||c||² - 2 s·c)``, all subspaces in one einsum (m separate tiny
-    matmuls pay per-call BLAS thread-spawn overhead — see pq_train).
+    kernel shared by the raw and residual paths AND pq_train's Lloyd
+    iterations: ``argmin ||s-c||² = argmin(-2 s·c + ||c||²)``, all
+    subspaces in one einsum per slab (m separate tiny matmuls pay
+    per-call BLAS thread-spawn overhead — see pq_train).
 
     ``optimize=False`` deliberately: the contraction dim is ``sub_dim``
     (typically 2-16), far too small for GEMM to win — optimize=True
@@ -83,12 +93,31 @@ def _assign_codes(Xn: np.ndarray, books: np.ndarray) -> np.ndarray:
     this shape measured 7-36× SLOWER and wildly unstable under host
     thread contention (round-9: the interleaved benchmark pinned the
     plain single-threaded einsum at ~0.2 s/call while the BLAS route
-    swung 1.4-7 s/call). The plain C loop is both faster and stable."""
+    swung 1.4-7 s/call). The plain C loop is both faster and stable.
+
+    The row axis SLABS under :data:`_ASSIGN_SLAB_BYTES` with one reused
+    buffer and in-place ``b = -2b + c²`` (bit-identical to
+    ``c² - 2·scores``: ×2 and sign flip are exact, IEEE addition is
+    commutative — codebooks and stamps are unchanged): the un-slabbed
+    form allocated two scores-sized temporaries per call, which at the
+    m=32 × n_codes=256 recipe made memory traffic, not FLOPs, the
+    Lloyd loop's cost (round-10: pq_train 25.8 s → 8.3 s measured at
+    sf0.1, bit-identical output)."""
     m, n_codes, sub_dim = books.shape
-    Xs = np.ascontiguousarray(Xn.reshape(len(Xn), m, sub_dim))
+    n = len(Xn)
+    Xs = np.ascontiguousarray(Xn.reshape(n, m, sub_dim))
     c2 = (books * books).sum(axis=2)
-    scores = np.einsum("njs,jcs->njc", Xs, books, optimize=False)
-    return np.argmin(c2[None, :, :] - 2.0 * scores, axis=2)
+    slab = max(1, _ASSIGN_SLAB_BYTES // (m * n_codes * 8))
+    out = np.empty((n, m), dtype=np.int64)
+    buf = np.empty((min(slab, n), m, n_codes))
+    for i in range(0, n, slab):
+        xs = Xs[i : i + slab]
+        b = buf[: len(xs)]
+        np.einsum("njs,jcs->njc", xs, books, out=b, optimize=False)
+        b *= -2.0
+        b += c2[None, :, :]
+        out[i : i + slab] = b.argmin(axis=2)
+    return out
 
 
 def _pq_checksum(codebooks: np.ndarray) -> str:
@@ -195,18 +224,18 @@ def pq_train(
             init = np.vstack([init, pad])
         books[j] = init
     # joint Lloyd over ALL subspaces per iteration (each converges
-    # independently — the math is identical to m separate loops). One
-    # einsum + one scatter-add per iteration: m separate tiny matmuls
-    # paid ~9 ms EACH in BLAS thread-spawn overhead (measured 2.8 s of a
-    # 5 s entry at m=32, n_codes=256, 10 iterations). optimize=False for
-    # the same reason as _assign_codes: the tiny contraction dim makes
-    # the threaded-BLAS route 7-36× slower and unstable on this host.
+    # independently — the math is identical to m separate loops), with
+    # the assignment step delegated to the ONE slabbed in-place kernel
+    # the encode path uses (_assign_codes): m separate tiny matmuls paid
+    # ~9 ms EACH in BLAS thread-spawn overhead (round-8), and the
+    # un-slabbed joint einsum then made MEMORY traffic the cost — two
+    # 655 MB temporaries per iteration at m=32 × n_codes=256 × 10k
+    # samples, 25.8 s of the knn_pq_probe entry; the shared slabbed
+    # kernel cut the same bit-identical training to 8.3 s (round-10).
     Xs = np.ascontiguousarray(Xn.reshape(len(Xn), m, sub_dim))
     offsets = (np.arange(m) * n_codes)[None, :]
     for _ in range(iterations):
-        c2 = (books * books).sum(axis=2)  # (m, n_codes)
-        scores = np.einsum("njs,jcs->njc", Xs, books, optimize=False)
-        assign = np.argmin(c2[None, :, :] - 2.0 * scores, axis=2)  # (n, m)
+        assign = _assign_codes(Xn, books)  # (n, m)
         flat = (assign + offsets).ravel()
         sums = np.zeros((m * n_codes, sub_dim))
         np.add.at(sums, flat, Xs.reshape(-1, sub_dim))
