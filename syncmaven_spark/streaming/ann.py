@@ -31,6 +31,12 @@ near-dup drivers in :mod:`syncmaven_spark.streaming.incremental`, so
   min reconstruction cosine) — both halves of the retrain signal,
   checked per batch; plus the ``prior`` chain
   :func:`reindex_ann_state` uses to carry the trend across retrains.
+  The drift record is ~150 B/epoch and ``epochs.json`` is rewritten
+  atomically per batch, so the driver-side metadata cost grows linearly
+  with epochs ever processed (~1.5 MB rewrite per batch at 10⁴ epochs —
+  the same order as Structured Streaming's own checkpoint metadata, and
+  intentional: the per-epoch history IS the retrain-trend product;
+  compaction folds the parquet tables, never the trend).
 
 Probes read the WHOLE store (all epochs, base included) through
 :func:`read_ann_store`; the combined stamp rides the ``codes`` data column
