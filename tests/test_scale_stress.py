@@ -240,3 +240,76 @@ def test_incremental_decontamination_equals_one_shot_at_sf01(spark, docs):
         }
     assert inc == one_shot
     assert len(inc) > 0
+
+
+def test_streaming_ann_equals_one_shot_at_sf01(spark, tmp_path):
+    """The ANN driver's 3-batch ≡ one-shot property at sf0.1 (the unit
+    tier runs it on 70 vectors; this drives the full 50k-vector table
+    through prepare → streamed appends WITH the round-10 surface live:
+    the bucket-pruned ids-sidecar disjointness guard on every batch,
+    both drift halves recorded per epoch, and the compaction cadence
+    folding store+ids mid-stream — then probes the compacted state and
+    compares against a one-shot assignment of the whole corpus under
+    the same frozen codebooks."""
+    from syncmaven_spark.operators import ivfpq_append, ivfpq_probe
+    from syncmaven_spark.session import load_tables
+    from syncmaven_spark.streaming import (
+        prepare_ann_state,
+        probe_ann_store,
+        read_ann_drift,
+        read_ann_store,
+        run_streaming_ann_sync,
+    )
+
+    emb = load_tables(spark, SF_DIR, register_views=False)["embeddings"]
+    base = emb.filter("vec_id % 5 <> 0")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    prepare_ann_state(
+        spark, base, state, n_centroids=16, m=8, n_codes=64
+    )
+    stream_side = emb.filter("vec_id % 5 = 0")
+    schema = stream_side.schema
+    for part in range(3):
+        stream_side.filter(F.col("vec_id") % 3 == part).write.mode(
+            "append"
+        ).parquet(src)
+        run_streaming_ann_sync(
+            spark, src, schema, state, ckpt,
+            compact_every_n_epochs=2,
+        )
+
+    # the cadence fired at epoch 2: store and ids live dirs are bounded
+    store_dirs = {
+        n for n in os.listdir(state + "/store") if n.startswith("epoch=")
+    }
+    assert store_dirs == {"epoch=-1", "epoch=2"}
+    assert store_dirs == {
+        n for n in os.listdir(state + "/ids") if n.startswith("epoch=")
+    }
+
+    # both drift halves recorded for all three epochs, sane ranges
+    hist = read_ann_drift(spark, state).collect()
+    assert {r.epoch for r in hist} == {0, 1, 2}
+    for r in hist:
+        assert 0.0 < r.mean_recon_cos <= 1.0
+        assert -1.0 <= r.mean_cell_cos <= 1.0
+
+    queries = emb.filter("vec_id < 40")
+    got = {
+        (r.q_id, r.n_id, r.approx_sim, r.rank)
+        for r in probe_ann_store(
+            spark, queries, state, k=5, n_probe=4
+        ).collect()
+    }
+    cells_codes, cents, books = read_ann_store(spark, state)
+    assert cells_codes.count() == emb.count()
+    full = ivfpq_append(emb, cents, books)
+    ref = {
+        (r.q_id, r.n_id, r.approx_sim, r.rank)
+        for r in ivfpq_probe(
+            queries, full, cents, books, k=5, n_probe=4
+        ).collect()
+    }
+    assert got == ref and len(got) > 0
