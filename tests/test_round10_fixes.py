@@ -451,6 +451,61 @@ def test_reindex_parity_failure_removes_new_state(spark, prepared):
     assert not os.path.exists(state2)
 
 
+def test_reindex_chains_three_generations(spark, prepared):
+    """A reindex of a reindexed state keeps the WHOLE trend: generation
+    g's prior chain carries every earlier generation's per-epoch records,
+    so read_ann_drift shows the full history across two retrains."""
+    rng, src, state, ckpt, base_rows = prepared
+    _write_vecs(spark, src, _vecs(rng, 10, start=100))
+    _run(spark, src, state, ckpt)
+
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    full = base.unionByName(spark.read.parquet(src))
+    state2, state3 = state + "_v2", state + "_v3"
+    reindex_ann_state(spark, full, state, state2)
+    # generation 1 processes its own epoch before the second retrain
+    _write_vecs(spark, src + "_2", _vecs(rng, 10, start=300))
+    _run(spark, src + "_2", state2, ckpt + "_2")
+    full2 = full.unionByName(spark.read.parquet(src + "_2"))
+    reindex_ann_state(spark, full2, state2, state3)
+
+    hist = read_ann_drift(spark, state3).collect()
+    assert {(r.generation, r.epoch) for r in hist} == {(0, 0), (1, 0)}
+    assert all(r.n_vectors == 10 for r in hist)
+    # and the third-generation state is live: it takes its own epochs
+    _write_vecs(spark, src + "_3", _vecs(rng, 10, start=500))
+    _run(spark, src + "_3", state3, ckpt + "_3")
+    hist3 = read_ann_drift(spark, state3).collect()
+    assert {(r.generation, r.epoch) for r in hist3} == {
+        (0, 0), (1, 0), (2, 0)
+    }
+
+
+def test_reindex_upgrades_pre_sidecar_state(spark, prepared):
+    """The driver's pre-sidecar refusal names reindex_ann_state as the
+    remedy — so reindexing a state whose recipe predates state_buckets
+    must produce a sidecar-bearing state the driver accepts."""
+    rng, src, state, ckpt, base_rows = prepared
+    recipe_path = os.path.join(state, "recipe.json")
+    recipe = json.load(open(recipe_path))
+    del recipe["state_buckets"]
+    with open(recipe_path, "w") as f:
+        json.dump(recipe, f)
+
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    state2 = state + "_v2"
+    reindex_ann_state(spark, base, state, state2)
+    new_recipe = json.load(open(os.path.join(state2, "recipe.json")))
+    assert new_recipe["state_buckets"] > 0
+    assert os.path.isdir(os.path.join(state2, "ids"))
+    _write_vecs(spark, src, _vecs(rng, 5, start=100))
+    _run(spark, src, state2, ckpt)  # the upgraded state streams fine
+
+
 def test_reindex_rejects_duplicate_corpus_ids(spark, prepared):
     """A caller-assembled reindex corpus that repeats an id (e.g. a batch
     re-supplied twice) would put two differently-coded rows in the fresh
