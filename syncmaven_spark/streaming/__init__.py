@@ -1,10 +1,12 @@
 """Structured Streaming execution paths."""
 
 from syncmaven_spark.streaming.ann import (  # noqa: F401
+    DRIFT_TAIL_EPOCHS,
     prepare_ann_state,
     probe_ann_store,
     read_ann_drift,
     read_ann_store,
+    recommend_retrain,
     reindex_ann_state,
     run_streaming_ann_sync,
 )

@@ -1287,6 +1287,7 @@ def compact_state(
     state_dir: str,
     up_to_epoch: int,
     rewrite_base: bool = False,
+    rewrite_tables: "frozenset[str] | set[str] | None" = None,
 ) -> dict[str, int] | dict[str, dict]:
     """Fold a streaming near-dup state's LIVE ``0 <= epoch < up_to_epoch``
     partition dirs into the ``epoch=-1`` base per table (round-6 verdict
@@ -1358,10 +1359,22 @@ def compact_state(
     "base_files_max_partition": max}}`` so callers can key the next
     deep pass off the report.
 
+    ``rewrite_tables`` scopes the deep rewrite to the NAMED tables only
+    (round-10 advice: one table's base tripping the file threshold was
+    escalating the O(total state) rewrite onto every table): listed
+    tables fold base-inclusive, the rest stay additive. The return value
+    switches to the deep report shape whenever ANY table rewrote
+    (additive-only tables report ``{"folded_dirs": n}`` without the
+    file-count walk). ``rewrite_base=True`` remains "deep for all".
+
     Threshold bookkeeping: folded epochs' per-epoch threshold records are
     dropped from ``epochs.json`` and their min/max fold into
     ``base_threshold_min`` / ``base_threshold_max`` so
     :func:`read_pairs` can still reason about the base's completeness.
+    The threshold keys are only written for states that RECORD thresholds
+    (the near-dup families) — an ANN state driven through
+    :func:`maybe_compact` no longer accretes a foreign empty
+    ``thresholds`` key (round-10 advice).
     """
     import os
     import shutil
@@ -1423,21 +1436,26 @@ def compact_state(
             "compacted — an at-least-once replay re-delivers it and must "
             "not see its own prior writes in the base."
         )
+    any_deep = rewrite_base or bool(rewrite_tables)
     folded: dict[str, int] = {}
     reports: dict[str, dict] = {}
     folded_epochs: set[int] = set()
     for table in _COMPACTABLE_TABLES:
+        deep = rewrite_base or (
+            rewrite_tables is not None and table in rewrite_tables
+        )
         table_dir = os.path.join(state_dir, table)
         if not os.path.isdir(table_dir):
             continue
         # only LIVE epochs fold by default; the base itself is never
         # re-read or re-written (the additive contract). The deep pass
-        # (rewrite_base) folds the base too, trading O(total state) cost
-        # for a one-write-tight base.
+        # folds the base too, trading O(folded state) cost for a
+        # one-write-tight base — scoped to this table when the caller
+        # passed rewrite_tables.
         to_fold = {
             e: p
             for e, p in _list_epoch_dirs(table_dir, below=up_to_epoch)
-            if rewrite_base or e != BASE_EPOCH
+            if deep or e != BASE_EPOCH
         }
         base_dir = os.path.join(table_dir, f"epoch={BASE_EPOCH}")
         if not to_fold:
@@ -1448,16 +1466,18 @@ def compact_state(
             # routine additive cadence was paying an os.walk of the whole
             # base per call and throwing the report away).
             folded[table] = 0
-            if rewrite_base:
+            if deep:
                 reports[table] = {
                     "folded_dirs": 0, **_count_base_files(base_dir)
                 }
+            elif any_deep:
+                reports[table] = {"folded_dirs": 0}
             continue
         folded_epochs.update(to_fold)
         # partition pruning on the epoch filter keeps this read to exactly
         # the folded dirs — in additive mode the base's files are never
         # opened
-        low = BASE_EPOCH if rewrite_base else 0
+        low = BASE_EPOCH if deep else 0
         df = spark.read.parquet(table_dir).filter(
             (F.col("epoch") >= low)
             & (F.col("epoch") < F.lit(int(up_to_epoch)))
@@ -1508,20 +1528,22 @@ def compact_state(
         _atomic_write_json(
             journal_path,
             {"fold": sorted(to_fold.values()), "up_to": int(up_to_epoch),
-             "mode": "deep" if rewrite_base else "additive"},
+             "mode": "deep" if deep else "additive"},
         )
         for path in to_fold.values():
             shutil.rmtree(path)
-        if rewrite_base:
+        if deep:
             os.replace(tmp, base_dir)
         else:
             _merge_tmp_into_base(tmp, base_dir)
         os.remove(journal_path)
         folded[table] = len(to_fold)
-        if rewrite_base:
+        if deep:
             reports[table] = {
                 "folded_dirs": len(to_fold), **_count_base_files(base_dir)
             }
+        elif any_deep:
+            reports[table] = {"folded_dirs": len(to_fold)}
     # drop per-epoch threshold records whose dirs folded into the base,
     # carrying their range into the base_threshold_{min,max} records so
     # read_pairs can still judge the base's completeness for a cutoff
@@ -1539,16 +1561,20 @@ def compact_state(
         e: t for e, t in old_thresholds.items()
         if int(e) not in folded_epochs
     }
-    updated = {**epochs, "thresholds": thresholds,
-               "compacted_up_to": int(up_to_epoch)}
+    updated = {**epochs, "compacted_up_to": int(up_to_epoch)}
+    # only states that RECORD thresholds (the near-dup families) carry the
+    # threshold keys forward — writing "thresholds": {} into an ANN
+    # state's epochs.json accreted a foreign key (round-10 advice)
+    if "thresholds" in epochs or pool:
+        updated["thresholds"] = thresholds
     if pool:
         updated["base_threshold_min"] = min(pool)
         updated["base_threshold_max"] = max(pool)
     _atomic_write_json(os.path.join(state_dir, "epochs.json"), updated)
     # the additive mode keeps its historical {table: n_dirs_folded} shape
-    # (existing callers/tests compare it directly); the deep pass returns
-    # the file report its threshold decision needs
-    return reports if rewrite_base else folded
+    # (existing callers/tests compare it directly); any deep rewrite
+    # returns the report shape its threshold decision needs
+    return reports if any_deep else folded
 
 
 def maybe_compact(
@@ -1571,13 +1597,15 @@ def maybe_compact(
     - Cadence tripped → additive :func:`compact_state` up to the current
       ``max_epoch`` (the latest epoch itself is never folded, preserving
       replay idempotence).
-    - Additionally, when ``deep_when_max_partition_files`` is set and any
+    - Additionally, when ``deep_when_max_partition_files`` is set and a
       compactable table's base holds at least that many files in one
-      partition dir (the additive mode's accretion signal), the pass runs
-      with ``rewrite_base=True`` instead — the O(total state) deep rewrite
-      that resets the base to one tight file set. The file-count walk only
-      runs when the cadence already tripped, so the routine per-epoch call
-      never pays it (the round-9 review #3 contract).
+      partition dir (the additive mode's accretion signal), THAT table
+      folds with the deep base rewrite — the pass is scoped to the
+      tripped table(s) (round-10 advice: one tripped table no longer
+      escalates the O(total state) rewrite onto every table); the rest
+      stay additive. The file-count walk only runs when the cadence
+      already tripped, so the routine per-epoch call never pays it (the
+      round-9 review #3 contract).
 
     Returns :func:`compact_state`'s report when a pass ran, else ``None``.
     """
@@ -1591,7 +1619,7 @@ def maybe_compact(
     # epochs in [compacted_up_to, max_epoch) still live as their own dirs
     if max_epoch - compacted_up_to < every_n_epochs:
         return None
-    rewrite = False
+    tripped: set[str] = set()
     if deep_when_max_partition_files is not None:
         for table in _COMPACTABLE_TABLES:
             base = os.path.join(state_dir, table, f"epoch={BASE_EPOCH}")
@@ -1602,10 +1630,10 @@ def maybe_compact(
                 report["base_files_max_partition"]
                 >= deep_when_max_partition_files
             ):
-                rewrite = True
-                break
+                tripped.add(table)
     return compact_state(
-        spark, state_dir, up_to_epoch=max_epoch, rewrite_base=rewrite
+        spark, state_dir, up_to_epoch=max_epoch,
+        rewrite_tables=tripped or None,
     )
 
 

@@ -313,3 +313,92 @@ def test_streaming_ann_equals_one_shot_at_sf01(spark, tmp_path):
         ).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_reindex_under_load_at_sf01(spark, tmp_path):
+    """Round-11: the full tripped-gate remedy loop at sf0.1 (round-10
+    verdict #4 residue asked for one reindex-under-load case in the
+    stress tier): generation 0 streams TWO epochs with a 1-record drift
+    tail — so the live tail ROLLS into drift/live segments mid-stream —
+    then a (deliberately strict, 0.999) recon gate trips on the next
+    batch, reindex_ann_state migrates the 44k-row store (codebook
+    retrain over the full corpus + the O(old store) id-parity anti-join,
+    both at real scale), and the stream CONTINUES into the new
+    generation, whose probe matches a one-shot assignment under the new
+    codebooks. The segmented drift history survives the migration: every
+    generation-0 epoch is still readable. The gate is tripped by
+    strictness, not a planted distribution shift — drift realism is
+    pinned at unit scale (test_round10_fixes); what only this tier
+    exercises is the migration's cost-bearing paths on 50k vectors."""
+    from syncmaven_spark.operators import ivfpq_append, ivfpq_probe
+    from syncmaven_spark.session import load_tables
+    from syncmaven_spark.streaming import (
+        prepare_ann_state,
+        probe_ann_store,
+        read_ann_drift,
+        read_ann_store,
+        reindex_ann_state,
+        run_streaming_ann_sync,
+    )
+
+    emb = load_tables(spark, SF_DIR, register_views=False)["embeddings"]
+    base = emb.filter("vec_id % 5 <> 0")
+    stream_side = emb.filter("vec_id % 5 = 0")
+    a1 = stream_side.filter("vec_id % 20 = 0")
+    a2 = stream_side.filter("vec_id % 20 = 10")
+    b = stream_side.filter("vec_id % 10 = 5")
+    schema = stream_side.schema
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    prepare_ann_state(spark, base, state, n_centroids=16, m=8, n_codes=64)
+    for part in (a1, a2):
+        part.write.mode("append").parquet(src)
+        run_streaming_ann_sync(
+            spark, src, schema, state, ckpt,
+            min_mean_recon_cos=0.2, drift_tail_epochs=1,
+        )
+    # the 1-epoch tail rolled epoch 0 into a segment mid-stream
+    assert os.path.isdir(os.path.join(state, "drift", "live"))
+
+    b.write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="reconstruction cosine"):
+        run_streaming_ann_sync(
+            spark, src, schema, state, ckpt, min_mean_recon_cos=0.999
+        )
+
+    # migrate: full corpus = everything the old store holds
+    state2 = str(tmp_path / "state2")
+    corpus = base.unionByName(a1).unionByName(a2)
+    report = reindex_ann_state(spark, corpus, state, state2)
+    assert report["old_n_ids"] == report["new_n_ids"] == corpus.count()
+
+    # the stream continues into the new generation (fresh checkpoint)
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    b.write.parquet(src2)
+    run_streaming_ann_sync(
+        spark, src2, schema, state2, ckpt2, min_mean_recon_cos=0.2
+    )
+
+    hist = read_ann_drift(spark, state2).collect()
+    assert {(r.generation, r.epoch) for r in hist} == {
+        (0, 0), (0, 1), (1, 0)
+    }
+    queries = emb.filter("vec_id < 40")
+    got = {
+        (r.q_id, r.n_id, r.approx_sim, r.rank)
+        for r in probe_ann_store(
+            spark, queries, state2, k=5, n_probe=4
+        ).collect()
+    }
+    cells_codes, cents, books = read_ann_store(spark, state2)
+    assert cells_codes.count() == emb.count()
+    full = ivfpq_append(emb, cents, books)
+    ref = {
+        (r.q_id, r.n_id, r.approx_sim, r.rank)
+        for r in ivfpq_probe(
+            queries, full, cents, books, k=5, n_probe=4
+        ).collect()
+    }
+    assert got == ref and len(got) > 0
