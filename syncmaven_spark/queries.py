@@ -2164,15 +2164,20 @@ def knn_recon_drift_assigned(spark, sf_dir):
     "sidecar + checksum-stamped recipe), run_streaming_ann_sync ingests "
     "the other 40% as TWO availableNow micro-batches (each guarded by "
     "the bucket-pruned disjointness check, both drift halves recorded "
-    "per epoch in the bounded live tail), and probe_ann_store reads the "
-    "merged multi-epoch store under the frozen codebooks. The state "
-    "lives in a scratch dir for the entry's duration; the (tiny) "
-    "contract result is materialized before cleanup. Derived oracle = "
-    "the standard ANN recall contract per held-out query (exactly k "
-    "returned, recall vs in-query brute force ≥ 0.5 — n_probe=6 of 8 "
-    "cells, m=32 × 256 codes, the same recipe as the one-shot IVFPQ "
-    "entries; measured min recall 0.6 at sf0.001 and sf0.01, 0.6 at "
-    "sf0.1). streaming/ann.py:run_streaming_ann_sync.",
+    "per epoch in the bounded live tail), probe_ann_store reads the "
+    "merged multi-epoch store under the frozen codebooks for a k'=15 "
+    "shortlist, and rerank_exact_topk recovers exactness on it — the "
+    "same two-stage production recipe as knn_ivfpq_rerank, which "
+    "matters MORE here: the streaming contract trains the codebooks on "
+    "the initial base only, so streamed rows quantize slightly worse "
+    "than a full-corpus build and the raw-ADC top-5 dips below the "
+    "floor at sf0.1 (measured: one query at 0.4). The state lives in a "
+    "scratch dir for the entry's duration; the (tiny) contract result "
+    "is materialized before cleanup. Derived oracle = the standard ANN "
+    "recall contract per held-out query (exactly k returned, recall vs "
+    "in-query brute force ≥ 0.5 — n_probe=6 of 8 cells, m=32 × 256 "
+    "codes; with the re-rank, measured min recall 0.6/0.8/0.6 at "
+    "sf0.001/0.01/0.1). streaming/ann.py:run_streaming_ann_sync.",
     tags=("similarity", "knn", "ivf", "pq", "streaming", "incremental"),
 )
 def knn_streaming_ingest(spark, sf_dir):
@@ -2180,7 +2185,10 @@ def knn_streaming_ingest(spark, sf_dir):
     import shutil
     import tempfile
 
-    from syncmaven_spark.operators import cosine_topk_bruteforce
+    from syncmaven_spark.operators import (
+        cosine_topk_bruteforce,
+        rerank_exact_topk,
+    )
     from syncmaven_spark.streaming import (
         prepare_ann_state,
         probe_ann_store,
@@ -2210,9 +2218,12 @@ def knn_streaming_ingest(spark, sf_dir):
                 F.col("vec_id") % 4 == part
             ).write.mode("append").parquet(src)
             run_streaming_ann_sync(spark, src, schema, state, ckpt)
-        ann = probe_ann_store(
-            spark, queries, state, k=5, n_probe=6, exclude_self=False
-        ).select("q_id", "n_id")
+        shortlist = probe_ann_store(
+            spark, queries, state, k=15, n_probe=6, exclude_self=False
+        )
+        ann = rerank_exact_topk(shortlist, queries, corpus, k=5).select(
+            "q_id", "n_id"
+        )
         bf = cosine_topk_bruteforce(
             corpus, queries, k=5, exclude_self=False
         ).select("q_id", "n_id")
