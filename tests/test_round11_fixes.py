@@ -171,6 +171,50 @@ def test_reindex_carries_segmented_history(spark, prepared):
     assert all("drift" not in entry for entry in epochs3["prior"])
 
 
+def test_segment_roll_crash_window_dedupes(tmp_path):
+    """A crash between the segment write and the epochs.json rewrite
+    leaves rolled records in BOTH places; the next roll re-covers them in
+    an overlapping segment. The merge must return every epoch exactly
+    once with its original record."""
+    from syncmaven_spark.streaming.ann import (
+        _read_drift_segments,
+        _roll_drift_segments,
+    )
+
+    seg_dir = str(tmp_path / "live")
+    drift = {str(e): {"mean_recon_cos": 0.9 - e / 100} for e in range(6)}
+    tail = _roll_drift_segments(seg_dir, drift, 3)
+    assert sorted(int(e) for e in tail) == [3, 4, 5]
+    # crash: epochs.json never rewritten — the un-trimmed dict advances
+    drift["6"] = {"mean_recon_cos": 0.84}
+    tail2 = _roll_drift_segments(seg_dir, drift, 3)
+    assert sorted(int(e) for e in tail2) == [4, 5, 6]
+    segs = sorted(os.listdir(seg_dir))
+    assert len(segs) == 2  # overlapping ranges, distinct files
+    merged = _read_drift_segments(seg_dir)
+    merged.update({e: r for e, r in tail2.items()})
+    assert sorted(int(e) for e in merged) == list(range(7))
+    for e, rec in merged.items():
+        assert rec["mean_recon_cos"] == pytest.approx(0.9 - int(e) / 100)
+
+
+def test_read_drift_segments_skips_tmp_and_foreign_files(tmp_path):
+    from syncmaven_spark.streaming.ann import _read_drift_segments
+
+    seg_dir = tmp_path / "live"
+    seg_dir.mkdir()
+    (seg_dir / "part-0000000000-0000000001.json").write_text(
+        json.dumps({"drift": {"0": {"x": 1}, "1": {"x": 2}}})
+    )
+    (seg_dir / "part-0000000002-0000000002.json.tmp").write_text("{bad")
+    (seg_dir / ".hidden.json").write_text("{bad")
+    (seg_dir / "notes.txt").write_text("not json")
+    assert _read_drift_segments(str(seg_dir)) == {
+        "0": {"x": 1}, "1": {"x": 2}
+    }
+    assert _read_drift_segments(str(tmp_path / "missing")) == {}
+
+
 # ---------------------------------------------------------------- verdict #2
 
 
