@@ -80,7 +80,26 @@ def _normalized_centroids(centroids: np.ndarray) -> np.ndarray:
 _ASSIGN_SLAB_BYTES = 32 * 1024 * 1024
 
 
-def _assign_codes(Xn: np.ndarray, books: np.ndarray) -> np.ndarray:
+def _driver_kernel_threads() -> int:
+    """Thread count for DRIVER-side numpy kernels (pq_train's Lloyd loop):
+    while the driver trains, the cluster is idle, so the single-threaded
+    discipline the EXECUTOR kernels need (32 python workers × 1 BLAS
+    thread — see bench.py's env pin) wastes all but one core here.
+    Row-slab threading is bit-identical (every slab's einsum/argmin is
+    row-independent); 8 threads saturate the memory-bound kernel without
+    fighting the JVM's background threads. Overridable for constrained
+    drivers via SPARK_GRAFT_DRIVER_KERNEL_THREADS."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_DRIVER_KERNEL_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(8, os.cpu_count() or 1))
+
+
+def _assign_codes(
+    Xn: np.ndarray, books: np.ndarray, threads: int = 1
+) -> np.ndarray:
     """Nearest-codebook-entry assignment per subspace — the ONE encode
     kernel shared by the raw and residual paths AND pq_train's Lloyd
     iterations: ``argmin ||s-c||² = argmin(-2 s·c + ||c||²)``, all
@@ -109,14 +128,64 @@ def _assign_codes(Xn: np.ndarray, books: np.ndarray) -> np.ndarray:
     c2 = (books * books).sum(axis=2)
     slab = max(1, _ASSIGN_SLAB_BYTES // (m * n_codes * 8))
     out = np.empty((n, m), dtype=np.int64)
-    buf = np.empty((min(slab, n), m, n_codes))
-    for i in range(0, n, slab):
-        xs = Xs[i : i + slab]
-        b = buf[: len(xs)]
-        np.einsum("njs,jcs->njc", xs, books, out=b, optimize=False)
-        b *= -2.0
-        b += c2[None, :, :]
-        out[i : i + slab] = b.argmin(axis=2)
+    # sub_dim == 2 (the dim-64 m=32 catalog recipe) takes a BATCHED-GEMM
+    # formulation — (m, slab, 2) @ (m, 2, n_codes) — which measured 3.7×
+    # faster than the einsum at these shapes (the einsum's 2-element
+    # inner loop defeats SIMD; round-11). It is BIT-identical there: a
+    # two-term dot product is order-invariant under IEEE addition
+    # commutativity, verified element-exact in tests. Larger sub_dims
+    # keep the einsum, whose s-ascending accumulation order is pinned —
+    # a GEMM's k-accumulation order is library-internal and a ULP
+    # difference could flip a near-tied argmin, i.e. the codebooks.
+    gemm = sub_dim == 2
+    Bt = np.ascontiguousarray(books.transpose(0, 2, 1)) if gemm else None
+
+    def run_range(i0: int, i1: int, buf: np.ndarray) -> None:
+        for i in range(i0, i1, slab):
+            xs = Xs[i : i + slab]
+            if gemm:
+                g = buf[:, : len(xs)]
+                np.matmul(xs.transpose(1, 0, 2), Bt, out=g)
+                g *= -2.0
+                g += c2[:, None, :]
+                out[i : i + slab] = g.argmin(axis=2).T
+            else:
+                b = buf[: len(xs)]
+                np.einsum("njs,jcs->njc", xs, books, out=b, optimize=False)
+                b *= -2.0
+                b += c2[None, :, :]
+                out[i : i + slab] = b.argmin(axis=2)
+
+    def make_buf(rows: int) -> np.ndarray:
+        shape = (m, rows, n_codes) if gemm else (rows, m, n_codes)
+        return np.empty(shape)
+
+    threads = max(1, min(threads, (n + slab - 1) // slab))
+    if threads == 1:
+        run_range(0, n, make_buf(min(slab, n)))
+        return out
+    # DRIVER-side parallel path (see _driver_kernel_threads): contiguous
+    # slab-aligned row ranges, one private buffer per thread — every
+    # row's scores/argmin are computed by exactly the same arithmetic as
+    # the sequential loop, so the output is bit-identical regardless of
+    # the thread split (the einsum/argmin C loops release the GIL, which
+    # is what makes the threads actually run concurrently)
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_slabs = (n + slab - 1) // slab
+    per = (n_slabs + threads - 1) // threads
+    ranges = [
+        (t * per * slab, min(n, (t + 1) * per * slab))
+        for t in range(threads)
+        if t * per * slab < n
+    ]
+    with ThreadPoolExecutor(max_workers=len(ranges)) as pool:
+        futs = [
+            pool.submit(run_range, i0, i1, make_buf(min(slab, i1 - i0)))
+            for i0, i1 in ranges
+        ]
+        for f in futs:
+            f.result()
     return out
 
 
@@ -234,8 +303,14 @@ def pq_train(
     # kernel cut the same bit-identical training to 8.3 s (round-10).
     Xs = np.ascontiguousarray(Xn.reshape(len(Xn), m, sub_dim))
     offsets = (np.arange(m) * n_codes)[None, :]
+    # DRIVER-side assignment threads across row slabs (bit-identical —
+    # see _assign_codes): the cluster is idle during training, so the
+    # executor kernels' single-thread discipline would leave the Lloyd
+    # loop memory-bound on one core (round-11: the m=32 × 256 recipe's
+    # 10-iteration loop dropped ~4× at sf0.1)
+    lloyd_threads = _driver_kernel_threads()
     for _ in range(iterations):
-        assign = _assign_codes(Xn, books)  # (n, m)
+        assign = _assign_codes(Xn, books, threads=lloyd_threads)  # (n, m)
         flat = (assign + offsets).ravel()
         sums = np.zeros((m * n_codes, sub_dim))
         np.add.at(sums, flat, Xs.reshape(-1, sub_dim))
@@ -247,14 +322,29 @@ def pq_train(
     from syncmaven_spark.operators.dedup import _with_recipe_meta
 
     recipe = _pq_recipe(books)
+    # pandas + Arrow + ONE partition: the codebook is a bounded
+    # driver-side artifact (m × n_codes rows regardless of corpus size).
+    # createDataFrame over a local LIST pickles and converts rows
+    # python-side per task — sliced across defaultParallelism that cost
+    # hid in 32 parallel near-empty tasks, and every downstream
+    # collect/write re-paid the task fan-out; the Arrow path converts
+    # the whole table vectorized, and one partition makes each
+    # consumer's collect a single cheap task (round-11: measured 0.52 →
+    # 0.14 s per codebook collect at the m=32 × 256 recipe)
     codebooks_df = corpus.sparkSession.createDataFrame(
-        [
-            (j, c, [float(x) for x in books[j, c]])
-            for j in range(m)
-            for c in range(n_codes)
-        ],
+        pd.DataFrame(
+            {
+                "subspace": np.repeat(np.arange(m), n_codes).astype("int32"),
+                "code": np.tile(np.arange(n_codes), m).astype("int32"),
+                "centroid": [
+                    [float(x) for x in books[j, c]]
+                    for j in range(m)
+                    for c in range(n_codes)
+                ],
+            }
+        ),
         "subspace int, code int, centroid array<double>",
-    )
+    ).coalesce(1)
     return _with_recipe_meta(codebooks_df, "centroid", recipe)
 
 
@@ -1073,14 +1163,36 @@ def pq_drift_assigned(
         centroids, ivf_recipe, books, _pq_rec = _loaded
     if "norm" in assignments.columns:
         check_index_recipe(assignments, "norm", ivf_recipe)
+    cn = _normalized_centroids(centroids) if encode_residuals else None
+    scored = assignments.select(
+        recon_cos_assigned_udf(books, cn)(
+            F.col(vec_col), F.col("cell")
+        ).alias("recon_cos")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("recon_cos"), 4).alias("mean_recon_cos"),
+        F.round(F.percentile_approx("recon_cos", 0.1), 4).alias(
+            "p10_recon_cos"
+        ),
+        F.round(F.min("recon_cos"), 4).alias("min_recon_cos"),
+    )
+
+
+def recon_cos_assigned_udf(books: np.ndarray, cn: np.ndarray | None):
+    """The assigned-rows reconstruction-cosine kernel as a reusable column
+    function — ONE UDF body for both encode modes (round-10 verdict #5),
+    shared by :func:`pq_drift_assigned` and the streaming ANN driver's
+    single-pass per-epoch drift record (round-11: the driver computed the
+    two drift halves as two separate jobs over the same persisted batch).
+    ``cn`` is the normalized coarse-centroid matrix for residual mode,
+    ``None`` for raw; the cell column always rides along (assignments are
+    ivf_append-shaped, so it always exists) and only the residual branch
+    reads it."""
     m, n_codes, sub_dim = books.shape
     dim = m * sub_dim
-    # ONE UDF body for both encode modes (round-10 verdict #5: the
-    # residual and raw branches duplicated the validate/normalize
-    # scaffolding around a 2-line semantic difference): the cell column
-    # always rides along (assignments are ivf_append-shaped, so it always
-    # exists) and only the residual branch reads it.
-    cn = _normalized_centroids(centroids) if encode_residuals else None
+
+    from pyspark.sql import types as T
 
     @F.pandas_udf(T.DoubleType())
     def recon_cos(
@@ -1110,17 +1222,7 @@ def pq_drift_assigned(
                 recon = cn[cells] + _reconstruct(codes, books)
             yield pd.Series(_cos_rows(Xn, recon))
 
-    scored = assignments.select(
-        recon_cos(F.col(vec_col), F.col("cell")).alias("recon_cos")
-    )
-    return scored.agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg("recon_cos"), 4).alias("mean_recon_cos"),
-        F.round(F.percentile_approx("recon_cos", 0.1), 4).alias(
-            "p10_recon_cos"
-        ),
-        F.round(F.min("recon_cos"), 4).alias("min_recon_cos"),
-    )
+    return recon_cos
 
 
 def _reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:

@@ -774,10 +774,19 @@ def ivf_index(
         "n_centroids": int(centroids.shape[0]),
         "dim": int(centroids.shape[1]),
     }
+    # pandas + Arrow + one partition — bounded driver-side artifact
+    # (n_centroids rows); see pq_train's codebook note (the list path
+    # pays python-side row conversion per task, the Arrow path converts
+    # vectorized and every downstream collect/write is one cheap task)
     centroids_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        pd.DataFrame(
+            {
+                "centroid_id": np.arange(len(centroids), dtype="int32"),
+                "centroid": [[float(x) for x in c] for c in centroids],
+            }
+        ),
         "centroid_id int, centroid array<double>",
-    )
+    ).coalesce(1)
     return (
         _ivf_assignments(usable, centroids, id_col, vec_col, recipe),
         _with_recipe_meta(centroids_df, "centroid_id", recipe),
@@ -923,6 +932,28 @@ def ivf_append(
     return _ivf_assignments(usable, centroids, id_col, vec_col, recipe)
 
 
+def _cells_centroid_df(spark, centroids: np.ndarray) -> DataFrame:
+    """``(cell, c_vec, c_norm)`` broadcast side rebuilt from a VALIDATED
+    centroid matrix (never a re-read of the table — a caller holding
+    ``_loaded`` must score against the exact centroids the cells were
+    assigned under; round-9 review pass 3). Shared by :func:`ivf_drift`
+    and the streaming driver's single-pass drift record. pandas + Arrow
+    + one partition, like every bounded driver-side artifact."""
+    return (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell": np.arange(len(centroids), dtype="int32"),
+                    "c_vec": [[float(x) for x in c] for c in centroids],
+                }
+            ),
+            "cell int, c_vec array<double>",
+        )
+        .coalesce(1)
+        .withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+    )
+
+
 def ivf_drift(
     assignments: DataFrame,
     centroids_df: DataFrame,
@@ -956,10 +987,7 @@ def ivf_drift(
     # centroids the cells were assigned under — re-reading the table
     # would silently join swapped-on-disk rows to stale cell ids
     # (round-9 review pass 3)
-    cents = assignments.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, c_vec array<double>",
-    ).withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+    cents = _cells_centroid_df(assignments.sparkSession, centroids)
     scored = assignments.join(F.broadcast(cents), "cell").select(
         _cosine(
             _dot(F.col("vec"), F.col("c_vec")),

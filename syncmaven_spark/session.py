@@ -67,7 +67,31 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing (the Spark docs' recommended production
+        # setting): with the default parallelism-first policy AQE keeps
+        # post-shuffle partition counts near defaultParallelism even when
+        # the shuffled bytes fit a handful of advisory-sized partitions,
+        # so every tiny intermediate shuffle fans out into cores-many
+        # near-empty tasks. Respecting advisoryPartitionSizeInBytes sizes
+        # reduce partitions by data volume at every scale — the round-11
+        # optimization pass measured double-digit wall-clock cuts on the
+        # join/window-heavy catalog entries with no plan-shape change.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # commit task output directly to the final location (v2): the
+        # default v1 double-rename per file dominated the many small
+        # partitioned-state writes (store/ids epoch dirs, codebook
+        # tables); v2 halves the renames. Task-commit atomicity is
+        # preserved; the job-level non-atomicity v2 trades away is
+        # already handled by the state layout's own tmp-dir + atomic
+        # rename / overwrite-per-epoch conventions.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -213,12 +213,17 @@ def prepare_ann_state(
     cells_codes.write.partitionBy("cell").parquet(store_base)
     # the id sidecar derives from the WRITTEN store (a column-pruned read
     # of m-smallint rows' id column), not from cells_codes — re-selecting
-    # the unpersisted lineage would re-run the whole encode UDF pass
+    # the unpersisted lineage would re-run the whole encode UDF pass.
+    # Repartitioned BY BUCKET before the write: an unshuffled partitionBy
+    # writes (input partitions × touched buckets) files — the guard's
+    # pruning unit is the bucket, so one file per bucket is the optimal
+    # read shape, and state_buckets is the knob that scales it with the
+    # corpus (round-11: the prepare wrote 8×32 small files here).
     spark.read.parquet(store_base).select(id_col).withColumn(
         "ibucket", _id_bucket(id_col, state_buckets)
-    ).write.partitionBy("ibucket").parquet(
-        os.path.join(tmp, "ids", f"epoch={BASE_EPOCH}")
-    )
+    ).repartition(state_buckets, "ibucket").write.partitionBy(
+        "ibucket"
+    ).parquet(os.path.join(tmp, "ids", f"epoch={BASE_EPOCH}"))
     _, pq_recipe = load_pq_codebooks(codebooks_df)
     ivf_recipe = stamped_recipe(centroids_df, "centroid_id") or {}
     # recipe.json is written LAST inside tmp: its presence marks a
@@ -798,6 +803,71 @@ def reindex_ann_state(
     return {"old_n_ids": int(old_n), "new_n_ids": int(new_n)}
 
 
+def _epoch_drift_record(
+    assigned: DataFrame,
+    ivf_loaded: tuple,
+    pq_loaded: tuple,
+    residual: bool,
+) -> dict:
+    """Both per-epoch drift halves over the persisted assignment rows in
+    ONE aggregation job — the per-row expressions are exactly
+    :func:`~syncmaven_spark.operators.similarity.ivf_drift`'s ``cell_cos``
+    (broadcast join against the VALIDATED centroid matrix, never a
+    re-read of the table — round-9 review pass 3) and
+    :func:`~syncmaven_spark.operators.pq.pq_drift_assigned`'s
+    ``recon_cos`` (the shared assigned-rows kernel, committing to the
+    STORED cell in residual mode), and the aggregate mirrors both
+    operators' column-for-column (count + round-4 avg/p10/min per half),
+    so the recorded values equal the two-job layout's bit-for-bit — the
+    batch is scanned and job-scheduled once instead of twice."""
+    from syncmaven_spark.operators.pq import (
+        _normalized_centroids,
+        recon_cos_assigned_udf,
+    )
+    from syncmaven_spark.operators.similarity import (
+        _cells_centroid_df,
+        _cosine,
+        _dot,
+    )
+
+    centroids, _ivf_recipe = ivf_loaded
+    books, _pq_recipe = pq_loaded
+    cents = _cells_centroid_df(assigned.sparkSession, centroids)
+    cn = _normalized_centroids(centroids) if residual else None
+    scored = assigned.join(F.broadcast(cents), "cell").select(
+        _cosine(
+            _dot(F.col("vec"), F.col("c_vec")),
+            F.col("norm"), F.col("c_norm"), 6,
+        ).alias("cell_cos"),
+        recon_cos_assigned_udf(books, cn)(
+            F.col("vec"), F.col("cell")
+        ).alias("recon_cos"),
+    )
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("cell_cos"), 4).alias("mean_cell_cos"),
+        F.round(F.percentile_approx("cell_cos", 0.1), 4).alias(
+            "p10_cell_cos"
+        ),
+        F.round(F.min("cell_cos"), 4).alias("min_cell_cos"),
+        F.round(F.avg("recon_cos"), 4).alias("mean_recon_cos"),
+        F.round(F.percentile_approx("recon_cos", 0.1), 4).alias(
+            "p10_recon_cos"
+        ),
+        F.round(F.min("recon_cos"), 4).alias("min_recon_cos"),
+    ).first()
+    return {
+        "n_vectors": int(row["n_vectors"]),
+        **{
+            key: (float(row[key]) if row[key] is not None else None)
+            for key in (
+                "mean_cell_cos", "p10_cell_cos", "min_cell_cos",
+                "mean_recon_cos", "p10_recon_cos", "min_recon_cos",
+            )
+        },
+    }
+
+
 def run_streaming_ann_sync(
     spark: SparkSession,
     source_dir: str,
@@ -882,11 +952,8 @@ def run_streaming_ann_sync(
     O(batch) plus the guard's bucket-pruned id read.
     """
     from syncmaven_spark.operators.cache import persist_scoped
-    from syncmaven_spark.operators.pq import (
-        ivfpq_encode_assigned,
-        pq_drift_assigned,
-    )
-    from syncmaven_spark.operators.similarity import ivf_append, ivf_drift
+    from syncmaven_spark.operators.pq import ivfpq_encode_assigned
+    from syncmaven_spark.operators.similarity import ivf_append
 
     if retrain_on_trend is not None:
         # cheap parameter validation FIRST — before any state I/O, and
@@ -998,43 +1065,24 @@ def run_streaming_ann_sync(
                 _loaded=ivf_loaded,
             )
         )
-        # the retrain signal, computed on the BATCH only (bounded): how
-        # well does the frozen coarse codebook still represent incoming
-        # vectors? Recorded per epoch; optionally a hard gate.
-        drift_row = ivf_drift(assigned, centroids_df, _loaded=ivf_loaded).first()
-        drift = {
-            "n_vectors": int(drift_row["n_vectors"]),
-            "mean_cell_cos": (
-                float(drift_row["mean_cell_cos"])
-                if drift_row["mean_cell_cos"] is not None else None
-            ),
-            "p10_cell_cos": (
-                float(drift_row["p10_cell_cos"])
-                if drift_row["p10_cell_cos"] is not None else None
-            ),
-            "min_cell_cos": (
-                float(drift_row["min_cell_cos"])
-                if drift_row["min_cell_cos"] is not None else None
-            ),
-        }
+        # BOTH retrain-signal halves, computed on the BATCH only (bounded)
+        # in ONE aggregation job (round-11: ivf_drift + pq_drift_assigned
+        # as two separate .first() jobs re-scanned the persisted batch and
+        # paid two job round-trips per epoch; the per-row expressions and
+        # the agg layout are identical, so the recorded values are
+        # unchanged): how well does the frozen coarse codebook still
+        # represent incoming vectors (cell cos), and how well do the
+        # frozen PQ codebooks still RECONSTRUCT them (recon cos —
+        # round-9 verdict #2; cell assignment can stay healthy while ADC
+        # quality degrades). Recorded per epoch; optionally hard gates.
+        drift = _epoch_drift_record(
+            assigned, ivf_loaded, pq_loaded, residual
+        )
         if drift["n_vectors"] == 0:
             # all rows unusable (null/non-finite vectors) — nothing to
             # append; advance the watermark like the empty-batch path
             _advance()
             return
-        # the other half of the retrain signal (round-9 verdict #2): how
-        # well do the frozen PQ codebooks still RECONSTRUCT incoming
-        # vectors? Cell assignment can stay healthy while ADC quality
-        # degrades — one more bounded aggregate over the already-persisted
-        # assignment rows (no second assignment pass).
-        recon_row = pq_drift_assigned(
-            assigned, centroids_df, codebooks_df,
-            encode_residuals=residual, _loaded=loaded,
-        ).first()
-        for key in ("mean_recon_cos", "p10_recon_cos", "min_recon_cos"):
-            drift[key] = (
-                float(recon_row[key]) if recon_row[key] is not None else None
-            )
         if (
             min_mean_cell_cos is not None
             and drift["mean_cell_cos"] is not None
@@ -1093,19 +1141,44 @@ def run_streaming_ann_sync(
                 )
 
         if stored is not None:
-            from syncmaven_spark.operators.dedup import _check_new_ids_disjoint
-
-            _check_new_ids_disjoint(
-                batch, stored, id_col, "run_streaming_ann_sync"
+            # BOTH id guards in ONE job (round-11: the semi-join collision
+            # probe and the in-batch duplicate probe each paid a separate
+            # job round-trip per epoch; a union of the two limit(1)
+            # branches runs them as one collect). Collision precedence
+            # and both error messages are unchanged — the collision text
+            # is _check_new_ids_disjoint's verbatim.
+            collide = (
+                batch.select(F.col(id_col).alias("_bad_id"))
+                .join(
+                    stored.select(F.col(id_col).alias("_bad_id")),
+                    "_bad_id", "left_semi",
+                )
+                .limit(1)
+                .select("_bad_id", F.lit("collide").alias("_why"))
             )
             dup = (
-                batch.groupBy(id_col).count()
-                .filter(F.col("count") > 1).limit(1).collect()
+                batch.groupBy(F.col(id_col).alias("_bad_id"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .select("_bad_id", F.lit("dup").alias("_why"))
             )
-            if dup:
+            hits = {r["_why"]: r["_bad_id"] for r in
+                    collide.unionByName(dup).collect()}
+            if "collide" in hits:
+                raise ValueError(
+                    f"run_streaming_ann_sync: new batch re-ingests id "
+                    f"{hits['collide']!r} which is already in the index. "
+                    "The incremental probe requires disjoint ids — a "
+                    "re-ingested id silently loses its old-vs-new pair. "
+                    "Deduplicate the batch against the indexed ids "
+                    "(anti-join) or rebuild the index without the stale "
+                    "rows."
+                )
+            if "dup" in hits:
                 raise ValueError(
                     f"run_streaming_ann_sync: the batch contains id "
-                    f"{dup[0][0]!r} more than once — duplicate store rows "
+                    f"{hits['dup']!r} more than once — duplicate store rows "
                     "make probe scores nondeterministic. Deduplicate the "
                     "source files."
                 )
@@ -1119,12 +1192,15 @@ def run_streaming_ann_sync(
         # the epoch's id-sidecar rows (from the persisted assignment
         # table — exactly the ids the store now holds), id-bucketed so
         # future guards prune to touched buckets; overwrite keeps replays
-        # idempotent like the store write
+        # idempotent like the store write. Keyed-by-bucket repartition
+        # (AQE-coalescible — no explicit count, so a tiny micro-batch
+        # collapses to one task) bounds the write to one file per
+        # touched bucket instead of (batch partitions × buckets).
         assigned.select(id_col).withColumn(
             "ibucket", _id_bucket(id_col, state_buckets)
-        ).write.partitionBy("ibucket").mode("overwrite").parquet(
-            os.path.join(ids_dir, f"epoch={int(epoch_id)}")
-        )
+        ).repartition("ibucket").write.partitionBy("ibucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(ids_dir, f"epoch={int(epoch_id)}"))
         _advance(extra=drift)
         # opt-in compaction cadence, after the epoch commit (the same
         # placement contract as the near-dup drivers)
