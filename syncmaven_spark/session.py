@@ -67,20 +67,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size-based coalescing (the Spark docs' recommended production
-        # setting): with the default parallelism-first policy AQE keeps
-        # post-shuffle partition counts near defaultParallelism even when
-        # the shuffled bytes fit a handful of advisory-sized partitions,
-        # so every tiny intermediate shuffle fans out into cores-many
-        # near-empty tasks. Respecting advisoryPartitionSizeInBytes sizes
-        # reduce partitions by data volume at every scale — the round-11
-        # optimization pass measured double-digit wall-clock cuts on the
-        # join/window-heavy catalog entries with no plan-shape change.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
-        )
+        # NOTE(round-11): coalescePartitions.parallelismFirst=false (the
+        # Spark docs' production suggestion) was measured here and
+        # REVERTED: it cut the shuffle-heavy extras a few percent but
+        # coalesced compute-heavy-yet-byte-small post-shuffle stages
+        # (ngram explode, token sorts) down to one task — headline
+        # entries regressed 30-100% (text_ngram_freq 1.15→1.89 s,
+        # dedup_cluster_pipeline 1.55→2.52 s). Byte-based coalescing
+        # cannot see per-row compute cost; the default parallelism-first
+        # policy is the right trade for this catalog at every scale.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # commit task output directly to the final location (v2): the
         # default v1 double-rename per file dominated the many small

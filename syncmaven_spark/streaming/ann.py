@@ -167,7 +167,7 @@ def prepare_ann_state(
     import shutil
 
     from syncmaven_spark.operators.dedup import stamped_recipe
-    from syncmaven_spark.operators.pq import ivfpq_index, load_pq_codebooks
+    from syncmaven_spark.operators.pq import ivfpq_index
 
     if os.path.exists(state_dir) and not os.path.isdir(state_dir):
         # a regular file passes both directory guards below and the build
@@ -224,7 +224,10 @@ def prepare_ann_state(
     ).repartition(state_buckets, "ibucket").write.partitionBy(
         "ibucket"
     ).parquet(os.path.join(tmp, "ids", f"epoch={BASE_EPOCH}"))
-    _, pq_recipe = load_pq_codebooks(codebooks_df)
+    # both recipes come from the artifacts' own stamps — metadata reads,
+    # no job (round-11: load_pq_codebooks here re-collected the codebook
+    # table purely to recompute the checksum pq_train just stamped)
+    pq_recipe = stamped_recipe(codebooks_df, "centroid") or {}
     ivf_recipe = stamped_recipe(centroids_df, "centroid_id") or {}
     # recipe.json is written LAST inside tmp: its presence marks a
     # complete build, and the rename below makes the whole state appear
@@ -819,7 +822,13 @@ def _epoch_drift_record(
     STORED cell in residual mode), and the aggregate mirrors both
     operators' column-for-column (count + round-4 avg/p10/min per half),
     so the recorded values equal the two-job layout's bit-for-bit — the
-    batch is scanned and job-scheduled once instead of twice."""
+    batch is scanned and job-scheduled once instead of twice.
+
+    (Round-11 measured and REJECTED folding the id guards onto this job
+    as cross-joined 1-row aggregates: every broadcast side of the
+    resulting nested-loop joins materializes as its own sub-job, so
+    nothing merges and the entry slowed ~50%. The guards stay a
+    separate union-of-limit(1) job in the driver.)"""
     from syncmaven_spark.operators.pq import (
         _normalized_centroids,
         recon_cos_assigned_udf,
@@ -1028,14 +1037,10 @@ def run_streaming_ann_sync(
                 payload["drift"] = drift
             _atomic_write_json(epochs_path, payload)
 
-        # persisted: the batch feeds isEmpty, the disjointness semi-join,
-        # the dup check and the assignment scan — unpersisted it would
+        # persisted: the batch feeds the bucket probe, the guard
+        # semi-join and the assignment scan — unpersisted it would
         # re-read the source parquet per action
         batch = persist_scoped(batch_df.select(id_col, vec_col))
-        if batch.isEmpty():
-            _advance()
-            return
-
         stored = None
         if assert_new_ids:
             # epochs < current only (the base at -1 qualifies): a replayed
@@ -1045,17 +1050,26 @@ def run_streaming_ann_sync(
             # batch): a colliding stored id necessarily shares its bucket
             # with the batch id, so the excluded partitions cannot
             # contribute — per batch the guard reads O(touched buckets),
-            # not O(store ids) (round-9 verdict #1).
+            # not O(store ids) (round-9 verdict #1). The bucket collect
+            # doubles as the emptiness probe (xxhash64 maps even a NULL
+            # id to its seed, so every batch row yields a bucket) —
+            # round-11: the separate isEmpty action was one more job.
             ib_vals = [
                 r[0]
                 for r in batch.select(
                     _id_bucket(id_col, state_buckets).alias("b")
                 ).distinct().collect()
             ]
+            if not ib_vals:
+                _advance()
+                return
             stored = _read_epoch_state(
                 spark, ids_dir, [id_col], f"{id_col} {id_type}", epoch_id,
                 bucket_vals=ib_vals, bucket_col="ibucket",
             )
+        elif batch.isEmpty():
+            _advance()
+            return
 
         # ONE assignment pass per batch: drift reads these rows, and the
         # encode below reuses their (vec, cell) — the UDF never runs twice
