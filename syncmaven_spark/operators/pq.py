@@ -447,7 +447,7 @@ def _encode_udf(books: np.ndarray):
                 )
             Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
             codes = _assign_codes(Xn, books)
-            yield pd.Series([row.tolist() for row in codes])
+            yield pd.Series(codes.tolist())
 
     return encode
 
@@ -486,7 +486,7 @@ def _encode_residual_udf(books: np.ndarray, centroids: np.ndarray):
                 )
             Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
             codes = _assign_codes(Xn - cn[cells], books)
-            yield pd.Series([row.tolist() for row in codes])
+            yield pd.Series(codes.tolist())
 
     return encode
 

@@ -188,7 +188,7 @@ def assign_cells(
             Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
             sims = Xn @ cn.T
             top = np.argsort(-sims, axis=1)[:, :n_probe]
-            yield pd.Series([row.tolist() for row in top])
+            yield pd.Series(top.tolist())
 
     return df.withColumn(out_col, nearest_cells(F.col(vec_col)))
 
@@ -322,11 +322,14 @@ def _plane_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
         for series in batches:
             X = np.array(series.tolist(), dtype=np.float64)
             bits = (X @ planes.T) > 0  # (n, T*k)
-            out = []
-            for row in bits:
-                tables = row.reshape(n_tables, n_planes)
-                out.append([int(t @ weights) for t in tables])
-            yield pd.Series(out)
+            # one batched matmul instead of a per-row Python loop over
+            # n_tables tiny dot products (round-11, guide §4.2): the
+            # bool→int64 cast + integer matmul yields the exact same
+            # bucket ints as int(t @ weights) did row by row
+            codes = bits.reshape(len(X), n_tables, n_planes).astype(
+                np.int64
+            ) @ weights  # (n, T)
+            yield pd.Series(codes.tolist())
 
     return buckets
 

@@ -2998,6 +2998,7 @@ def text_tfidf_topterms(spark, sf_dir):
     tags=("graph", "dedup", "iterative", "llm"),
 )
 def graph_connected_components(spark, sf_dir):
+    from syncmaven_spark.operators.cache import persist_scoped
     from syncmaven_spark.operators.graph import connected_components
 
     t = _t(spark, sf_dir)
@@ -3020,7 +3021,15 @@ def graph_connected_components(spark, sf_dir):
     chain = reps.join(nxt, ["lang", "n_chars"]).select(
         F.col("rep").alias("id_a"), F.col("rep_next").alias("id_b")
     )
-    edges = star.union(chain)
+    # persisted so the operator's small-graph probe is plan-safe: the
+    # edge list hides behind join Exchanges, and a limit() above an
+    # uncached shuffle would execute the full map side only to have the
+    # canonical-distinct path recompute it — so connected_components
+    # skips the probe on uncached shuffled inputs and pays the full
+    # write/fingerprint round even for this O(V)-edge graph (round-11:
+    # 3.0 → ~1.2 s; the entry KNOWS the star+chain construction yields
+    # ≤ 2 edges/doc, which the operator cannot)
+    edges = persist_scoped(star.union(chain))
     cc = connected_components(edges, nodes=d.select("doc_id"))
     return cc.select(F.col("v").alias("doc_id"), "component")
 

@@ -128,6 +128,28 @@ def _read_drift_segments(seg_dir: str) -> dict:
     return records
 
 
+# sizing target for the derived state_buckets default: ~2M int64 ids per
+# bucket is tens of MB of parquet per bucket file — big enough that a
+# bucket read is one efficient sequential file, small enough that the
+# guard's touched-bucket reads stay a tiny slice of the store. The floor
+# keeps some pruning even for toy corpora; the cap bounds the per-epoch
+# dynamic-partition commit (measured ~25 ms PER DIRECTORY locally — a
+# fixed 32-bucket sidecar write cost 0.9 s per micro-batch at bench scale
+# where 8 buckets cost 0.4 s, while 32 buckets at 10^11 ids would make
+# each bucket an unprunable multi-GB read).
+_IDS_PER_BUCKET = 2_000_000
+_MIN_STATE_BUCKETS = 8
+_MAX_STATE_BUCKETS = 4096
+
+
+def _derive_state_buckets(n_ids: int) -> int:
+    """Scale-adaptive id-sidecar bucket count: ids-per-bucket bounded by
+    ``_IDS_PER_BUCKET``, clamped to [floor, cap] (guide: derive
+    partitioning from input size, not a constant tuned for one scale)."""
+    want = -(-max(int(n_ids), 1) // _IDS_PER_BUCKET)  # ceil div
+    return max(_MIN_STATE_BUCKETS, min(_MAX_STATE_BUCKETS, want))
+
+
 def prepare_ann_state(
     spark: SparkSession,
     corpus: DataFrame,
@@ -140,7 +162,7 @@ def prepare_ann_state(
     sample_size: int = 10_000,
     seed: int = 42,
     encode_residuals: bool = False,
-    state_buckets: int = DEFAULT_STATE_BUCKETS,
+    state_buckets: int | None = None,
 ) -> None:
     """Build the IVF-PQ index over the initial corpus and persist it as
     streaming state — the ANN analog of ``prepare_decontamination_state``
@@ -157,6 +179,16 @@ def prepare_ann_state(
     prunes its read to the batch's touched buckets instead of scanning
     the whole store's id column — the same bounded-I/O move as the
     near-dup verification tables.
+
+    ``state_buckets=None`` (the default) derives the bucket count from
+    the corpus size (:func:`_derive_state_buckets`: ~2M ids per bucket,
+    clamped to [8, 4096]) so the per-bucket guard read AND the per-epoch
+    sidecar commit cost both stay bounded at every scale — a constant
+    count is wrong in both directions (too many near-empty directory
+    commits for a small state, unprunable multi-GB buckets at 10^11
+    ids). Pass an explicit count to pin it; whatever is chosen is
+    recorded in ``recipe.json`` and every later batch uses the recorded
+    value.
 
     Crash safety (round-9 advice): the whole state builds into a sibling
     temp dir — ``recipe.json`` last — and installs into ``state_dir`` by
@@ -207,10 +239,37 @@ def prepare_ann_state(
         sample_size=sample_size, seed=seed,
         encode_residuals=encode_residuals,
     )
-    centroids_df.write.parquet(os.path.join(tmp, "centroids"))
-    codebooks_df.write.parquet(os.path.join(tmp, "codebooks"))
     store_base = os.path.join(tmp, "store", f"epoch={BASE_EPOCH}")
-    cells_codes.write.partitionBy("cell").parquet(store_base)
+    # the three artifact writes are independent jobs into the disposable
+    # tmp dir — submitted together so the store write's tail back-fills
+    # with the two (tiny, commit-dominated) codebook writes instead of
+    # paying three sequential job barriers (guide §2.6 overlap
+    # independent jobs); .result() re-raises the first failure and the
+    # pool exit waits out the rest, so a failed prepare still leaves only
+    # the disposable tmp
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(
+                cells_codes.write.partitionBy("cell").parquet, store_base
+            ),
+            pool.submit(
+                centroids_df.write.parquet, os.path.join(tmp, "centroids")
+            ),
+            pool.submit(
+                codebooks_df.write.parquet, os.path.join(tmp, "codebooks")
+            ),
+        ]
+        for f in futures:
+            f.result()
+    if state_buckets is None:
+        # one column-less count over the just-written store (row-group
+        # metadata, no data pages) prices the derived bucket count
+        state_buckets = _derive_state_buckets(
+            spark.read.parquet(store_base).count()
+        )
+    state_buckets = int(state_buckets)
     # the id sidecar derives from the WRITTEN store (a column-pruned read
     # of m-smallint rows' id column), not from cells_codes — re-selecting
     # the unpersisted lineage would re-run the whole encode UDF pass.
@@ -1071,150 +1130,218 @@ def run_streaming_ann_sync(
             _advance()
             return
 
-        # ONE assignment pass per batch: drift reads these rows, and the
-        # encode below reuses their (vec, cell) — the UDF never runs twice
-        assigned = persist_scoped(
-            ivf_append(
-                batch, centroids_df, id_col=id_col, vec_col=vec_col,
-                _loaded=ivf_loaded,
-            )
-        )
-        # BOTH retrain-signal halves, computed on the BATCH only (bounded)
-        # in ONE aggregation job (round-11: ivf_drift + pq_drift_assigned
-        # as two separate .first() jobs re-scanned the persisted batch and
-        # paid two job round-trips per epoch; the per-row expressions and
-        # the agg layout are identical, so the recorded values are
-        # unchanged): how well does the frozen coarse codebook still
-        # represent incoming vectors (cell cos), and how well do the
-        # frozen PQ codebooks still RECONSTRUCT them (recon cos —
-        # round-9 verdict #2; cell assignment can stay healthy while ADC
-        # quality degrades). Recorded per epoch; optionally hard gates.
-        drift = _epoch_drift_record(
-            assigned, ivf_loaded, pq_loaded, residual
-        )
-        if drift["n_vectors"] == 0:
-            # all rows unusable (null/non-finite vectors) — nothing to
-            # append; advance the watermark like the empty-batch path
-            _advance()
-            return
-        if (
-            min_mean_cell_cos is not None
-            and drift["mean_cell_cos"] is not None
-            and drift["mean_cell_cos"] < min_mean_cell_cos
-        ):
-            raise ValueError(
-                f"run_streaming_ann_sync: epoch {epoch_id}'s mean "
-                f"assigned-cell cosine {drift['mean_cell_cos']} fell "
-                f"below the retrain gate {min_mean_cell_cos} — the frozen "
-                "codebook no longer represents the incoming distribution "
-                "and probe recall is degrading. Retrain into a fresh "
-                "state (reindex_ann_state) and re-point the stream, or "
-                "lower/remove the gate to record-and-continue."
-            )
-        if (
-            min_mean_recon_cos is not None
-            and drift["mean_recon_cos"] is not None
-            and drift["mean_recon_cos"] < min_mean_recon_cos
-        ):
-            raise ValueError(
-                f"run_streaming_ann_sync: epoch {epoch_id}'s mean "
-                f"reconstruction cosine {drift['mean_recon_cos']} fell "
-                f"below the retrain gate {min_mean_recon_cos} — the "
-                "frozen PQ codebooks no longer reconstruct the incoming "
-                "vectors (ADC scores are degrading even if cell "
-                "assignment still looks healthy). Retrain into a fresh "
-                "state (reindex_ann_state) and re-point the stream, or "
-                "lower/remove the gate to record-and-continue."
-            )
-        if retrain_on_trend is not None:
-            # the trend gate: live tail + this epoch's record, pure
-            # driver arithmetic (window <= drift_tail_epochs was
-            # validated, so the tail always holds the whole window)
-            tail = dict(epochs.get("drift") or {})
-            tail[str(int(epoch_id))] = drift
-            rec = _recommend_from_records(
-                sorted((int(e), r) for e, r in tail.items()),
-                **retrain_on_trend,
-            )
-            if rec["retrain"]:
-                fired = "; ".join(
-                    f"{m}: {v['reason']}"
-                    for m, v in rec["metrics"].items()
-                    if v["fire"]
+        # the id-guard collect (below) and the drift aggregation are
+        # independent jobs over the persisted batch — the guard job is
+        # submitted here so it runs WHILE the drift job runs (guide §2.6
+        # overlap independent jobs; measured ~0.3 s/epoch of pure barrier
+        # time). Error semantics are unchanged: the drift gates are still
+        # evaluated FIRST (a batch tripping both a gate and the guard
+        # reports the gate, as the sequential layout did), the guard
+        # future is only consulted after them, and the all-unusable-rows
+        # path discards the guard result entirely (the sequential layout
+        # returned before ever running the guard there).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        guard_future = None
+        try:
+            if stored is not None:
+                # BOTH id guards in ONE job (round-11: the semi-join
+                # collision probe and the in-batch duplicate probe each
+                # paid a separate job round-trip per epoch; a union of the
+                # two limit(1) branches runs them as one collect).
+                # Collision precedence and both error messages are
+                # unchanged — the collision text is
+                # _check_new_ids_disjoint's verbatim.
+                collide = (
+                    batch.select(F.col(id_col).alias("_bad_id"))
+                    .join(
+                        stored.select(F.col(id_col).alias("_bad_id")),
+                        "_bad_id", "left_semi",
+                    )
+                    .limit(1)
+                    .select("_bad_id", F.lit("collide").alias("_why"))
                 )
-                raise ValueError(
-                    f"run_streaming_ann_sync: epoch {epoch_id} completes "
-                    f"a sustained drift trend — recommend_retrain fired "
-                    f"({fired}). The frozen codebooks have been sliding "
-                    "against the incoming distribution for the whole "
-                    "window (this is not a one-batch outlier — the "
-                    "Theil-Sen fit is outlier-robust). Retrain into a "
-                    "fresh state (reindex_ann_state) and re-point the "
-                    "stream, or remove retrain_on_trend to "
-                    "record-and-continue."
+                dup = (
+                    batch.groupBy(F.col(id_col).alias("_bad_id"))
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > 1)
+                    .limit(1)
+                    .select("_bad_id", F.lit("dup").alias("_why"))
+                )
+                probe = collide.unionByName(dup)
+                guard_future = pool.submit(
+                    lambda: {
+                        r["_why"]: r["_bad_id"] for r in probe.collect()
+                    }
                 )
 
-        if stored is not None:
-            # BOTH id guards in ONE job (round-11: the semi-join collision
-            # probe and the in-batch duplicate probe each paid a separate
-            # job round-trip per epoch; a union of the two limit(1)
-            # branches runs them as one collect). Collision precedence
-            # and both error messages are unchanged — the collision text
-            # is _check_new_ids_disjoint's verbatim.
-            collide = (
-                batch.select(F.col(id_col).alias("_bad_id"))
-                .join(
-                    stored.select(F.col(id_col).alias("_bad_id")),
-                    "_bad_id", "left_semi",
+            # ONE assignment pass per batch: drift reads these rows, and
+            # the encode below reuses their (vec, cell) — the UDF never
+            # runs twice
+            assigned = persist_scoped(
+                ivf_append(
+                    batch, centroids_df, id_col=id_col, vec_col=vec_col,
+                    _loaded=ivf_loaded,
                 )
-                .limit(1)
-                .select("_bad_id", F.lit("collide").alias("_why"))
             )
-            dup = (
-                batch.groupBy(F.col(id_col).alias("_bad_id"))
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .limit(1)
-                .select("_bad_id", F.lit("dup").alias("_why"))
+            # BOTH retrain-signal halves, computed on the BATCH only
+            # (bounded) in ONE aggregation job (round-11: ivf_drift +
+            # pq_drift_assigned as two separate .first() jobs re-scanned
+            # the persisted batch and paid two job round-trips per epoch;
+            # the per-row expressions and the agg layout are identical, so
+            # the recorded values are unchanged): how well does the frozen
+            # coarse codebook still represent incoming vectors (cell
+            # cos), and how well do the frozen PQ codebooks still
+            # RECONSTRUCT them (recon cos — round-9 verdict #2; cell
+            # assignment can stay healthy while ADC quality degrades).
+            # Recorded per epoch; optionally hard gates.
+            drift = _epoch_drift_record(
+                assigned, ivf_loaded, pq_loaded, residual
             )
-            hits = {r["_why"]: r["_bad_id"] for r in
-                    collide.unionByName(dup).collect()}
-            if "collide" in hits:
+            if drift["n_vectors"] == 0:
+                # all rows unusable (null/non-finite vectors) — nothing to
+                # append; advance the watermark like the empty-batch path.
+                # The sequential layout returned before ever running the
+                # id guard here, so the in-flight guard job's result AND
+                # any error it hit are discarded to match.
+                if guard_future is not None:
+                    try:
+                        guard_future.result()
+                    except Exception:
+                        pass
+                _advance()
+                return
+            if (
+                min_mean_cell_cos is not None
+                and drift["mean_cell_cos"] is not None
+                and drift["mean_cell_cos"] < min_mean_cell_cos
+            ):
                 raise ValueError(
-                    f"run_streaming_ann_sync: new batch re-ingests id "
-                    f"{hits['collide']!r} which is already in the index. "
-                    "The incremental probe requires disjoint ids — a "
-                    "re-ingested id silently loses its old-vs-new pair. "
-                    "Deduplicate the batch against the indexed ids "
-                    "(anti-join) or rebuild the index without the stale "
-                    "rows."
+                    f"run_streaming_ann_sync: epoch {epoch_id}'s mean "
+                    f"assigned-cell cosine {drift['mean_cell_cos']} fell "
+                    f"below the retrain gate {min_mean_cell_cos} — the "
+                    "frozen codebook no longer represents the incoming "
+                    "distribution and probe recall is degrading. Retrain "
+                    "into a fresh state (reindex_ann_state) and re-point "
+                    "the stream, or lower/remove the gate to "
+                    "record-and-continue."
                 )
-            if "dup" in hits:
+            if (
+                min_mean_recon_cos is not None
+                and drift["mean_recon_cos"] is not None
+                and drift["mean_recon_cos"] < min_mean_recon_cos
+            ):
                 raise ValueError(
-                    f"run_streaming_ann_sync: the batch contains id "
-                    f"{hits['dup']!r} more than once — duplicate store rows "
-                    "make probe scores nondeterministic. Deduplicate the "
-                    "source files."
+                    f"run_streaming_ann_sync: epoch {epoch_id}'s mean "
+                    f"reconstruction cosine {drift['mean_recon_cos']} "
+                    f"fell below the retrain gate {min_mean_recon_cos} — "
+                    "the frozen PQ codebooks no longer reconstruct the "
+                    "incoming vectors (ADC scores are degrading even if "
+                    "cell assignment still looks healthy). Retrain into "
+                    "a fresh state (reindex_ann_state) and re-point the "
+                    "stream, or lower/remove the gate to "
+                    "record-and-continue."
                 )
-        rows = ivfpq_encode_assigned(
-            assigned, centroids_df, codebooks_df,
-            id_col=id_col, encode_residuals=residual, _loaded=loaded,
-        )
-        rows.write.partitionBy("cell").mode("overwrite").parquet(
-            os.path.join(store_dir, f"epoch={int(epoch_id)}")
-        )
-        # the epoch's id-sidecar rows (from the persisted assignment
-        # table — exactly the ids the store now holds), id-bucketed so
-        # future guards prune to touched buckets; overwrite keeps replays
-        # idempotent like the store write. Keyed-by-bucket repartition
-        # (AQE-coalescible — no explicit count, so a tiny micro-batch
-        # collapses to one task) bounds the write to one file per
-        # touched bucket instead of (batch partitions × buckets).
-        assigned.select(id_col).withColumn(
-            "ibucket", _id_bucket(id_col, state_buckets)
-        ).repartition("ibucket").write.partitionBy("ibucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(ids_dir, f"epoch={int(epoch_id)}"))
+            if retrain_on_trend is not None:
+                # the trend gate: live tail + this epoch's record, pure
+                # driver arithmetic (window <= drift_tail_epochs was
+                # validated, so the tail always holds the whole window)
+                tail = dict(epochs.get("drift") or {})
+                tail[str(int(epoch_id))] = drift
+                rec = _recommend_from_records(
+                    sorted((int(e), r) for e, r in tail.items()),
+                    **retrain_on_trend,
+                )
+                if rec["retrain"]:
+                    fired = "; ".join(
+                        f"{m}: {v['reason']}"
+                        for m, v in rec["metrics"].items()
+                        if v["fire"]
+                    )
+                    raise ValueError(
+                        f"run_streaming_ann_sync: epoch {epoch_id} "
+                        f"completes a sustained drift trend — "
+                        f"recommend_retrain fired ({fired}). The frozen "
+                        "codebooks have been sliding against the "
+                        "incoming distribution for the whole window "
+                        "(this is not a one-batch outlier — the "
+                        "Theil-Sen fit is outlier-robust). Retrain into "
+                        "a fresh state (reindex_ann_state) and re-point "
+                        "the stream, or remove retrain_on_trend to "
+                        "record-and-continue."
+                    )
+
+            if guard_future is not None:
+                hits = guard_future.result()
+                if "collide" in hits:
+                    raise ValueError(
+                        f"run_streaming_ann_sync: new batch re-ingests id "
+                        f"{hits['collide']!r} which is already in the "
+                        "index. "
+                        "The incremental probe requires disjoint ids — a "
+                        "re-ingested id silently loses its old-vs-new "
+                        "pair. "
+                        "Deduplicate the batch against the indexed ids "
+                        "(anti-join) or rebuild the index without the "
+                        "stale "
+                        "rows."
+                    )
+                if "dup" in hits:
+                    raise ValueError(
+                        f"run_streaming_ann_sync: the batch contains id "
+                        f"{hits['dup']!r} more than once — duplicate "
+                        "store rows "
+                        "make probe scores nondeterministic. Deduplicate "
+                        "the "
+                        "source files."
+                    )
+            rows = ivfpq_encode_assigned(
+                assigned, centroids_df, codebooks_df,
+                id_col=id_col, encode_residuals=residual, _loaded=loaded,
+            )
+            # the store write and the id-sidecar write are independent
+            # idempotent overwrites of this epoch's own directories —
+            # submitted together so their (commit-dominated) job costs
+            # overlap. The crash window gains the {ids-only} subset
+            # beside the sequential layout's {store-only}: both are
+            # pre-watermark states a replay overwrites wholesale, and
+            # the guard's epoch < current filter never reads the
+            # half-written current epoch, so recovery semantics are
+            # unchanged.
+            store_writer = rows.write.partitionBy("cell").mode("overwrite")
+            # the epoch's id-sidecar rows (from the persisted assignment
+            # table — exactly the ids the store now holds), id-bucketed
+            # so future guards prune to touched buckets; overwrite keeps
+            # replays idempotent like the store write. Keyed-by-bucket
+            # repartition (AQE-coalescible — no explicit count, so a
+            # tiny micro-batch collapses to one task) bounds the write
+            # to one file per touched bucket instead of (batch
+            # partitions × buckets).
+            ids_writer = (
+                assigned.select(id_col)
+                .withColumn("ibucket", _id_bucket(id_col, state_buckets))
+                .repartition("ibucket")
+                .write.partitionBy("ibucket")
+                .mode("overwrite")
+            )
+            write_futures = [
+                pool.submit(
+                    store_writer.parquet,
+                    os.path.join(store_dir, f"epoch={int(epoch_id)}"),
+                ),
+                pool.submit(
+                    ids_writer.parquet,
+                    os.path.join(ids_dir, f"epoch={int(epoch_id)}"),
+                ),
+            ]
+            for f in write_futures:
+                f.result()
+        finally:
+            # waits out any in-flight job before an error propagates, so
+            # a raising gate never leaves a thread still driving Spark
+            # against a state the caller is about to tear down
+            pool.shutdown(wait=True)
         _advance(extra=drift)
         # opt-in compaction cadence, after the epoch commit (the same
         # placement contract as the near-dup drivers)
