@@ -661,6 +661,7 @@ def run_streaming_near_dup_sync(
         batch_index: DataFrame,
         batch_aux: DataFrame | None,
         epoch_id: int,
+        hb_vals: list,
     ) -> DataFrame:
         index_cols = {
             "minhash": [id_col, "band_id", "band_hash"],
@@ -675,17 +676,6 @@ def run_streaming_near_dup_sync(
             ),
             "cosine": f"{id_col} {id_type}, table_id int, bucket bigint",
         }[family]
-        # prune the stored-index read to the batch's own hash buckets: a
-        # candidate requires hash EQUALITY, which implies the same hbucket,
-        # so partitions outside the batch's ≤ state_buckets values cannot
-        # contribute (the pruning that keeps small-batch probes from
-        # scanning a 100-TB corpus's whole index)
-        hb_vals = [
-            r[0]
-            for r in batch_index.select(
-                F.pmod(F.col(hash_col), F.lit(state_buckets)).alias("h")
-            ).distinct().collect()
-        ]
         index = _read_epoch_state(
             spark, index_dir, index_cols, index_ddl, epoch_id,
             bucket_vals=hb_vals, bucket_col="hbucket",
@@ -771,7 +761,21 @@ def run_streaming_near_dup_sync(
         # (the previous layout signed the batch twice — once inside the
         # candidates call, once for the write)
         batch_index = persist_scoped(_build_batch_index(batch))
-        if batch_index.isEmpty():
+        # prune the stored-index read to the batch's own hash buckets: a
+        # candidate requires hash EQUALITY, which implies the same hbucket,
+        # so partitions outside the batch's ≤ state_buckets values cannot
+        # contribute (the pruning that keeps small-batch probes from
+        # scanning a 100-TB corpus's whole index). The collect doubles as
+        # the all-rows-unusable probe (empty hb_vals ⟺ empty index) —
+        # round-11: the separate isEmpty action was one more job per
+        # epoch, mirroring the ANN driver's bucket-collect fold.
+        hb_vals = [
+            r[0]
+            for r in batch_index.select(
+                F.pmod(F.col(hash_col), F.lit(state_buckets)).alias("h")
+            ).distinct().collect()
+        ]
+        if not hb_vals:
             # a non-empty batch whose rows are ALL unusable (NULL or
             # punctuation-only text, all-null embeddings) produces empty
             # index/aux/pairs tables; partitionBy-writing them created an
@@ -787,20 +791,58 @@ def run_streaming_near_dup_sync(
         batch_aux = _build_batch_aux(batch)
         if batch_aux is not None:
             batch_aux = persist_scoped(batch_aux)
-        pairs = _verified_pairs(batch, batch_index, batch_aux, epoch_id)
-        epoch = f"epoch={int(epoch_id)}"
-        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, epoch))
-        batch_index.withColumn(
-            "hbucket", F.pmod(F.col(hash_col), F.lit(state_buckets))
-        ).write.partitionBy("hbucket").mode("overwrite").parquet(
-            os.path.join(index_dir, epoch)
+        pairs = _verified_pairs(
+            batch, batch_index, batch_aux, epoch_id, hb_vals
         )
-        if batch_aux is not None:
-            batch_aux.withColumn(
-                "bucket", _id_bucket(id_col, state_buckets)
-            ).write.partitionBy("bucket").mode("overwrite").parquet(
-                os.path.join(aux_dir, epoch)
+        epoch = f"epoch={int(epoch_id)}"
+        # the pairs write runs FIRST and alone: it is the job that
+        # materializes the persisted batch_index/batch_aux tables (probe +
+        # verify), so the two state dumps below read warm cache
+        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, epoch))
+        # keyed repartition before each partitionBy (round-11, mirroring
+        # the ANN driver's id sidecar): the unshuffled write produced
+        # (batch partitions × touched buckets) files — measured 1024
+        # index files PER EPOCH at bench scale (32 × 32), where one file
+        # per touched bucket is the read shape the bucket-pruned probes
+        # want. No explicit count, so AQE collapses a tiny micro-batch
+        # to one task while a bulk backfill still spreads across buckets.
+        # The two writes are independent idempotent overwrites of this
+        # epoch's own dirs — submitted together so their (dynamic-
+        # partition-commit-dominated, ~25 ms/dir) costs overlap (guide
+        # §2.6); a crash between them replays the epoch and rewrites
+        # both wholesale, exactly as the sequential layout did.
+        index_writer = (
+            batch_index.withColumn(
+                "hbucket", F.pmod(F.col(hash_col), F.lit(state_buckets))
             )
+            .repartition("hbucket")
+            .write.partitionBy("hbucket")
+            .mode("overwrite")
+        )
+        if batch_aux is None:
+            index_writer.parquet(os.path.join(index_dir, epoch))
+        else:
+            aux_writer = (
+                batch_aux.withColumn(
+                    "bucket", _id_bucket(id_col, state_buckets)
+                )
+                .repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+            )
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futures = [
+                    pool.submit(
+                        index_writer.parquet, os.path.join(index_dir, epoch)
+                    ),
+                    pool.submit(
+                        aux_writer.parquet, os.path.join(aux_dir, epoch)
+                    ),
+                ]
+                for f in futures:
+                    f.result()
         # commit the epoch watermark + this epoch's threshold LAST, after
         # every state write landed (a crash before this point replays the
         # epoch, which rewrites the same dirs idempotently)
@@ -1168,18 +1210,21 @@ def run_streaming_decontamination_sync(
                 max_bucket_size=max_bucket_size,
             )
         )
-        if batch_index.isEmpty():  # all rows unusable — nothing to probe
-            _advance()
-            return
         # prune the stored-index read to the batch's hash buckets
         # (≤ state_buckets ints; equality ⇒ same hbucket, so the skipped
-        # partitions cannot contribute candidates)
+        # partitions cannot contribute candidates). The collect doubles
+        # as the all-rows-unusable probe (empty hb_vals ⟺ empty index) —
+        # round-11: the separate isEmpty action was one more job per
+        # epoch, the same fold as the near-dup and ANN drivers.
         hb_vals = [
             r[0]
             for r in batch_index.select(
                 F.pmod(F.col("band_hash"), F.lit(state_buckets)).alias("h")
             ).distinct().collect()
         ]
+        if not hb_vals:  # all rows unusable — nothing to probe
+            _advance()
+            return
         key = ["band_id", "band_hash"]
         cands = persist_scoped(
             batch_index.select(*key, F.col(id_col).alias("train_id"))
