@@ -218,6 +218,22 @@ def main() -> None:
             }
         )
     )
+    # compact PER-QUERY line (round-11 verdict #2): the full JSON above
+    # outgrew the driver's tail capture, so PERF_r11 lost per-entry
+    # round-over-round comparison (per_query empty, n_common 0). This line
+    # carries only the warm per-entry floats (~2 KB) so the per-query dicts
+    # survive tail truncation as a well-formed JSON line of their own.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_per_query",
+                "unit": "sec",
+                "queries": timings,
+                "queries_extra": extra_timings,
+                "sf": sf,
+            }
+        )
+    )
     # compact summary LAST: the driver's BENCH capture keeps only the tail
     # of the output, and the full JSON above outgrew it (BENCH_r05-r08 all
     # recorded parsed:null) — a short final line guarantees the headline

@@ -93,8 +93,45 @@ def _driver_kernel_threads() -> int:
 
     env = os.environ.get("SPARK_GRAFT_DRIVER_KERNEL_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_DRIVER_KERNEL_THREADS={env!r} is not an "
+                "integer — ignoring it and using the default thread count."
+            )
     return max(1, min(8, os.cpu_count() or 1))
+
+
+_GEMM_SCORES_EXACT: bool | None = None
+
+
+def _gemm_scores_exact() -> bool:
+    """One-time self-check (round-11 advice): the sub_dim==2 batched-GEMM
+    formulation is mathematically order-invariant (a two-term dot product
+    under IEEE addition commutativity), but a BLAS kernel is free to use
+    FMA — computing ``fma(x1*c1, x0*c0)`` without rounding the second
+    product — which can differ from the einsum by a ULP and flip a
+    near-tied (not exactly tied) argmin on some BLAS/CPU combinations.
+    Verify RAW-SCORE equality of the two formulations on this
+    interpreter's BLAS once per process; :func:`_assign_codes` falls back
+    to the pinned einsum when they differ, so codes/codebooks stay
+    BLAS-independent."""
+    global _GEMM_SCORES_EXACT
+    if _GEMM_SCORES_EXACT is None:
+        rng = np.random.default_rng(12345)
+        m, n_codes, sub_dim, n = 4, 16, 2, 64
+        books = rng.standard_normal((m, n_codes, sub_dim))
+        xs = rng.standard_normal((n, m, sub_dim))
+        ein = np.einsum("njs,jcs->njc", xs, books, optimize=False)
+        gem = np.matmul(
+            xs.transpose(1, 0, 2),
+            np.ascontiguousarray(books.transpose(0, 2, 1)),
+        ).transpose(1, 0, 2)
+        _GEMM_SCORES_EXACT = bool(np.array_equal(ein, gem))
+    return _GEMM_SCORES_EXACT
 
 
 def _assign_codes(
@@ -131,13 +168,17 @@ def _assign_codes(
     # sub_dim == 2 (the dim-64 m=32 catalog recipe) takes a BATCHED-GEMM
     # formulation — (m, slab, 2) @ (m, 2, n_codes) — which measured 3.7×
     # faster than the einsum at these shapes (the einsum's 2-element
-    # inner loop defeats SIMD; round-11). It is BIT-identical there: a
-    # two-term dot product is order-invariant under IEEE addition
-    # commutativity, verified element-exact in tests. Larger sub_dims
+    # inner loop defeats SIMD; round-11). A two-term dot product is
+    # order-invariant under IEEE addition commutativity, but that
+    # guarantee is BLAS-kernel-dependent: an FMA-using kernel skips one
+    # intermediate rounding and can be a ULP off the einsum, so the GEMM
+    # path additionally requires the one-time raw-score self-check
+    # (_gemm_scores_exact) to pass on this interpreter's BLAS — verified
+    # element-exact in tests on the supported stack. Larger sub_dims
     # keep the einsum, whose s-ascending accumulation order is pinned —
     # a GEMM's k-accumulation order is library-internal and a ULP
     # difference could flip a near-tied argmin, i.e. the codebooks.
-    gemm = sub_dim == 2
+    gemm = sub_dim == 2 and _gemm_scores_exact()
     Bt = np.ascontiguousarray(books.transpose(0, 2, 1)) if gemm else None
 
     def run_range(i0: int, i1: int, buf: np.ndarray) -> None:

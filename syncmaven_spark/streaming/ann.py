@@ -53,6 +53,7 @@ of every epoch's files, so a merged multi-epoch read keeps the fail-fast.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +73,8 @@ from syncmaven_spark.streaming.incremental import (
     _require_layout,
     maybe_compact,
 )
+
+log = logging.getLogger("syncmaven_spark.streaming.ann")
 
 class _ReindexVerificationError(ValueError):
     """An EXPLICIT reindex verification failure (id parity / duplicate
@@ -653,7 +656,10 @@ def reindex_ann_state(
     recipe's geometry (override any of ``n_centroids`` / ``m`` /
     ``n_codes`` / ``encode_residuals`` / ``state_buckets`` /
     ``sample_size`` / ``seed`` / ``id_col`` / ``vec_col`` via kwargs —
-    a drift-tripped retrain often also wants more centroids), then:
+    a drift-tripped retrain often also wants more centroids; pass
+    ``state_buckets=None`` explicitly to re-derive the id-sidecar bucket
+    count from the NEW corpus size instead of inheriting the old
+    recipe's), then:
 
     - carries the drift HISTORY forward: the old state's per-epoch drift
       records (rolled segments + live tail, and any prior chain from
@@ -718,6 +724,12 @@ def reindex_ann_state(
         ),
     }
     params.update(recipe_overrides)
+    # An EXPLICIT state_buckets=None override asks prepare_ann_state to
+    # re-derive the bucket count from the NEW corpus size (round-11
+    # advice: pinning the old recipe's value kept a corpus that grew
+    # orders of magnitude on its original bucket count, recreating the
+    # unprunable-guard-read problem the derivation was added to fix).
+    rederive_buckets = params["state_buckets"] is None
     existing = _load_json(os.path.join(new_state_dir, "recipe.json"))
     if existing is not None:
         # a completed build left by a prior reindex attempt whose
@@ -745,6 +757,10 @@ def reindex_ann_state(
             "encode": "residual" if params["encode_residuals"] else "raw",
             "state_buckets": params["state_buckets"],
         }
+        if rederive_buckets:
+            # re-derivation accepts whatever count the interrupted build
+            # derived from the same corpus — geometry keys still gate
+            expected.pop("state_buckets")
         mismatch = {
             k: (existing.get(k), v)
             for k, v in expected.items()
@@ -1204,12 +1220,24 @@ def run_streaming_ann_sync(
                 # append; advance the watermark like the empty-batch path.
                 # The sequential layout returned before ever running the
                 # id guard here, so the in-flight guard job's result AND
-                # any error it hit are discarded to match.
+                # any error it hit are discarded to match — but LOG the
+                # error (round-11 advice): a genuine infrastructure
+                # failure (unreadable ids sidecar, executor loss) should
+                # not vanish silently just because this batch had nothing
+                # to guard.
                 if guard_future is not None:
                     try:
                         guard_future.result()
                     except Exception:
-                        pass
+                        log.warning(
+                            "run_streaming_ann_sync: epoch %s — discarding "
+                            "the in-flight id-guard job's error (all batch "
+                            "rows were unusable, so the sequential layout "
+                            "never ran the guard here); the suppressed "
+                            "error was:",
+                            epoch_id,
+                            exc_info=True,
+                        )
                 _advance()
                 return
             if (
