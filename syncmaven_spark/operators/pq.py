@@ -259,6 +259,7 @@ def pq_train(
     iterations: int = 10,
     seed: int = 42,
     _residual_centroids: np.ndarray | None = None,
+    _sample_X: np.ndarray | None = None,
 ) -> DataFrame:
     """Train the PQ codebooks on a bounded sample and return the
     persistable codebook table ``(subspace, code, centroid)``, stamped.
@@ -293,16 +294,23 @@ def pq_train(
             f"n_codes must be in [1, 32767] (codes are smallint), got "
             f"{n_codes}"
         )
-    sampled = _usable_vectors(corpus, id_col, vec_col).orderBy(
-        F.xxhash64(id_col), F.col(id_col)
-    )
-    sample = sampled.select(vec_col).limit(sample_size).collect()
-    if not sample:
+    # `_sample_X` lets ivfpq_index collect the bounded sample ONCE for
+    # both trainers — this function's sample lineage (usability filter →
+    # (xxhash64(id), id) order → limit → vec column) is byte-identical to
+    # train_centroids', so the shared array trains the same codebooks.
+    if _sample_X is not None:
+        X = _sample_X
+    else:
+        sampled = _usable_vectors(corpus, id_col, vec_col).orderBy(
+            F.xxhash64(id_col), F.col(id_col)
+        )
+        sample = sampled.select(vec_col).limit(sample_size).collect()
+        X = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(X) == 0:
         raise ValueError(
             "cannot train PQ codebooks on an empty (or all-null-embedding) "
             "corpus"
         )
-    X = np.array([r[0] for r in sample], dtype=np.float64)
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(
@@ -903,17 +911,38 @@ def ivfpq_index(
     independently on the same bounded sample discipline (driver k-means;
     centroids + codebooks are the only state leaving the cluster).
     """
-    from syncmaven_spark.operators.similarity import _load_codebook, ivf_index
+    from syncmaven_spark.operators.similarity import (
+        _load_codebook,
+        _usable_vectors,
+        ivf_index,
+    )
 
+    # ONE bounded-sample collect feeds BOTH trainers: ivf_index
+    # (train_centroids) and pq_train drew byte-identical samples — the
+    # same usability filter, the same (xxhash64(id), id) order, the same
+    # limit, the same vec column — as two separate full-scan-and-top-K
+    # jobs (plus ivf_index's own emptiness probe, a third job). Collect
+    # once here and hand the array to both; the trained artifacts are
+    # bit-identical (guide §1.2: fewer passes).
+    sample = (
+        _usable_vectors(corpus, id_col, vec_col)
+        .orderBy(F.xxhash64(id_col), F.col(id_col))
+        .select(vec_col)
+        .limit(sample_size)
+        .collect()
+    )
+    sample_X = np.array([r[0] for r in sample], dtype=np.float64)
     assignments, centroids_df = ivf_index(
         corpus, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, sample_size=sample_size, seed=seed,
+        _sample_X=sample_X,
     )
     centroids, ivf_recipe = _load_codebook(centroids_df)
     codebooks_df = pq_train(
         corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
         sample_size=sample_size, seed=seed,
         _residual_centroids=centroids if encode_residuals else None,
+        _sample_X=sample_X,
     )
     books, pq_recipe = load_pq_codebooks(codebooks_df)
     # the assignments table already carries (vec, cell) — both modes

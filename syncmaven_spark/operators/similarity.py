@@ -114,6 +114,7 @@ def train_centroids(
     iterations: int = 5,
     seed: int = 42,
     order_col: str | None = None,
+    _sample_X: np.ndarray | None = None,
 ) -> np.ndarray:
     """Driver-side Lloyd k-means over a bounded sample.
 
@@ -126,21 +127,34 @@ def train_centroids(
     structure (ids assigned per source/shard) a prefix covers only the head
     cluster and collapses the centroids onto it.
     """
-    # finite-only sample: one NaN vector would poison every centroid
-    # mean it joins (id filter is irrelevant here, so reuse the column
-    # itself as the id argument)
-    sampled = _usable_vectors(df, vec_col, vec_col)
-    if order_col is not None:
-        # hash first, raw column second: ties (dup order_col values or a
-        # 64-bit collision) stay deterministic
-        sampled = sampled.orderBy(F.xxhash64(order_col), order_col)
-    sample = sampled.select(vec_col).limit(sample_size).collect()
-    if not sample:
-        raise ValueError(
-            "cannot train centroids on an empty (or all-null-embedding) "
-            "corpus"
-        )
-    X = np.array([r[0] for r in sample], dtype=np.float64)
+    # `_sample_X` lets ivfpq_index collect the (identical) bounded sample
+    # ONCE and feed both the IVF and PQ trainers — the two scan-and-top-K
+    # jobs were byte-identical lineages (same usability filter, same
+    # (xxhash64(id), id) order, same limit), so sharing changes nothing
+    # about the trained centroids while halving the sample passes.
+    if _sample_X is not None:
+        X = _sample_X
+        if len(X) == 0:
+            raise ValueError(
+                "cannot train centroids on an empty (or all-null-embedding) "
+                "corpus"
+            )
+    else:
+        # finite-only sample: one NaN vector would poison every centroid
+        # mean it joins (id filter is irrelevant here, so reuse the column
+        # itself as the id argument)
+        sampled = _usable_vectors(df, vec_col, vec_col)
+        if order_col is not None:
+            # hash first, raw column second: ties (dup order_col values or
+            # a 64-bit collision) stay deterministic
+            sampled = sampled.orderBy(F.xxhash64(order_col), order_col)
+        sample = sampled.select(vec_col).limit(sample_size).collect()
+        if not sample:
+            raise ValueError(
+                "cannot train centroids on an empty (or all-null-embedding) "
+                "corpus"
+            )
+        X = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     # the sample never changes — normalize once, not once per Lloyd round
@@ -726,6 +740,7 @@ def ivf_index(
     sample_size: int = 10_000,
     iterations: int = 5,
     seed: int = 42,
+    _sample_X: np.ndarray | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The PERSISTABLE IVF-ANN artifacts — ANN's analog of the dedup
     trilogy's index/probe split (a continuous pipeline trains the index
@@ -758,7 +773,14 @@ def ivf_index(
     spark = corpus.sparkSession
     id_type = corpus.schema[id_col].dataType.simpleString()
     usable = _usable_vectors(corpus, id_col, vec_col)
-    if usable.select(vec_col).first() is None:  # empty corpus
+    # with a caller-collected sample (ivfpq_index), emptiness is already
+    # known — the first() probe job is skipped along with the sample scan
+    empty = (
+        len(_sample_X) == 0
+        if _sample_X is not None
+        else usable.select(vec_col).first() is None
+    )
+    if empty:  # empty corpus
         return (
             spark.createDataFrame(
                 [],
@@ -770,7 +792,7 @@ def ivf_index(
     centroids = train_centroids(
         usable, vec_col, n_centroids,
         sample_size=sample_size, iterations=iterations, seed=seed,
-        order_col=id_col,
+        order_col=id_col, _sample_X=_sample_X,
     )
     recipe = {
         "checksum": _centroid_checksum(centroids),

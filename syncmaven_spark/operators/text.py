@@ -338,6 +338,56 @@ def document_fingerprint(
     return df.withColumn(out_col, rolling)
 
 
+def _window_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_k: int,
+    with_pos: bool,
+) -> DataFrame:
+    """Exploded per-position ``window_k``-token window hashes — the shared
+    projection of :func:`verbatim_window_stats` and
+    :func:`verbatim_spans`: ``(id, [pos,] _h)``.
+
+    Each token hashes ONCE (``xxhash64(token)``); each window then hashes
+    its ``window_k`` token hashes as one fixed-width multi-arg
+    ``xxhash64`` call. Equality semantics are unchanged — identical
+    window text ⟺ identical token-hash tuple ⟺ identical window hash,
+    modulo the same ~2⁻⁶⁴ collision class as the previous
+    hash-of-concatenated-string form — but the per-position cost drops
+    from O(k) string slice+copy+concat to k array lookups over longs.
+    The two selects keep tokenization and window hashing in separate
+    projections so the token array is materialized once per row.
+    """
+    from syncmaven_spark.operators.dedup import _spread
+
+    tokens_hashed = F.transform(
+        _words(F.col(text_col)), lambda w: F.xxhash64(w)
+    )
+    base = _spread(df, id_col).select(
+        F.col(id_col), tokens_hashed.alias("_th")
+    )
+    n = F.size(F.col("_th"))
+    idx = F.sequence(F.lit(0), n - window_k)
+    windows = F.when(
+        n >= window_k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("_th"), i + j + 1)
+                    for j in range(window_k)
+                ]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    if with_pos:
+        return base.select(
+            F.col(id_col), F.posexplode(windows).alias("pos", "_h")
+        )
+    return base.select(F.col(id_col), F.explode(windows).alias("_h"))
+
+
 def verbatim_window_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -358,46 +408,33 @@ def verbatim_window_stats(
     duplication). Filter with ``dup_ratio`` or route high scorers to the
     near-dup pipeline.
 
-    Scale shape: one map-side window projection (tokens → rolling
-    xxhash64 of each k-window), ONE hash-keyed aggregation with map-side
-    combine deriving the cross-doc flag (``min(doc) != max(doc)`` —
-    cheaper than a distinct count and skew-tolerant: repeated boilerplate
-    windows partially aggregate before the shuffle), one AQE-skew-safe
-    join of the positions back onto their flags, and a per-doc count.
-    Windows hash to longs; the ~2⁻⁶⁴ collision trade is the same one the
-    shingle operators document. Docs with fewer than ``window_k`` tokens
-    have zero windows and ``dup_ratio`` 0.0 (no silent NaN); within-doc
+    Scale shape: one map-side window projection (tokens hashed once
+    each, then each k-window hashed over its k token HASHES — re-slicing
+    and concatenating the window's tokens into a fresh string per
+    position paid O(k) string copies per window for the same equality
+    semantics), then ONE analytic window over the hash key deriving the
+    cross-doc flag in place (``min(doc) != max(doc)`` — cheaper than a
+    distinct count), and a per-doc count. The flag rides the same
+    shuffle as the positions, so the heavy tokenize+window projection
+    runs ONCE and there is no join-back (the previous agg+join layout
+    computed the projection for both join sides — round-12). Windows
+    hash to longs; the ~2⁻⁶⁴ collision trade is the same one the shingle
+    operators document. Docs with fewer than ``window_k`` tokens have
+    zero windows and ``dup_ratio`` 0.0 (no silent NaN); within-doc
     repeats alone do NOT count (min == max — same doc).
     """
     if window_k < 1:
         raise ValueError(f"window_k must be >= 1; got {window_k!r}")
-    from syncmaven_spark.operators.dedup import _spread
+    from pyspark.sql import Window as W
 
-    words = _words(F.col(text_col))
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), n - window_k)
-    windows = F.when(
-        n >= window_k,
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window_k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    per_pos = _spread(df, id_col).select(
-        F.col(id_col), F.explode(windows).alias("_h")
+    per_pos = _window_hashes(df, text_col, id_col, window_k, with_pos=False)
+    w_h = W.partitionBy("_h")
+    flagged = per_pos.withColumn(
+        "_dup", F.min(id_col).over(w_h) != F.max(id_col).over(w_h)
     )
-    flags = per_pos.groupBy("_h").agg(
-        (F.min(id_col) != F.max(id_col)).alias("_dup")
-    )
-    stats = (
-        per_pos.join(flags, "_h")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias(
-                "n_dup_windows"
-            ),
-        )
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_windows"),
     )
     return (
         df.select(id_col)
@@ -437,39 +474,28 @@ def verbatim_spans(
     caller.
 
     Execution mirrors the stats operator through the duplicated-window
-    flags (rolling-hash projection → map-side-combining hash aggregate →
-    join back), then merges overlapping/adjacent windows per doc with the
-    gaps-and-islands pattern: a window starting at ``p2`` merges into its
-    predecessor's interval iff ``p2 <= p1 + window_k`` ([p1, p1+k) and
-    [p2, p2+k) touch or overlap), so islands break where the gap exceeds
-    ``window_k``; one lag + one running-sum window per doc (per-doc
-    partitions — no global window). Docs with no duplicated windows emit
-    no rows.
+    flags (token-hash window projection → ONE analytic window over the
+    hash key deriving the cross-doc flag in place, no agg+join-back —
+    see :func:`verbatim_window_stats`), then merges overlapping/adjacent
+    windows per doc with the gaps-and-islands pattern: a window starting
+    at ``p2`` merges into its predecessor's interval iff
+    ``p2 <= p1 + window_k`` ([p1, p1+k) and [p2, p2+k) touch or
+    overlap), so islands break where the gap exceeds ``window_k``; one
+    lag + one running-sum window per doc (per-doc partitions — no global
+    window). Docs with no duplicated windows emit no rows.
     """
     if window_k < 1:
         raise ValueError(f"window_k must be >= 1; got {window_k!r}")
     from pyspark.sql import Window as W
 
-    from syncmaven_spark.operators.dedup import _spread
-
-    words = _words(F.col(text_col))
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), n - window_k)
-    windows = F.when(
-        n >= window_k,
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window_k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    per_pos = _spread(df, id_col).select(
-        F.col(id_col), F.posexplode(windows).alias("pos", "_h")
-    )
-    flags = per_pos.groupBy("_h").agg(
-        (F.min(id_col) != F.max(id_col)).alias("_dup")
-    )
+    per_pos = _window_hashes(df, text_col, id_col, window_k, with_pos=True)
+    w_h = W.partitionBy("_h")
     dup_pos = (
-        per_pos.join(flags, "_h").filter(F.col("_dup")).select(id_col, "pos")
+        per_pos.withColumn(
+            "_dup", F.min(id_col).over(w_h) != F.max(id_col).over(w_h)
+        )
+        .filter(F.col("_dup"))
+        .select(id_col, "pos")
     )
     w_doc = W.partitionBy(id_col).orderBy("pos")
     brk = F.when(

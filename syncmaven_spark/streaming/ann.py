@@ -252,11 +252,18 @@ def prepare_ann_state(
     # the disposable tmp
     from concurrent.futures import ThreadPoolExecutor
 
+    # Keyed-by-cell repartition before the store's partitionBy (round-11
+    # verdict #3 — the same (input partitions × cells) file explosion
+    # fixed for the id sidecar): the probe's pruning unit is the cell
+    # directory, so ~one file per cell is the optimal read shape. The
+    # shuffle moves only the ENCODED rows (id, cell, m smallints), never
+    # the vectors — the assign/encode UDFs run map-side before it — and
+    # the keyed form has no explicit count, so AQE sizes the write tasks
+    # (a tiny corpus collapses to one task, a 100-TB one fans out).
+    store_writer = cells_codes.repartition("cell").write.partitionBy("cell")
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
-            pool.submit(
-                cells_codes.write.partitionBy("cell").parquet, store_base
-            ),
+            pool.submit(store_writer.parquet, store_base),
             pool.submit(
                 centroids_df.write.parquet, os.path.join(tmp, "centroids")
             ),
@@ -1337,7 +1344,14 @@ def run_streaming_ann_sync(
             # the guard's epoch < current filter never reads the
             # half-written current epoch, so recovery semantics are
             # unchanged.
-            store_writer = rows.write.partitionBy("cell").mode("overwrite")
+            # keyed-by-cell like the prepare-time base write: one file
+            # per touched cell instead of (batch partitions × cells);
+            # the shuffle carries only (id, cell, codes) rows and AQE
+            # coalesces a tiny micro-batch to one task
+            store_writer = (
+                rows.repartition("cell").write.partitionBy("cell")
+                .mode("overwrite")
+            )
             # the epoch's id-sidecar rows (from the persisted assignment
             # table — exactly the ids the store now holds), id-bucketed
             # so future guards prune to touched buckets; overwrite keeps
