@@ -170,11 +170,24 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     # never COALESCE a finer layout: repartition always produces exactly N
     # partitions, and N = cores on a many-split 100-TB input would pack
     # ~125 GB per partition — take the max of cluster parallelism and the
-    # input's own split count
+    # input's own file count. The file count is a DRIVER-METADATA read
+    # (inputFiles walks the plan's file indexes); the previous
+    # `df.rdd.getNumPartitions()` probe looked free but under AQE
+    # materializes every query stage in the plan — on a shuffled input
+    # (e.g. the semi-join-pruned corpus in
+    # minhash_verified_pairs_incremental) it EXECUTED the whole upstream
+    # query and threw the result away, one full extra pass per _spread
+    # call (round-12, measured 2.6-2.7 s/call at sf0.1). A keyless
+    # repartition(id) was measured too and rejected: AQE's byte-based
+    # sizing coalesced the compute-heavy, byte-small text stages to a few
+    # tasks (the same effect as the reverted parallelismFirst=false —
+    # session.py NOTE), 20-100% slower across the dedup family.
     spark = df.sparkSession
-    parallelism = max(
-        spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
-    )
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0  # non-file-backed plans (createDataFrame, streaming)
+    parallelism = max(spark.sparkContext.defaultParallelism, n_files)
     return df.repartition(parallelism, id_col)
 
 
