@@ -191,6 +191,38 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(parallelism, id_col)
 
 
+def _prune_spread(df: DataFrame, touched: DataFrame, id_col: str) -> DataFrame:
+    """Semi-join ``df`` down to candidate-touched rows, then :func:`_spread`
+    it for the heavy shingle/regex projection that follows.
+
+    The touched side is broadcast EXPLICITLY, and that hint is
+    load-bearing, not a size tweak: with a statically planned shuffle
+    semi-join, the join's output partitioning is hashpartitioning(id,
+    spark.sql.shuffle.partitions), which exactly matches ``_spread``'s
+    ``repartition(N, id)`` — so EnsureRequirements optimizes the
+    REPARTITION_BY_NUM exchange OUT of the plan. At runtime AQE then
+    either converts the semi-join to broadcast (dropping the corpus-side
+    exchange entirely — the projection collapses to the SCAN's
+    partitioning, one task per input file) or byte-coalesces the
+    remaining ENSURE_REQUIREMENTS shuffle read (compute-heavy but
+    byte-small text → ~1 task, the same pathology as the reverted
+    parallelismFirst=false — session.py NOTE). Measured round-12 at
+    sf0.1: an 8-13 s single-task shingle-hash stage inside
+    dedup_minhash_incremental's cold run. A static broadcast join keeps
+    the probe side at scan partitioning, so ``_spread``'s exchange
+    survives planning and AQE never coalesces it (REPARTITION_BY_NUM is
+    exempt), and the exchange carries only the PRUNED rows.
+
+    Broadcasting the touched ids is safe by the same argument as
+    ``containment_decontamination_pairs``' broadcast_benchmark default:
+    every caller's touched set is candidate-derived — bounded by the
+    batch's near-dup degree (incremental paths) or by benchmark size ×
+    dup degree (decontamination) — ids only, far under the broadcast
+    cap wherever the incremental design is usable at all.
+    """
+    return _spread(df.join(F.broadcast(touched), id_col, "left_semi"), id_col)
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact content group. One shuffle.
 
@@ -380,13 +412,25 @@ def _hashed_shingle_sets(
         )
     )
     return _persist_scoped(
-        df.select(
-            *[F.col(c) for c in extra_cols], F.col(id_col), hashed.alias("_set")
-        )
         # zero-shingle docs (NULL/empty/punctuation-only text) cannot be
         # near-duplicates of anything — excluding them here keeps them out
-        # of both sides of the pair join entirely
-        .filter(F.size("_set") > 0)
+        # of both sides of the pair join entirely. The predicate is on the
+        # RAW text, not size(_set) > 0: a filter on the derived column gets
+        # pushed below every exchange with the WHOLE shingle expression
+        # substituted in, so each caller's scan evaluated the full
+        # tokenize+shingle+hash pipeline per input row at SCAN partitioning
+        # (one task per file — an 8-13 s single-task stage at sf0.1) and
+        # then the projection re-evaluated it above the exchange (guide
+        # §4.4's duplicated-evaluation pathology, expression-flavored).
+        # Equivalence: _words keeps only [\p{L}\p{N}_] material, so
+        # "has >=1 token" ⟺ "text contains a letter/digit/underscore",
+        # and _shingles yields a non-empty array iff there is >=1 token
+        # (any k: n>=k windows, 1<=n<k concat-all, n==0 empty). NULL text
+        # fails rlike, matching the old coalesce('')-then-empty behavior.
+        df.filter(F.col(text_col).rlike(r"[\p{L}\p{N}_]"))
+        .select(
+            *[F.col(c) for c in extra_cols], F.col(id_col), hashed.alias("_set")
+        )
     )
 
 
@@ -709,8 +753,8 @@ def minhash_verified_pairs_incremental(
             max_bucket_size=max_bucket_size, assert_new_ids=assert_new_ids,
         ).select("id_a", "id_b")
     )
-    pruned = corpus_df.join(touched_ids(cands, id_col), id_col, "left_semi")
-    sets = _hashed_shingle_sets(_spread(pruned, id_col), text_col, id_col, shingle_k)
+    pruned = _prune_spread(corpus_df, touched_ids(cands, id_col), id_col)
+    sets = _hashed_shingle_sets(pruned, text_col, id_col, shingle_k)
     return minhash_verify_candidates(cands, sets, id_col, threshold)
 
 
@@ -780,11 +824,11 @@ def fuzzy_decontamination_pairs(
     t_touched = cands.select(F.col("train_id").alias(id_col)).distinct()
     b_touched = cands.select(F.col("bench_id").alias(id_col)).distinct()
     t_sets = _hashed_shingle_sets(
-        _spread(train.join(t_touched, id_col, "left_semi"), id_col),
+        _prune_spread(train, t_touched, id_col),
         text_col, id_col, shingle_k,
     )
     b_sets = _hashed_shingle_sets(
-        _spread(benchmark.join(b_touched, id_col, "left_semi"), id_col),
+        _prune_spread(benchmark, b_touched, id_col),
         text_col, id_col, shingle_k,
     )
     return _cross_jaccard_scored(cands, t_sets, b_sets, id_col, threshold)
@@ -936,7 +980,7 @@ def fuzzy_decontamination_pairs_incremental(
     t_touched = cands.select(F.col("train_id").alias(id_col)).distinct()
     b_touched = cands.select(F.col("bench_id").alias(id_col)).distinct()
     t_sets = _hashed_shingle_sets(
-        _spread(train_batch.join(t_touched, id_col, "left_semi"), id_col),
+        _prune_spread(train_batch, t_touched, id_col),
         text_col, id_col, shingle_k,
     )
     b_sets = bench_sets.join(b_touched, id_col, "left_semi")

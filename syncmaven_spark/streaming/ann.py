@@ -260,7 +260,18 @@ def prepare_ann_state(
     # the vectors — the assign/encode UDFs run map-side before it — and
     # the keyed form has no explicit count, so AQE sizes the write tasks
     # (a tiny corpus collapses to one task, a 100-TB one fans out).
-    store_writer = cells_codes.repartition("cell").write.partitionBy("cell")
+    # the derived-bucket row count rides the store write as an observed
+    # metric (round-12): the write materializes every row anyway, so a
+    # separate read-back count job — even the metadata-only one — was one
+    # more driver barrier per prepare for a number the write already knows
+    from pyspark.sql import Observation
+
+    store_obs = Observation("prepare_ann_store_rows")
+    store_writer = (
+        cells_codes.observe(store_obs, F.count(F.lit(1)).alias("n"))
+        .repartition("cell")
+        .write.partitionBy("cell")
+    )
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
             pool.submit(store_writer.parquet, store_base),
@@ -274,11 +285,7 @@ def prepare_ann_state(
         for f in futures:
             f.result()
     if state_buckets is None:
-        # one column-less count over the just-written store (row-group
-        # metadata, no data pages) prices the derived bucket count
-        state_buckets = _derive_state_buckets(
-            spark.read.parquet(store_base).count()
-        )
+        state_buckets = _derive_state_buckets(int(store_obs.get["n"]))
     state_buckets = int(state_buckets)
     # the id sidecar derives from the WRITTEN store (a column-pruned read
     # of m-smallint rows' id column), not from cells_codes — re-selecting
@@ -366,8 +373,18 @@ def _load_ann_state(
     _refuse_pending_compaction(state_dir, fn_name)
     centroids_df = spark.read.parquet(os.path.join(state_dir, "centroids"))
     codebooks_df = spark.read.parquet(os.path.join(state_dir, "codebooks"))
-    ivf_loaded = _load_codebook(centroids_df)
-    pq_loaded = load_pq_codebooks(codebooks_df)
+    # the two validation collects are independent single-partition reads
+    # of tiny artifact tables — submitted together (guide §2.6) so one
+    # state open pays one job round-trip of latency, not two. Error
+    # precedence is unchanged: ivf's result is consulted first, exactly
+    # as the sequential layout raised.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ivf_future = pool.submit(_load_codebook, centroids_df)
+        pq_future = pool.submit(load_pq_codebooks, codebooks_df)
+        ivf_loaded = ivf_future.result()
+        pq_loaded = pq_future.result()
     if (
         ivf_loaded[1]["checksum"] != recipe.get("ivf_checksum")
         or pq_loaded[1]["checksum"] != recipe.get("pq_checksum")

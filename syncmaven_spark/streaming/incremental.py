@@ -746,16 +746,6 @@ def run_streaming_near_dup_sync(
                 "fresh checkpoint."
             )
         batch = batch_df.select(id_col, value_col)
-        if batch.isEmpty():
-            # still advance the watermark: committed Spark offsets and
-            # epochs.json must stay in lock-step or the wiped-state guard
-            # (commits-without-epochs.json) would misfire on a stream
-            # whose only batches were empty
-            _atomic_write_json(
-                epochs_path, {**epochs, "max_epoch": int(epoch_id)}
-            )
-            return
-
         # the batch's index rows and verification artifact are each built
         # ONCE: the probe and the state write share the persisted tables
         # (the previous layout signed the batch twice — once inside the
@@ -767,8 +757,10 @@ def run_streaming_near_dup_sync(
         # contribute (the pruning that keeps small-batch probes from
         # scanning a 100-TB corpus's whole index). The collect doubles as
         # the all-rows-unusable probe (empty hb_vals ⟺ empty index) —
-        # round-11: the separate isEmpty action was one more job per
-        # epoch, mirroring the ANN driver's bucket-collect fold.
+        # round-11 folded the separate unusable-rows isEmpty into it, and
+        # round-12 folds the EMPTY-BATCH isEmpty too (an empty batch
+        # indexes zero rows, so both drains land in the same empty-hb_vals
+        # branch): one job per non-empty epoch instead of two.
         hb_vals = [
             r[0]
             for r in batch_index.select(
@@ -776,14 +768,18 @@ def run_streaming_near_dup_sync(
             ).distinct().collect()
         ]
         if not hb_vals:
-            # a non-empty batch whose rows are ALL unusable (NULL or
-            # punctuation-only text, all-null embeddings) produces empty
-            # index/aux/pairs tables; partitionBy-writing them created an
+            # empty batch, or a non-empty batch whose rows are ALL
+            # unusable (NULL or punctuation-only text, all-null
+            # embeddings) — either way zero rows indexed, nothing to
+            # write: partitionBy-writing an empty table created an
             # epoch dir with zero parquet footers, and if that was the
             # FIRST epoch every later batch crashed in _read_epoch_state
             # with UNABLE_TO_INFER_SCHEMA and replayed forever (round-7
-            # advice, reproduced live). Nothing indexed → nothing to
-            # write; just advance the watermark like the empty-batch path.
+            # advice, reproduced live). Still advance the watermark:
+            # committed Spark offsets and epochs.json must stay in
+            # lock-step or the wiped-state guard
+            # (commits-without-epochs.json) would misfire on a stream
+            # whose only batches were empty.
             _atomic_write_json(
                 epochs_path, {**epochs, "max_epoch": int(epoch_id)}
             )
@@ -1028,6 +1024,7 @@ def run_streaming_decontamination_sync(
     from syncmaven_spark.operators.dedup import (
         _cross_jaccard_scored,
         _hashed_shingle_sets,
+        _prune_spread,
         _spread,
         check_index_recipe,
         minhash_lsh_index,
@@ -1179,9 +1176,10 @@ def run_streaming_decontamination_sync(
                 )
 
         batch = batch_df.select(id_col, text_col)
-        if batch.isEmpty():
-            _advance()
-            return
+        # no standalone empty-batch isEmpty job (round-12): an empty batch
+        # falls through to the same all-rows-unusable drain each method
+        # already pays one job for — t_sets.isEmpty for containment, the
+        # hb_vals collect for minhash — and both _advance() identically.
 
         if method == "containment":
             # no LSH, no bench_index: the batch's shingles meet the
@@ -1254,7 +1252,7 @@ def run_streaming_decontamination_sync(
             b_touched, id_col, "left_semi"
         )
         t_sets = _hashed_shingle_sets(
-            _spread(batch.join(t_touched, id_col, "left_semi"), id_col),
+            _prune_spread(batch, t_touched, id_col),
             text_col, id_col, shingle_k,
         )
         _commit_pairs(
