@@ -122,7 +122,12 @@ def _gemm_scores_exact() -> bool:
     global _GEMM_SCORES_EXACT
     if _GEMM_SCORES_EXACT is None:
         rng = np.random.default_rng(12345)
-        m, n_codes, sub_dim, n = 4, 16, 2, 64
+        # production-representative shape (the catalog's m=32 × 256-code
+        # recipe at a full slab): BLAS libraries switch dgemm kernels by
+        # problem size, so a tiny probe could pass on a small-matrix
+        # non-FMA path while the blocked kernel used at real shapes
+        # diverges. ~4 MB of doubles, one-time per process.
+        m, n_codes, sub_dim, n = 32, 256, 2, 512
         books = rng.standard_normal((m, n_codes, sub_dim))
         xs = rng.standard_normal((n, m, sub_dim))
         ein = np.einsum("njs,jcs->njc", xs, books, optimize=False)
